@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify]
+
+Runs graft.Verify on sfdir (default sf0.01), then executes each
+oracle_sql.json entry in DuckDB over the same parquet tables and compares
+with the Spark result parquet: row count, column names, and exact values
+(sorted by all columns). Prints per-query PASS/FAIL.
+"""
+import json, subprocess, sys, os
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/verify_out"
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+declared = [d for d in sorted(os.listdir(outdir)) if os.path.isdir(f"{outdir}/{d}")]
+fails = 0
+for name in declared:
+    spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+    if name not in oracle:
+        n = spark_rel.count("*").fetchone()[0]
+        print(f"{name:28s} NO-ORACLE rows={n}" + ("  (EMPTY!)" if n == 0 else ""))
+        continue
+    try:
+        ora = con.sql(oracle[name])
+        scols, ocols = spark_rel.columns, ora.columns
+        if sorted(scols) != sorted(ocols):
+            print(f"{name:28s} FAIL schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+            fails += 1
+            continue
+        cols = ", ".join(f'"{c}"' for c in sorted(scols))
+        sdf = con.sql(f"SELECT {cols} FROM spark_rel ORDER BY ALL").fetchall()
+        odf = con.sql(f"SELECT {cols} FROM ora ORDER BY ALL").fetchall()
+        if len(sdf) != len(odf):
+            print(f"{name:28s} FAIL rows: spark={len(sdf)} oracle={len(odf)}")
+            fails += 1
+        elif sdf != odf:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(sdf, odf)) if a != b][:3]
+            print(f"{name:28s} FAIL values, first diffs: {bad}")
+            fails += 1
+        else:
+            print(f"{name:28s} PASS rows={len(sdf)}")
+    except Exception as e:
+        print(f"{name:28s} FAIL oracle error: {e}")
+        fails += 1
+missing = set(oracle) - set(declared)
+if missing:
+    print("oracle entries with no result dir (query crashed?):", sorted(missing))
+    fails += 1
+sys.exit(1 if fails else 0)

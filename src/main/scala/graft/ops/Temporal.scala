@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Time-series operators over the events stream table: OHLC candles (the
+  * canonical consumption of the reference's quotes lake, SURVEY.md §7.2),
+  * as-of join, and interval join (SURVEY.md §2.2 "Joins").
+  */
+object Temporal {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Daily OHLC candles per event_type — the flagship query (SparkEntry.entry).
+    * Single shuffle on (day, type); open/close via min_by/max_by on the
+    * event timestamp, so no per-group sort or collect.
+    */
+  def ohlcDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_trades"),
+        dsum(col("value")).as("volume"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** As-of join via the scalable union+window trick (SURVEY.md §2.2): for
+    * each purchase, the latest click by the same user at or before it.
+    * One shuffle on user_id, one per-key ordered pass carrying a single
+    * "last click" value — no join explosion, state O(1) per key. This is
+    * the plan shape that survives 100 TB (vs. a range join that would
+    * produce every (purchase, earlier-click) pair before aggregation).
+    */
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        // click sorts before purchase at identical ts => "<=" semantics
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id"), col("last_click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Interval join: (error, view) pairs for the same user where the view
+    * happened within the 10 minutes before the error. Planner hash-joins on
+    * the user_id equi-key and applies the time band as a residual — never a
+    * cartesian product.
+    */
+  def intervalErrorView(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("err_ts"))
+    val vw = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+    err.join(vw,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("err_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("view_ts") <= col("err_ts"))
+      .select(col("user_id"), col("error_id"), col("view_id"))
+      .orderBy(col("user_id"), col("error_id"), col("view_id"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q("q_ohlc_daily", ohlcDaily,
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                     arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+                     arg_max(value, ts) AS close, COUNT(*) AS n_trades,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+              FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+    Q("q_asof_join", asofPurchaseClick,
+      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+              FROM events WHERE event_type IN ('click','purchase')),
+              w AS (SELECT *,
+                     last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+                     last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+                    FROM e)
+              SELECT event_id AS purchase_id, user_id, last_click_id, last_click_value
+              FROM w WHERE kind = 1 ORDER BY purchase_id""")),
+
+    Q("q_interval_join", intervalErrorView,
+      Some("""SELECT e.user_id AS user_id, e.event_id AS error_id, v.event_id AS view_id
+              FROM events e JOIN events v
+                ON e.user_id = v.user_id AND e.event_type = 'error' AND v.event_type = 'view'
+               AND v.ts >= e.ts - INTERVAL 10 MINUTE AND v.ts <= e.ts
+              ORDER BY user_id, error_id, view_id"""))
+  )
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+package object ops {
+
+  /** One declared engine query: a Spark DataFrame program plus (when the
+    * semantics are SQL-expressible) an equivalent DuckDB oracle SQL. The
+    * driver hash-compares the two on sf0.01 (SURVEY.md §5.2).
+    */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Deterministic-aggregation helpers.
+    *
+    * Summing doubles is order-dependent, and Spark's partial aggregation
+    * order differs from DuckDB's sequential scan (SURVEY.md §7.4). Casting
+    * to decimal BEFORE aggregating makes the sum exact and therefore
+    * order-independent; casting the exact result back to double yields a
+    * bit-identical value on both engines. Oracle side mirrors with
+    * `CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  val D2: DecimalType = DecimalType(18, 2)
+  def dec2(c: Column): Column = c.cast(D2)
+  /** Exact sum of a 2-decimal quantity, returned as double. */
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Exact mean: exact decimal sum divided by count, in double. */
+  def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
+
+  def table(name: String)(implicit spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, name)
+}
