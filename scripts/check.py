@@ -14,6 +14,8 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") el
 outdir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/verify_out"
 
 if "--skip-verify" not in sys.argv:
+    import shutil
+    shutil.rmtree(outdir, ignore_errors=True)  # stale results must not mask failures
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
         cwd="/root/repo", capture_output=True, text=True)

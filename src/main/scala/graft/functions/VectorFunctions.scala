@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Double-precision dot product over two array<float> columns, accumulated
+  * in index order — a whole-stage-codegen Catalyst Expression.
+  *
+  * Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, (acc,v) -> acc+v)`
+  * (and to the DuckDB oracle's sequential `list_reduce`), but the
+  * higher-order-function form evaluates its lambdas interpreted, which is
+  * ~10-30x slower on the all-pairs similarity joins. The generated loop
+  * compiles into the surrounding whole-stage-codegen stage.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Callers pass array<float> columns; AbstractDataType (and therefore
+  // ExpectsInputTypes) is private[sql] in Spark 4, so no declared coercion.
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "float_dot"
+}
+
+object VectorFunctions {
+
+  /** Idempotent per-session registration; expressions become callable via
+    * call_function / SQL.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Double dot product of two array<float> columns. */
+  def floatDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("float_dot", a, b)
+  }
+}

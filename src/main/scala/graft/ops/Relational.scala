@@ -356,6 +356,18 @@ object Relational {
               SELECT user_id FROM events WHERE event_type = 'signup' AND value > 300.0
               ORDER BY user_id""")),
 
+    // Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    // per-partition top-N then a single-driver merge of N*partitions rows,
+    // never a full global sort.
+    Q("q_global_topn",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
     // JSON scalar functions (E1/E2 analogue): extract props.k, aggregate.
     Q("q_json_extract",
       (s, dir) =>

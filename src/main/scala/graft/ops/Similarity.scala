@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType),
+  * 64-dim): exact cosine near-dup pairs and brute-force top-k as the
+  * oracled baselines, plus a random-hyperplane LSH variant as the scale
+  * path (spec'd against the brute force).
+  *
+  * All arithmetic is promoted to double INSIDE the lambda and folded in
+  * index order, matching the oracle's list_reduce exactly — bitwise-equal
+  * cosines on both engines.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** vec_id, embedding, norm (double). Norm computed once per vector, not
+    * per pair. Uses the codegen'd FloatDotProduct expression — identical
+    * index-ordered double fold as the DuckDB oracle. */
+  def withNorm(s: SparkSession, emb: DataFrame): DataFrame =
+    emb.withColumn("norm",
+      sqrt(VectorFunctions.floatDot(s, col("embedding"), col("embedding"))))
+
+  private def dot(s: SparkSession) =
+    VectorFunctions.floatDot(s, col("a_emb"), col("b_emb"))
+
+  /** Exact all-pairs cosine >= minCos. O(n^2) — the correctness baseline;
+    * at scale lshTopK below bounds the candidate set instead.
+    */
+  def cosinePairs(s: SparkSession, emb: DataFrame, minCos: Double): DataFrame = {
+    val e = withNorm(s, emb)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors. The query side is tiny and broadcast, so
+    * the corpus streams through once — no shuffle of the corpus; only the
+    * (nQueries x corpus) scored rows hit the top-k window.
+    */
+  def bruteForceTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = withNorm(s, emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    broadcast(q).crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH top-k — the 100 TB path. `tables` independent
+    * 8-plane sign codes per vector (planes derived from xxhash64, so fully
+    * deterministic and shippable to every executor as an expression);
+    * candidates = corpus vectors sharing any table's bucket with the query,
+    * then exact cosine re-rank. Probed buckets bound the join fan-out the
+    * way IVF probe-lists do.
+    */
+  def lshTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int, tables: Int = 4,
+      planesPerTable: Int = 8): DataFrame = {
+    val nPlanes = tables * planesPerTable
+    // plane p, dim d coefficient in [-1, 1]: (xxhash64(p, d) mod 1001)/1000
+    val codes = emb.withColumn("code", expr(
+      s"""transform(sequence(0, ${tables - 1}), t ->
+            aggregate(sequence(0, ${planesPerTable - 1}), 0,
+              (acc, j) -> acc * 2 + IF(
+                aggregate(sequence(0, 63), 0D,
+                  (dot, d) -> dot + CAST(embedding[d] AS DOUBLE) *
+                              (CAST(xxhash64(t * $planesPerTable + j, d) % 1001 AS DOUBLE) / 1000.0)) > 0D,
+                1, 0)))"""))
+    val e = withNorm(s, codes)
+    val buckets = e.select(col("vec_id"), col("embedding"), col("norm"),
+        posexplode(col("code")).as(Seq("tbl", "bkt")))
+    val q = buckets.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"), col("tbl"), col("bkt"))
+    val c = buckets
+      .select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("tbl"), col("bkt"))
+    val cand = broadcast(q).join(c, Seq("tbl", "bkt"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "a_emb", "a_norm", "n_id", "b_emb", "b_norm")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    cand
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  // DuckDB mirror of the double-promoted, index-ordered fold.
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
+  private def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)), (acc, x) -> acc + x))"
+
+  val queries: Seq[Q] = Seq(
+
+    Q("q_embed_neardup",
+      (s, dir) => cosinePairs(s, t(s, dir, "embeddings"), 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""SELECT a_id, b_id, cosine FROM (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+               WHERE cosine >= 0.5 ORDER BY a_id, b_id""")),
+
+    Q("q_sim_topk",
+      (s, dir) => bruteForceTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rank")),
+      Some(s"""SELECT q_id, rank, n_id, cosine FROM (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                        ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, b.vec_id) AS rank
+                 FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+                 WHERE a.vec_id < 20)
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // Sketch-dependent: no SQL oracle; SimilaritySpec measures recall vs
+    // the brute-force result.
+    Q("q_sim_topk_lsh",
+      (s, dir) => lshTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rank")),
+      None)
+  )
+}

@@ -99,6 +99,39 @@ object Temporal {
               SELECT event_id AS purchase_id, user_id, last_click_id, last_click_value
               FROM w WHERE kind = 1 ORDER BY purchase_id""")),
 
+    // Sessionization: split each user's event stream into sessions at
+    // >1-day silence gaps (batch analogue of session_window; the streaming
+    // form lives in graft.streaming). Two windows over one shuffle on
+    // user_id; state per key is a single lag value + running sum.
+    Q("q_sessionize",
+      (s, dir) => {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("gap", when(
+            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)) > 86400L ||
+              lag(col("ts"), 1).over(wo).isNull, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("gap")).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS gap
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (
+                SELECT user_id, ts,
+                       SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM g)
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                     MIN(ts) AS session_start, MAX(ts) AS session_end
+              FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
     Q("q_interval_join", intervalErrorView,
       Some("""SELECT e.user_id AS user_id, e.event_id AS error_id, v.event_id AS view_id
               FROM events e JOIN events v

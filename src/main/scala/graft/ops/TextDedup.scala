@@ -1,0 +1,226 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline surface (builder brief; SURVEY.md §2.2 "NS extras"). Four
+  * families:
+  *
+  *  - exact (hash-groupBy)                      -> q_dedup_exact      (oracled)
+  *  - n-gram Jaccard via inverted index          -> q_dedup_ngram      (oracled)
+  *  - MinHash + LSH banding, exact-verified      -> q_dedup_minhash    (spec'd)
+  *  - SimHash + Hamming banding                  -> q_dedup_simhash    (spec'd)
+  *
+  * plus the reference's D1 monotone high-watermark dedup re-expressed as a
+  * batch window (q_dedup_highwatermark, oracled; streaming form lives in
+  * graft.streaming with flatMapGroupsWithState —
+  * ref: producer_company_news.py:122-141,169-171).
+  */
+object TextDedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** doc_id + distinct 3-word shingles (+ shingle count). Computed
+    * per-row — no shuffle; the expensive part of every dedup variant stays
+    * embarrassingly parallel.
+    */
+  def shingled(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(ws) >= 3
+           THEN array_distinct(transform(sequence(1, size(ws) - 2),
+                                         i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))
+           ELSE array(text) END"""))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+
+  /** Exact near-dup pairs with Jaccard >= minJaccard over 3-word shingles,
+    * via an inverted shingle index: explode -> equi-join on shingle ->
+    * count common shingles per pair. This is the *scalable exact*
+    * algorithm — cost is sum over shingles of df^2, not |docs|^2; a skewed
+    * (stop-)shingle would be the hot key at 100 TB, where the MinHash
+    * variant below takes over.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shingled(docs)
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signatures (numHashes seeded xxhash64 min over shingles) +
+    * LSH banding; candidates from band-bucket equi-joins are verified with
+    * the exact Jaccard, so precision is 1 and only recall is probabilistic
+    * (1-(1-j^r)^b; ~0.99 at j=0.7 with 16x4). Join cost is bounded by
+    * band-bucket collisions — this is the 100 TB path.
+    */
+  /** Max docs per LSH bucket before the bucket is skipped. A bucket this
+    * popular is non-discriminative (tiny-vocab corpora collide heavily) and
+    * would make the candidate join quadratic — the classic LSH skew guard.
+    */
+  val MaxBucketSize = 64
+
+  def minhashPairs(docs: DataFrame, minJaccard: Double,
+      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val numHashes = bands * rows
+    val sh = shingled(docs)
+    // Signature via explode + codegen'd min(xxhash64(seed, sh)) aggregates:
+    // one whole-stage-codegen pass over (doc, shingle) rows. (The
+    // higher-order-function formulation evaluates lambdas interpreted,
+    // ~30x slower at sf0.1.)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"h$i")): _*))
+      .select(col("doc_id"), col("sig"))
+    val banded = sig.select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, xxhash64(slice(sig, b * $rows + 1, $rows)) AS bh))"))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val small = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
+      .select(col("band"), col("bh"))
+    val pruned = banded.join(broadcast(small), Seq("band", "bh"))
+    val cand = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact verification of the candidate set only
+    val withSh = sh.select(col("doc_id"), col("shingles"), col("n_sh"))
+    cand
+      .join(withSh.select(col("doc_id").as("a_id"), col("shingles").as("sha"), col("n_sh").as("na")), Seq("a_id"))
+      .join(withSh.select(col("doc_id").as("b_id"), col("shingles").as("shb"), col("n_sh").as("nb")), Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 64-bit word-level SimHash per document plus near-dup pairs within a
+    * Hamming radius, found by banding the fingerprint into 4x16-bit keys
+    * (any pair within Hamming<=3 of 64 bits shares at least one exact
+    * 16-bit band; radius<=maxHamming verified with bit_count).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Bit-vote sums as 64 codegen'd conditional-sum aggregates over the
+    // exploded (doc, word-hash) rows — one whole-stage-codegen pass.
+    val bitCols = (0 until 64).map(i =>
+      sum(when(expr(s"(h & shiftleft(1L, $i)) != 0"), 1).otherwise(-1)).as(s"b$i"))
+    val fp = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("simhash",
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)))
+      .select(col("doc_id"), col("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.key"))
+    // Same skew guard as MinHash: a band value shared by hundreds of docs
+    // carries no signal and would square the join output.
+    val small = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
+      .select(col("band"), col("key"))
+    val pruned = banded.join(broadcast(small), Seq("band", "key"))
+    pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup: one keeper (min doc_id) per distinct text. Hash
+    // aggregate; at 100 TB you'd pre-hash the text to shuffle 8 bytes per
+    // row instead of the document body — semantics identical.
+    Q("q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .select(col("keeper_id"), col("n_copies"))
+          .orderBy(col("keeper_id")),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+              FROM documents GROUP BY text ORDER BY keeper_id""")),
+
+    Q("q_dedup_ngram",
+      (s, dir) => ngramJaccardPairs(t(s, dir, "documents"), 0.6)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+                FROM d a JOIN d b ON a.doc_id < b.doc_id)
+              SELECT a_id, b_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+              FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
+              ORDER BY a_id, b_id""")),
+
+    // D1's monotone high-watermark dedup as a batch window: keep a row iff
+    // its id exceeds the max id among earlier rows of the same key
+    // (ref: producer_company_news.py:133 — a late id below the per-key max
+    // is dropped even if never seen; set-based dropDuplicates would differ).
+    Q("q_dedup_highwatermark",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .withColumn("prev_max", max(col("event_id")).over(w))
+          .filter(col("prev_max").isNull || col("event_id") > col("prev_max"))
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts FROM (
+                SELECT user_id, event_id, ts,
+                       MAX(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM events)
+              WHERE prev_max IS NULL OR event_id > prev_max
+              ORDER BY user_id, event_id""")),
+
+    // Hash-based variants: sketches aren't reproducible in DuckDB, so no
+    // SQL oracle (driver records rows-only); DedupSpec pins them against
+    // the exact Jaccard pairs (precision 1, measured recall) instead.
+    Q("q_dedup_minhash",
+      (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6)
+        .orderBy(col("a_id"), col("b_id")),
+      None),
+
+    Q("q_dedup_simhash",
+      (s, dir) => simhashPairs(t(s, dir, "documents"), 3)
+        .orderBy(col("a_id"), col("b_id")),
+      None)
+  )
+}

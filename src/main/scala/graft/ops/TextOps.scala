@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators over `documents`: quality scoring, token
+  * counting, language-ID voting, and document fingerprinting (builder
+  * brief "text analysis"; SURVEY.md §2.2 string/NS rows). All per-row
+  * expressions — zero shuffles except the declared final sorts, so every
+  * one of these streams at input bandwidth on a cluster.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Tiny stopword list drawn from the synthetic vocabulary. */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  val queries: Seq[Q] = Seq(
+
+    // Scalar string functions (P1/P2 analogues + LIKE search surface).
+    Q("q_string_fns",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("text").like("%spark%"))
+          .select(col("doc_id"),
+            upper(substring(col("text"), 1, 12)).as("head"),
+            length(col("text")).as("len"),
+            concat(col("source"), lit("/"), col("lang")).as("tag"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, upper(substring(text, 1, 12)) AS head,
+                     length(text) AS len, source || '/' || lang AS tag
+              FROM documents WHERE text LIKE '%spark%' ORDER BY doc_id""")),
+
+    // Quality scoring: token counts, uniqueness, mean token length,
+    // stopword ratio — the heuristics a pretraining filter computes per
+    // document.
+    Q("q_text_quality",
+      (s, dir) => {
+        val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+        t(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("ws")).as("n_tokens"),
+            size(array_distinct(col("ws"))).as("n_uniq"),
+            (expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast(DoubleType) /
+              size(col("ws"))).as("avg_token_len"),
+            (expr(s"size(filter(ws, w -> array_contains($stopArr, w)))").cast(DoubleType) /
+              size(col("ws"))).as("stop_ratio"),
+            (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
+              .as("uniq_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                     len(ws) AS n_tokens,
+                     len(list_distinct(ws)) AS n_uniq,
+                     CAST(list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> length(w)::BIGINT)), (acc, x) -> acc + x) AS DOUBLE) / len(ws) AS avg_token_len,
+                     CAST(len(list_filter(ws, w -> list_contains(['the', 'a'], w))) AS DOUBLE) / len(ws) AS stop_ratio,
+                     CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              ORDER BY doc_id""")),
+
+    // Token counting with a BPE-ish regex (word pieces | digits | other
+    // symbol), the cheap proxy for tokenizer cost estimation.
+    Q("q_token_count",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
+            length(col("text")).as("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+                     length(text) AS n_chars
+              FROM documents ORDER BY doc_id""")),
+
+    // Language-ID by stopword-profile voting: count hits from per-language
+    // marker-word lists, predict the argmax (alphabetical tie-break). The
+    // char-n-gram variant (graft.functions.LangId) is spec'd in ScalaTest;
+    // this SQL-expressible vote is the oracle-able form.
+    Q("q_langid",
+      (s, dir) => {
+        // deterministic marker lists over the synthetic vocabulary
+        val profiles = Seq(
+          "de" -> Seq("der", "und", "nicht"),
+          "en" -> Seq("the", "a", "fast"),
+          "es" -> Seq("el", "la", "slow"),
+          "fr" -> Seq("le", "les", "small"),
+          "zh" -> Seq("big", "key", "hash"))
+        val scoreCols = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+          expr(s"size(filter(ws, w -> array_contains($arr, w)))").as(s"s_$lang")
+        }
+        // argmax with alphabetical tie-break: foldRight below makes the
+        // first (alphabetical) language hitting the max win.
+        val d = t(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id") +: col("lang").as("declared_lang") +: scoreCols: _*)
+        val langs = profiles.map(_._1)
+        val bestScore = greatest(langs.map(l => col(s"s_$l")): _*)
+        val predicted = langs.foldRight(lit(null).cast(StringType)) { (l, acc) =>
+          when(col(s"s_$l") === bestScore, lit(l)).otherwise(acc)
+        } // foldRight => first alphabetical max wins (lists are sorted)
+        d.select(col("doc_id"), col("declared_lang"), predicted.as("predicted_lang"),
+            bestScore.as("best_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (
+                SELECT doc_id, lang AS declared_lang,
+                       len(list_filter(ws, w -> list_contains(['der','und','nicht'], w))) AS s_de,
+                       len(list_filter(ws, w -> list_contains(['the','a','fast'], w))) AS s_en,
+                       len(list_filter(ws, w -> list_contains(['el','la','slow'], w))) AS s_es,
+                       len(list_filter(ws, w -> list_contains(['le','les','small'], w))) AS s_fr,
+                       len(list_filter(ws, w -> list_contains(['big','key','hash'], w))) AS s_zh
+                FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents))
+              SELECT doc_id, declared_lang,
+                     CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                          WHEN s_fr >= s_zh THEN 'fr'
+                          ELSE 'zh' END AS predicted_lang,
+                     greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+              FROM s ORDER BY doc_id""")),
+
+    // Corpus profile per declared language — exact bigint/ratio stats.
+    Q("q_lang_profile",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                     CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Rolling polynomial fingerprint (Karp-Rabin over the char stream,
+    // mod 1e9+7) — content-defined identity that survives re-encoding,
+    // computed as a sequential fold in BOTH engines so values agree.
+    Q("q_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("""aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                              0L, (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fingerprint"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+              FROM documents ORDER BY doc_id"""))
+  )
+}
