@@ -63,14 +63,17 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH top-k — the 100 TB path. `tables` independent
-    * 8-plane sign codes per vector (planes derived from xxhash64, so fully
-    * deterministic and shippable to every executor as an expression);
-    * candidates = corpus vectors sharing any table's bucket with the query,
-    * then exact cosine re-rank. Probed buckets bound the join fan-out the
-    * way IVF probe-lists do.
+    * sign codes of `planesPerTable` hyperplanes per vector (planes derived
+    * from xxhash64, so fully deterministic and shippable to every executor
+    * as an expression); candidates = corpus vectors sharing any table's
+    * bucket with the query, then exact cosine re-rank. Probed buckets bound
+    * the join fan-out the way IVF probe-lists do. Defaults (16x4) are tuned
+    * for this corpus's weak correlations (max cosine ~0.5 — recall 0.8+
+    * needs many short codes); clustered real-world embeddings discriminate
+    * far better per plane.
     */
-  def lshTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int, tables: Int = 4,
-      planesPerTable: Int = 8): DataFrame = {
+  def lshTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int, tables: Int = 16,
+      planesPerTable: Int = 4): DataFrame = {
     val nPlanes = tables * planesPerTable
     // plane p, dim d coefficient in [-1, 1]: (xxhash64(p, d) mod 1001)/1000
     val codes = emb.withColumn("code", expr(

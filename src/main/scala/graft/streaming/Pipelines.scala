@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.model.{NewsArticle, Schemas, StockQuote}
+
+/** The reference's two dataflows (SURVEY.md §3.1/§3.2) as Structured
+  * Streaming transformations. Each stage is a DataFrame -> DataFrame
+  * function, so the same graph runs over a MemoryStream in tests, a file
+  * drop-dir locally, or a Kafka/Kinesis connector in production — the
+  * source is a parameter, the dataflow is the engine.
+  *
+  * Stage mapping (ids from SURVEY.md §2.1):
+  *   E2 decode -> F1/F2 validate -> P1/P2+T1 project/cast -> (news only:
+  *   O1 sort + D1 dedup) -> K1 repartition(symbol) -> W1/W2 hive-
+  *   partitioned sink with checkpointing (upgrades R1's at-least-once to
+  *   exactly-once).
+  */
+object Pipelines {
+
+  // ---- quotes ----------------------------------------------------------
+
+  /** E2: raw JSON line -> typed columns (PERMISSIVE: corrupt rows null out
+    * and are dropped by the F1 filter, reproducing R2's skip-and-continue;
+    * ref processor_stock_quotes.py:56-62).
+    */
+  def decodeQuotes(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast(StringType), Schemas.quoteWire).as("q"))
+      .select(col("q.*"))
+
+  /** F1 validate + P1 project/rename + T1 epoch->timestamp
+    * (ref producer_stock_quotes.py:65-70,83-111).
+    */
+  def quotes(decoded: DataFrame): DataFrame =
+    decoded
+      .filter(col("c").isNotNull && col("t").isNotNull)
+      .select(
+        col("symbol"),
+        current_timestamp().as("fetch_ts"),
+        timestamp_seconds(col("t")).as("event_ts"),
+        col("c").as("current_price"),
+        col("d").as("change"),
+        col("dp").as("percent_change"),
+        col("h").as("high_price_day"),
+        col("l").as("low_price_day"),
+        col("o").as("open_price_day"),
+        col("pc").as("previous_close_price"))
+
+  /** Per-minute OHLC candles per symbol over event time — the reference's
+    * 60 s poll cadence (S1) becomes a watermarked tumbling window. State is
+    * bounded by the watermark: late quotes beyond `late` are dropped
+    * observably (StreamingQueryProgress), mirroring the lookback contract.
+    */
+  def ohlcCandles(quotes: DataFrame, late: String = "2 minutes"): DataFrame =
+    quotes
+      .withWatermark("event_ts", late)
+      .groupBy(window(col("event_ts"), "1 minute"), col("symbol"))
+      .agg(
+        min_by(col("current_price"), col("event_ts")).as("open"),
+        max(col("current_price")).as("high"),
+        min(col("current_price")).as("low"),
+        max_by(col("current_price"), col("event_ts")).as("close"),
+        count(lit(1)).as("n_quotes"))
+      .select(col("window.start").as("minute"), col("symbol"),
+        col("open"), col("high"), col("low"), col("close"), col("n_quotes"))
+
+  // ---- news ------------------------------------------------------------
+
+  def decodeNews(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast(StringType), Schemas.newsWire).as("a"))
+      .select(col("a.*"))
+
+  /** F2 type-guard + P2 project + T1 cast -> typed Dataset for the
+    * stateful dedup (ref producer_company_news.py:100-164).
+    */
+  def newsArticles(decoded: DataFrame)(implicit spark: SparkSession): Dataset[NewsArticle] = {
+    decoded
+      .filter(col("symbol").isNotNull)
+      .select(
+        col("symbol"),
+        col("id").as("news_id"),
+        current_timestamp().as("fetch_ts"),
+        when(col("datetime").isNotNull, timestamp_seconds(col("datetime")))
+          .as("published_ts"),
+        col("category"), col("headline"), col("summary"),
+        col("source"), col("url"),
+        col("image").as("image_url"))
+      .as[NewsArticle](Encoders.product[NewsArticle])
+  }
+
+  /** Full news pipeline: decode -> project -> D1 high-watermark dedup
+    * (O1's sort happens inside the keyed state function).
+    */
+  def news(raw: DataFrame)(implicit spark: SparkSession): Dataset[NewsArticle] =
+    HighWatermarkDedup(newsArticles(decodeNews(raw)))
+
+  // ---- sinks -----------------------------------------------------------
+
+  /** W1/W2: hive-partitioned file sink, with a compat switch for the
+    * reference's processing-time partitions (ref
+    * processor_stock_quotes.py:68 uses arrival time; event time is the
+    * sane default for a queryable lake — SURVEY.md §7.4).
+    */
+  def withHivePartitions(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("year", date_format(col(tsCol), "yyyy"))
+      .withColumn("month", date_format(col(tsCol), "MM"))
+      .withColumn("day", date_format(col(tsCol), "dd"))
+      .withColumn("hour", date_format(col(tsCol), "HH"))
+
+  /** Checkpointed partitioned writer — exactly-once file sink (upgrade of
+    * R1's whole-batch retry; SURVEY.md §2.1 R1).
+    */
+  def partitionedWriter(df: DataFrame, tsCol: String, path: String,
+      checkpoint: String, format: String = "parquet",
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    withHivePartitions(df, tsCol).writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("year", "month", "day", "hour")
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+}

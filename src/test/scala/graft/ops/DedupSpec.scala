@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Pins the sketch-based dedup variants (no DuckDB oracle) against the
+  * exact Jaccard ground truth on the driver's deterministic documents
+  * table.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf001, "documents")
+  private lazy val exact = TextDedup.ngramJaccardPairs(docs, 0.6)
+    .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash pairs are a subset of exact pairs (precision 1 by construction)") {
+    val mh = TextDedup.minhashPairs(docs, 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    // 16 bands x 4 rows at j>=0.7 -> expected recall ~0.99; require >=0.9
+    assert(exact.nonEmpty && mh.size.toDouble / exact.size >= 0.9,
+      s"recall ${mh.size}/${exact.size}")
+  }
+
+  test("simhash finds the planted near-dup pairs at small Hamming distance") {
+    val sh = TextDedup.simhashPairs(docs, maxHamming = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // word-level simhash overlaps strongly with shingle-Jaccard truth
+    assert(sh.nonEmpty)
+    val hits = sh.intersect(exact).size
+    assert(hits.toDouble / sh.size >= 0.5, s"precision vs exact: $hits/${sh.size}")
+  }
+
+  test("exact dedup keeps one keeper per distinct text") {
+    val d = TextDedup.queries.find(_.name == "q_dedup_exact").get.fn(spark, sf001)
+    val n = d.agg(sum("n_copies")).head.getLong(0)
+    assert(n == docs.count())
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val e = Tables.load(spark, sf001, "events")
+    val exactCounts = e.groupBy("event_type").agg(countDistinct("user_id").as("x"))
+    val approx = e.groupBy("event_type").agg(approx_count_distinct("user_id", 0.01).as("a"))
+    val joined = exactCounts.join(approx, "event_type")
+      .select(abs(col("x") - col("a")).cast("double") / col("x")).collect()
+    assert(joined.forall(_.getDouble(0) <= 0.05))
+  }
+}

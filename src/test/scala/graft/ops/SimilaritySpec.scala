@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf001, "embeddings")
+
+  test("FloatDotProduct matches the interpreted higher-order-function fold bitwise") {
+    val hof = emb.select(col("vec_id"), expr(
+      "aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)").as("d"))
+    val cg = emb.select(col("vec_id"),
+      VectorFunctions.floatDot(spark, col("embedding"), col("embedding")).as("d"))
+    val diff = hof.as("a").join(cg.as("b"), "vec_id")
+      .filter(col("a.d") =!= col("b.d")).count()
+    assert(diff == 0)
+  }
+
+  test("LSH top-k recall >= 0.8 vs brute force") {
+    val bf = Similarity.bruteForceTopK(spark, emb, nQueries = 20, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(spark, emb, nQueries = 20, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("top-k ranks are ordered by descending cosine per query") {
+    val rows = Similarity.bruteForceTopK(spark, emb, nQueries = 5, k = 5)
+      .orderBy("q_id", "rank").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.model.NewsArticle
+
+/** Streaming semantics the DuckDB oracle can't check (SURVEY.md §5.2):
+  * driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def quoteJson(symbol: String, c: Double, t: Long): String =
+    s"""{"symbol":"$symbol","c":$c,"d":0.1,"dp":0.2,"h":${c + 1},"l":${c - 1},"o":$c,"pc":${c - 0.5},"t":$t}"""
+
+  private def newsJson(symbol: String, id: java.lang.Long, dt: Long): String = {
+    val idPart = if (id == null) "null" else id.toString
+    s"""{"symbol":"$symbol","id":$idPart,"datetime":$dt,"category":"company","headline":"h$idPart","summary":"s","source":"src","url":"u","image":"i"}"""
+  }
+
+  test("quotes pipeline: E2 decode + F1 validate + P1/T1 project over micro-batches") {
+    val in = MemoryStream[String]
+    val q = Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value")))
+      .writeStream.format("memory").queryName("quotes_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      quoteJson("AAPL", 190.5, 1700000000L),
+      """{"symbol":"MSFT","c":null,"t":1700000000}""", // F1: no price -> dropped
+      """not json at all""",                           // R2: corrupt -> dropped
+      quoteJson("NVDA", 700.25, 1700000060L))
+    q.processAllAvailable()
+    val out = spark.table("quotes_out").select("symbol", "current_price", "event_ts")
+      .orderBy("symbol").collect()
+    q.stop()
+    assert(out.map(_.getString(0)).toSeq == Seq("AAPL", "NVDA"))
+    assert(out.head.getDouble(1) == 190.5)
+    assert(out.head.getTimestamp(2) == ts("2023-11-14 22:13:20")) // 1700000000 UTC
+  }
+
+  test("D1 dedup: monotone high-watermark semantics across micro-batches") {
+    val in = MemoryStream[String]
+    val deduped = Pipelines.news(in.toDF().toDF("value"))
+    val q = deduped.writeStream.format("memory").queryName("news_out")
+      .outputMode(OutputMode.Append).start()
+
+    // batch 1: ids 5, 3 (unsorted); max watermark -> 5
+    in.addData(newsJson("AAPL", 5L, 1000), newsJson("AAPL", 3L, 900))
+    q.processAllAvailable()
+    // batch 2: id 4 arrives late — BELOW watermark 5, never seen -> dropped
+    // (monotone max, not set semantics; ref producer_company_news.py:133);
+    // id 7 passes; null id bypasses dedup without advancing state
+    in.addData(newsJson("AAPL", 4L, 1100), newsJson("AAPL", 7L, 1200),
+      newsJson("AAPL", null, 1300))
+    q.processAllAvailable()
+    // batch 3: duplicate 7 dropped; other symbol has independent state
+    in.addData(newsJson("AAPL", 7L, 1200), newsJson("MSFT", 1L, 50))
+    q.processAllAvailable()
+
+    val out = spark.table("news_out").as[NewsArticle].collect()
+    q.stop()
+    val aapl = out.filter(_.symbol == "AAPL").map(_.news_id)
+    assert(aapl.toSet == Set(Some(3L), Some(5L), Some(7L), None))
+    assert(out.filter(_.symbol == "MSFT").map(_.news_id).toSeq == Seq(Some(1L)))
+  }
+
+  test("D1 dedup: O1 sort means intra-batch order doesn't matter") {
+    // ids arriving 5,3 in one batch: both emitted (sorted ascending first,
+    // state commits only at batch end — ref :169-171), output sorted.
+    val (newMax, out) = HighWatermarkDedup.dedupBatch(Long.MinValue, Seq(
+      NewsArticle("A", Some(5L), ts("2024-01-01 00:00:01"), Some(ts("2024-01-01 00:00:01")), None, None, None, None, None, None),
+      NewsArticle("A", Some(3L), ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00")), None, None, None, None, None, None)))
+    assert(out.flatMap(_.news_id) == Seq(3L, 5L))
+    assert(newMax == 5L)
+  }
+
+  test("OHLC candles: watermarked tumbling window, late data dropped") {
+    val in = MemoryStream[String]
+    val candles = Pipelines.ohlcCandles(
+      Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value"))), late = "2 minutes")
+    val q = candles.writeStream.format("memory").queryName("candles_out")
+      .outputMode(OutputMode.Append).start()
+    val base = 1700000000L // aligned: 2023-11-14 22:13:20 UTC
+    // base is at :20s — keep all three inside the [22:13:00, 22:14:00) window
+    in.addData(quoteJson("AAPL", 100.0, base), quoteJson("AAPL", 104.0, base + 10),
+      quoteJson("AAPL", 98.0, base + 35))
+    q.processAllAvailable()
+    // advance event time far past watermark so the first window closes
+    in.addData(quoteJson("AAPL", 110.0, base + 600))
+    q.processAllAvailable()
+    // this quote is 10 min late, watermark is 2 min -> dropped from state
+    in.addData(quoteJson("AAPL", 999.0, base))
+    q.processAllAvailable()
+    in.addData(quoteJson("AAPL", 111.0, base + 1200))
+    q.processAllAvailable()
+    val rows = spark.table("candles_out")
+      .filter(col("minute") === ts("2023-11-14 22:13:00"))
+      .select("open", "high", "low", "close", "n_quotes").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)) ==
+      ((100.0, 104.0, 98.0, 98.0, 3L))) // the late 999.0 never entered
+  }
+
+  test("W1 sink: hive-partitioned exactly-once file sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[String]
+    val q = Pipelines.partitionedWriter(
+      Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value"))),
+      tsCol = "event_ts", path = s"$dir/data", checkpoint = s"$dir/ckpt").start()
+    in.addData(quoteJson("AAPL", 1.0, 1700000000L), quoteJson("MSFT", 2.0, 1700003600L))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$dir/data")
+    assert(written.count() == 2)
+    // event-time partitions: 22:13:20 and 23:13:20 UTC -> hours 22 and 23
+    assert(written.select("hour").distinct().as[String].collect().toSet == Set("22", "23"))
+    val f = new java.io.File(s"$dir/data/year=2023/month=11/day=14/hour=22")
+    assert(f.isDirectory, s"expected hive path, got ${f}")
+  }
+}
