@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared queries, in module order. */
   def all: Seq[Q] =
     ops.Relational.queries ++ ops.Temporal.queries ++
-      ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries
+      ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries ++
+      multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

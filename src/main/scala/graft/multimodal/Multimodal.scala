@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata (builder brief "multimodal columns").
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub — but everything Spark-side is real
+  * and tested: the schema, the binary column handling, the batched
+  * partition-local decode shape (the JVM analogue of a vectorized
+  * mapInPandas: decoders amortize model/codec init per batch, not per
+  * row), and the partitioning story (media rows hash-partition by id;
+  * bytes never shuffle through a groupBy).
+  */
+object Multimodal {
+
+  /** Typed metadata produced by "decoding" a media payload. */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,        // image/video: fake-decoded dims
+      height: Int,
+      duration_ms: Long, // audio/video
+      frames: Seq[Long]) // video: sampled frame offsets
+
+  /** STUB DECODER — deterministic fake. A real deployment swaps this one
+    * function for a codec call (e.g. JavaCV/ffmpeg); the batch signature
+    * is the contract: one call per partition-batch, so codec init is
+    * amortized exactly like a pandas-UDF batch.
+    */
+  def decodeStub(mediaId: Long, kind: String, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    val w = (n % 640L).toInt + 16
+    val h = (n % 480L).toInt + 16
+    val dur = n * 40L
+    val frames = if (kind == "video") 0L.until(dur, dur / 4 max 1).take(4) else Seq.empty[Long]
+    MediaMeta(mediaId, kind, n, w, h, dur, frames)
+  }
+
+  /** media table synthesized from `documents` (no media files ship with the
+    * testdata): payload = UTF-8 bytes, kind cycles image/audio/video.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        element_at(lit(Array("image", "audio", "video")), (col("doc_id") % 3 + 1).cast(IntegerType))
+          .as("kind"),
+        col("text").cast(BinaryType).as("bytes"))
+
+  /** Batched partition-local decode: the real plumbing around the stub.
+    * Batches of `batchSize` rows per call keep peak memory bounded while
+    * amortizing per-batch codec setup — the JVM shape of a vectorized UDF.
+    */
+  def decodeBatched(media: DataFrame, batchSize: Int = 64): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder/codec initialization would happen HERE, once
+        batch.map(r => decodeStub(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+      }
+    }
+  }
+
+  import graft.ops.Q
+
+  val queries: Seq[Q] = Seq(
+    // Columnar metadata extraction over binary payloads — the expression
+    // form of the decode stub, fully oracle-able (byte lengths and the
+    // derived dims are plain arithmetic in both engines). Bytes are never
+    // shuffled: the aggregate groups on 9-byte rows.
+    Q("q_multimodal_meta",
+      (s, dir) =>
+        mediaTable(s, dir)
+          .select(col("kind"), octet_length(col("bytes")).as("n_bytes"))
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_bytes").cast(LongType)).as("total_bytes"),
+            max((col("n_bytes") % 640 + 16)).as("max_width"),
+            min((col("n_bytes") % 480 + 16)).as("min_height"))
+          .orderBy(col("kind")),
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                     COUNT(*) AS n_media,
+                     SUM(octet_length(encode(text))::BIGINT) AS total_bytes,
+                     MAX(octet_length(encode(text)) % 640 + 16) AS max_width,
+                     MIN(octet_length(encode(text)) % 480 + 16) AS min_height
+              FROM documents GROUP BY 1 ORDER BY kind"""))
+  )
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic as-of join: for each left row, the latest right row with
+  * rightTs <= leftTs within the same key — the natural join of the
+  * reference's two streams ("latest quote at or before each article",
+  * SURVEY.md §2.2 "as-of join").
+  *
+  * Implemented with the scalable union+window plan rather than a range
+  * join: both sides are unioned, shuffled ONCE on the key, sorted within
+  * partition by (ts, side), and the right side's payload is carried
+  * forward with last(ignoreNulls) — O(1) window state per key, no
+  * (left x earlier-rights) pair explosion. This shape survives 100 TB;
+  * tolerance-bounded variants can post-filter on the carried timestamp.
+  */
+object AsOfJoin {
+
+  /** @param left        probe side (one output row per left row)
+    * @param right       reference side whose latest-at-or-before row is attached
+    * @param keys        equi-key column names present on both sides
+    * @param leftTs      event-time column on `left`
+    * @param rightTs     event-time column on `right`
+    * @param rightValues right payload columns to attach (as `asof_<name>`)
+    * @param rightTieBreak right column ordering rows that share (key, ts):
+    *                      the greatest wins; None if right timestamps are
+    *                      unique per key
+    */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns
+    // side 0 = right (sorts first at equal ts => "<=" semantics), 1 = left
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightValues.map(c => col(c).as(s"asof_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        rightValues.map(c => lit(null).as(s"asof_$c")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val order = Seq(col("__ts"), col("__side")) ++
+      rightTieBreak.map(c => col(s"asof_$c").asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightValues.foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightValues.map(c => col(s"asof_$c")): _*)
+  }
+}

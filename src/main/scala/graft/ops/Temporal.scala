@@ -40,20 +40,16 @@ object Temporal {
     */
   def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        // click sorts before purchase at identical ts => "<=" semantics
-        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    e.withColumn("last_click_id",
-        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("last_click_value",
-        last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightValues = Seq("event_id", "value"), rightTieBreak = Some("event_id"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("last_click_id"), col("last_click_value"))
+        col("asof_event_id").as("last_click_id"),
+        col("asof_value").as("last_click_value"))
       .orderBy(col("purchase_id"))
   }
 
