@@ -75,15 +75,24 @@ object Similarity {
   def lshTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int, tables: Int = 16,
       planesPerTable: Int = 4): DataFrame = {
     val nPlanes = tables * planesPerTable
-    // plane p, dim d coefficient in [-1, 1]: (xxhash64(p, d) mod 1001)/1000
-    val codes = emb.withColumn("code", expr(
-      s"""transform(sequence(0, ${tables - 1}), t ->
-            aggregate(sequence(0, ${planesPerTable - 1}), 0,
-              (acc, j) -> acc * 2 + IF(
-                aggregate(sequence(0, 63), 0D,
-                  (dot, d) -> dot + CAST(embedding[d] AS DOUBLE) *
-                              (CAST(xxhash64(t * $planesPerTable + j, d) % 1001 AS DOUBLE) / 1000.0)) > 0D,
-                1, 0)))"""))
+    // Deterministic plane vectors (seeded) shipped as array<float>
+    // LITERALS, so each sign bit is one codegen'd FloatDotProduct against a
+    // constant — no interpreted lambdas, no per-row hash evaluation.
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(nPlanes)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.floatDot(s, col("embedding"), typedLit(p)) > 0d, 1)
+        .otherwise(0).as(s"bit$i")
+    }
+    val codeCols = (0 until tables).map { t =>
+      (0 until planesPerTable)
+        .map(j => col(s"bit${t * planesPerTable + j}") * lit(1 << (planesPerTable - 1 - j)))
+        .reduce(_ + _)
+    }
+    val codes = emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
+      .withColumn("code", array(codeCols: _*))
+      .select(col("vec_id"), col("embedding"), col("code"))
     val e = withNorm(s, codes)
     val buckets = e.select(col("vec_id"), col("embedding"), col("norm"),
         posexplode(col("code")).as(Seq("tbl", "bkt")))

@@ -48,7 +48,13 @@ object TextDedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sh = shingled(docs)
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    // Join on the 64-bit shingle hash, not the string: the shuffle carries
+    // 8-byte keys and the join compares longs. (Collision odds over ~10^6
+    // distinct shingles are ~1e-7 — and the sf0.01 oracle would catch one.)
+    val ex = sh.select(col("doc_id"), col("n_sh"),
+      explode(col("shingles")).as("sh0"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+      .persist() // both join sides reference it; avoids re-shingling
     val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh"))
     a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
@@ -75,18 +81,30 @@ object TextDedup {
   def minhashPairs(docs: DataFrame, minJaccard: Double,
       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
-    val sh = shingled(docs)
-    // Signature via explode + codegen'd min(xxhash64(seed, sh)) aggregates:
-    // one whole-stage-codegen pass over (doc, shingle) rows. (The
-    // higher-order-function formulation evaluates lambdas interpreted,
-    // ~30x slower at sf0.1.)
+    // One shingling pass, persisted as (doc_id, h) longs only — the
+    // interpreted shingle transform would otherwise re-run for every plan
+    // subtree that references it (signatures + both verification probes).
+    // ~16 bytes/shingle; at warehouse scale this materializes to a table.
+    val ex = shingled(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+      .select(col("doc_id"), col("h"))
+      .persist()
+    // Signature via explode + codegen'd min aggregates: the variable-length
+    // shingle STRING is xxhash64'd once, and the 64 signature hashes
+    // re-hash that fixed 8-byte long with per-function seeds — one xxhash
+    // round each, in one whole-stage-codegen stage. (A seedless linear
+    // a*h+b family is order-preserving and degenerates to single-hash
+    // minhash; ANSI mode also forbids the wrapping 64-bit arithmetic a
+    // mod-prime family would need.)
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    val sig = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    // one aggregation computes the signature AND the distinct-shingle count
+    val sig = ex.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), minCols: _*)
       .withColumn("sig", array((0 until numHashes).map(i => col(s"h$i")): _*))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), col("n_sh"), col("sig"))
+      .persist()
     val banded = sig.select(col("doc_id"),
         explode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, xxhash64(slice(sig, b * $rows + 1, $rows)) AS bh))"))
@@ -101,12 +119,18 @@ object TextDedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // exact verification of the candidate set only
-    val withSh = sh.select(col("doc_id"), col("shingles"), col("n_sh"))
-    cand
-      .join(withSh.select(col("doc_id").as("a_id"), col("shingles").as("sha"), col("n_sh").as("na")), Seq("a_id"))
-      .join(withSh.select(col("doc_id").as("b_id"), col("shingles").as("shb"), col("n_sh").as("nb")), Seq("b_id"))
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+    // Exact verification of the candidate set via the persisted inverted
+    // index: |intersection| = count of shingle hashes present on both
+    // sides. No shingle arrays are carried through any shuffle.
+    val common = cand
+      .join(ex.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("c"))
+    val counts = sig.select(col("doc_id"), col("n_sh"))
+    common
+      .join(broadcast(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), Seq("a_id"))
+      .join(broadcast(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), Seq("b_id"))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
@@ -133,6 +157,7 @@ object TextDedup {
           when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)))
       .select(col("doc_id"), col("simhash"))
+      .persist() // referenced by both sides of the band self-join
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bb"))
