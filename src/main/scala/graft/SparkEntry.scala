@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared queries, in module order. */
   def all: Seq[Q] =
-    ops.Relational.queries ++ ops.Temporal.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++ ops.Temporal.queries ++
       ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries ++
       multimodal.Multimodal.queries
 

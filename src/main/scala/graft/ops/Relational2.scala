@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Second batch of relational surface: outer joins, SQL entry point with
+  * GROUPING SETS, window navigation functions, scalar math, UNION ALL.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Seq[Q] = Seq(
+
+    // FULL OUTER join of two aggregated sides with deliberate asymmetry
+    // (value > 300 filters) — exercises null-producing joins + coalesce.
+    Q("q_outer_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val a = e.filter(col("event_type") === "click" && col("value") > 300.0)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        val b = e.filter(col("event_type") === "purchase" && col("value") > 300.0)
+          .groupBy(col("user_id").as("user_id_b")).agg(count(lit(1)).as("n_purchases"))
+        a.join(b, col("user_id") === col("user_id_b"), "full_outer")
+          .select(
+            coalesce(col("user_id"), col("user_id_b")).as("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                     coalesce(a.n_clicks, 0) AS n_clicks,
+                     coalesce(b.n_purchases, 0) AS n_purchases
+              FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                    WHERE event_type = 'click' AND value > 300.0 GROUP BY user_id) a
+              FULL OUTER JOIN
+                   (SELECT user_id, COUNT(*) AS n_purchases FROM events
+                    WHERE event_type = 'purchase' AND value > 300.0 GROUP BY user_id) b
+                ON a.user_id = b.user_id
+              ORDER BY user_id""")),
+
+    // SQL entry point: the engine's spark.sql path with GROUPING SETS
+    // (SURVEY.md §3.3 — the declared Athena-style consumption).
+    Q("q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                        grouping_id(l_returnflag, l_linestatus) AS gid
+                 FROM lineitem_v
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                 ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     GROUPING_ID(l_returnflag, l_linestatus) AS gid
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Window navigation: rank/dense_rank over a tied key (order year),
+    // lead over a fully tie-broken order.
+    Q("q_rank_nav",
+      (s, dir) => {
+        val wTied = Window.partitionBy(col("o_custkey"))
+          .orderBy(year(col("o_orderdate")))
+        val wUnique = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            rank().over(wTied).as("yr_rank"),
+            dense_rank().over(wTied).as("yr_dense_rank"),
+            lead(col("o_orderkey"), 1).over(wUnique).as("next_order"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS yr_rank,
+                     dense_rank() OVER (PARTITION BY o_custkey ORDER BY year(o_orderdate)) AS yr_dense_rank,
+                     lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Scalar math surface: derives the reference's precomputed change /
+    // percent-change fields (producer_stock_quotes.py:104-105) and more.
+    // round() happens in DECIMAL: 2dec x 2dec products land exactly on
+    // .xx50 half-boundaries, where double-based rounding diverges between
+    // engines (Spark rounds the double's exact decimal expansion, DuckDB
+    // doesn't); in decimal both round half-away-from-zero identically.
+    Q("q_math_scalar",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 2)
+              .cast(DoubleType).as("disc_amount"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            pow(col("l_quantity"), 2.0).as("qty_sq"),
+            abs(col("l_discount") - 0.05).as("disc_dev"),
+            when(col("l_quantity") >= 40, "H").when(col("l_quantity") >= 15, "M")
+              .otherwise("L").as("qty_bucket"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS disc_amount,
+                     sqrt(l_quantity) AS qty_sqrt,
+                     pow(l_quantity, 2.0) AS qty_sq,
+                     abs(l_discount - 0.05) AS disc_dev,
+                     CASE WHEN l_quantity >= 40 THEN 'H'
+                          WHEN l_quantity >= 15 THEN 'M' ELSE 'L' END AS qty_bucket
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Typed-Aggregator top-k (UDAF surface): same result contract as the
+    // window-based q_topk_per_group, but with O(k) partial-aggregation
+    // state per group (map-side combine) instead of a per-partition sort —
+    // the shape that wins when groups are huge and k is small.
+    Q("q_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val topk = new graft.functions.TopKAggregator(3)
+        t(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(topk.toColumn.name("topk"))
+          .toDF("p_brand", "topk")
+          .select(col("p_brand"), posexplode(col("topk")))
+          .select(col("p_brand"), (col("pos") + 1).cast(IntegerType).as("rk"),
+            col("col._2").as("p_partkey"), col("col._1").as("p_retailprice"))
+          .orderBy(col("p_brand"), col("rk"))
+      },
+      Some("""SELECT p_brand, rk, p_partkey, p_retailprice
+              FROM (SELECT p_brand, p_partkey, p_retailprice,
+                           row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+                    FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
+
+    // UNION ALL (duplicate-preserving), then aggregate.
+    Q("q_union_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val a = e.filter(col("event_type") === "error").select(col("user_id"))
+        val b = e.filter(col("event_type") === "signup").select(col("user_id"))
+        a.unionByName(b).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_rows FROM (
+                SELECT user_id FROM events WHERE event_type = 'error'
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'signup')
+              GROUP BY user_id ORDER BY user_id"""))
+  )
+}
