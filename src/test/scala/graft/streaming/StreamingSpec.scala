@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpec {
       ((100.0, 104.0, 98.0, 98.0, 3L))) // the late 999.0 never entered
   }
 
+  test("stream-stream join: quote attached to news within the prior hour") {
+    val qIn = MemoryStream[String]
+    val nIn = MemoryStream[String]
+    val qd = Pipelines.quotes(Pipelines.decodeQuotes(qIn.toDF().toDF("value")))
+      .select(col("symbol").as("q_sym"), col("event_ts"), col("current_price"))
+      .withWatermark("event_ts", "1 hour")
+    val nd = Pipelines.newsArticles(Pipelines.decodeNews(nIn.toDF().toDF("value")))
+      .select(col("symbol"), col("news_id"), col("published_ts"))
+      .withWatermark("published_ts", "1 hour")
+    val joined = nd.join(qd,
+      col("symbol") === col("q_sym") &&
+        col("event_ts") >= col("published_ts") - expr("INTERVAL 1 HOUR") &&
+        col("event_ts") <= col("published_ts"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode(OutputMode.Append).start()
+    val base = 1700000000L
+    qIn.addData(quoteJson("AAPL", 100.0, base),          // in window
+      quoteJson("AAPL", 50.0, base - 7200),              // 2h before: out
+      quoteJson("MSFT", 75.0, base))                     // other symbol
+    nIn.addData(newsJson("AAPL", 1L, base + 600))        // published 10 min after base
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_out")
+      .select("symbol", "news_id", "current_price").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set(("AAPL", 1L, 100.0)))
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
