@@ -60,6 +60,21 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "float_dot"
 }
 
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * expressions first-class SQL functions in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the injection
+  * path a cluster deployment would configure once.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+  }
+}
+
 object VectorFunctions {
 
   /** Idempotent per-session registration; expressions become callable via
