@@ -114,6 +114,58 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) top-k — the second scale path the brief names.
+    * One k-means-style refinement builds `nlist` centroids (seeded from the
+    * first `nlist` vectors — deterministic); every corpus vector is
+    * assigned to its nearest centroid (the inverted lists); each query
+    * probes its `nprobe` closest cells and exact-reranks only those lists.
+    * Centroids are collect()ed — bounded at nlist x dim, the one
+    * driver-side structure an IVF index legitimately keeps — and shipped
+    * back as literal arrays through the codegen'd dot product.
+    */
+  def ivfTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    def nearestCells(df: DataFrame, cents: Seq[(Int, Seq[Float])], n: Int): DataFrame = {
+      // scores per centroid via literal-array dots, then top-n cell ids
+      val scored = cents.foldLeft(df) { case (d, (cid, v)) =>
+        d.withColumn(s"c$cid", VectorFunctions.floatDot(s, col("embedding"), typedLit(v)))
+      }
+      val cellArr = array(cents.map { case (cid, _) =>
+        struct(col(s"c$cid").as("score"), lit(cid).as("cid"))
+      }: _*)
+      // struct natural order sorts by score first; reverse => best cells
+      scored.withColumn("cells",
+          transform(slice(reverse(array_sort(cellArr)), 1, n), x => x.getField("cid")))
+        .drop(cents.map(c => s"c${c._1}"): _*)
+    }
+    // seed centroids, one refinement pass (mean of assigned vectors)
+    val seed = emb.filter(col("vec_id") < nlist).select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toIndexedSeq))
+    val assigned0 = nearestCells(emb, seed, 1)
+      .withColumn("cell", col("cells")(0)).drop("cells")
+    val centroids = assigned0
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell")).agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .withColumn("centroid", expr("transform(ps, x -> CAST(x.m AS FLOAT))"))
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq))
+    val e = withNorm(s, emb)
+    val corpus = nearestCells(e, centroids, 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cells")(0).as("cell"))
+    val queries = nearestCells(e.filter(col("vec_id") < nQueries), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"), explode(col("cells")).as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    broadcast(queries).join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
   // DuckDB mirror of the double-promoted, index-ordered fold.
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
@@ -147,6 +199,11 @@ object Similarity {
     // the brute-force result.
     Q("q_sim_topk_lsh",
       (s, dir) => lshTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rank")),
+      None),
+
+    Q("q_sim_topk_ivf",
+      (s, dir) => ivfTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
       None)
   )

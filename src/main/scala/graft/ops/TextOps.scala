@@ -138,6 +138,24 @@ object TextOps {
                      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Pretraining-style text normalization: lowercase, strip non-alnum,
+    // collapse whitespace, trim — plus before/after lengths. Simple char
+    // classes keep Java-regex and RE2 semantics identical.
+    Q("q_text_normalize",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .withColumn("norm", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+          .select(col("doc_id"), length(col("text")).as("len_raw"),
+            length(col("norm")).as("len_norm"),
+            substring(col("norm"), 1, 20).as("head"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, length(text) AS len_raw,
+                     length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm,
+                     substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), 1, 20) AS head
+              FROM documents ORDER BY doc_id""")),
+
     // Rolling polynomial fingerprint (Karp-Rabin over the char stream,
     // mod 1e9+7) — content-defined identity that survives re-encoding,
     // computed as a sequential fold in BOTH engines so values agree.

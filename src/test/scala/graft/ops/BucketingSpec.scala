@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Co-located joins via bucketing (builder brief: "repartition/bucketing
+  * for co-located joins"): two tables bucketed 8-ways on the join key join
+  * WITHOUT any shuffle exchange — the layout every recurring 100 TB join
+  * should be stored in.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      Tables.load(spark, sf0001, "orders")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+      Tables.load(spark, sf0001, "customer")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), planStr)
+      // the JOIN itself is exchange-free; only the 5-group aggregate shuffles
+      val joinPart = planStr.substring(planStr.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"), joinPart)
+      // and it still computes the right answer
+      val direct = Tables.load(spark, sf0001, "orders")
+        .join(Tables.load(spark, sf0001, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      assert(joined.except(direct).count() == 0 && direct.except(joined).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+}

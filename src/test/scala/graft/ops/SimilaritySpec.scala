@@ -27,6 +27,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF top-k recall vs brute force (nprobe=4 of 16 cells)") {
+    val bf = Similarity.bruteForceTopK(spark, emb, nQueries = 20, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(spark, emb, nQueries = 20, k = 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    // near-uniform corpus: probing 1/4 of cells bounds recall near nprobe/nlist;
+    // the spec pins the floor (clustered real embeddings sit far higher)
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("top-k ranks are ordered by descending cosine per query") {
     val rows = Similarity.bruteForceTopK(spark, emb, nQueries = 5, k = 5)
       .orderBy("q_id", "rank").collect()
