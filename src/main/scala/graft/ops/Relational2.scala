@@ -151,6 +151,20 @@ object Relational2 {
                            row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
                     FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
 
+    // Exact percentiles (median / p90) per group — linear interpolation on
+    // the sorted values in both engines.
+    Q("q_percentile",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                     quantile_cont(value, 0.9) AS p90, COUNT(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // UNION ALL (duplicate-preserving), then aggregate.
     Q("q_union_all",
       (s, dir) => {

@@ -106,6 +106,51 @@ class StreamingSpec extends SparkSpec {
       ((100.0, 104.0, 98.0, 98.0, 3L))) // the late 999.0 never entered
   }
 
+  test("sliding window: 2-min windows sliding by 1 min count overlapping quotes") {
+    val in = MemoryStream[String]
+    val base = 1700000040L // 22:14:00 aligned
+    val agg = Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value")))
+      .withWatermark("event_ts", "1 minute")
+      .groupBy(window(col("event_ts"), "2 minutes", "1 minute"), col("symbol"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("symbol"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(quoteJson("AAPL", 1.0, base), quoteJson("AAPL", 2.0, base + 60))
+    q.processAllAvailable()
+    in.addData(quoteJson("AAPL", 3.0, base + 600)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.table("slide_out")
+      .filter(col("w") >= ts("2023-11-14 22:13:00") && col("w") <= ts("2023-11-14 22:15:00"))
+      .select("w", "n").collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    q.stop()
+    // quote@14:00 in windows [13:00,15:00) and [14:00,16:00); quote@15:00 joins the latter
+    assert(got(ts("2023-11-14 22:13:00")) == 1L)
+    assert(got(ts("2023-11-14 22:14:00")) == 2L)
+    assert(got(ts("2023-11-14 22:15:00")) == 1L)
+  }
+
+  test("session window: per-symbol sessions close after a 5-minute gap") {
+    val in = MemoryStream[String]
+    val base = 1700000000L
+    val agg = Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value")))
+      .withWatermark("event_ts", "1 minute")
+      .groupBy(session_window(col("event_ts"), "5 minutes"), col("symbol"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("symbol"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    // two bursts 30 min apart -> two sessions of 2 and 1 quotes
+    in.addData(quoteJson("AAPL", 1.0, base), quoteJson("AAPL", 2.0, base + 120),
+      quoteJson("AAPL", 3.0, base + 1800))
+    q.processAllAvailable()
+    in.addData(quoteJson("AAPL", 4.0, base + 4000)) // advance watermark
+    q.processAllAvailable()
+    val got = spark.table("sess_out").select("n").collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got.take(2) == Seq(1L, 2L), s"sessions: $got")
+  }
+
   test("stream-stream join: quote attached to news within the prior hour") {
     val qIn = MemoryStream[String]
     val nIn = MemoryStream[String]
