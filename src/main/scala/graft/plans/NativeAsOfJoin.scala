@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+
+/** Native as-of join — the full custom-operator stack (SURVEY.md §4.2 /
+  * guide preference (c)): LogicalPlan node + planner Strategy + physical
+  * merge executor, registered per-session via experimental strategies (or
+  * GraftExtensions).
+  *
+  * Compared with the union+window formulation in ops.AsOfJoin (same
+  * semantics, used by the oracled q_asof_join), this operator:
+  *   - declares ClusteredDistribution on the keys, so EnsureRequirements
+  *     co-partitions both sides exactly like a sort-merge join (and a
+  *     bucketed layout satisfies it with zero exchanges);
+  *   - declares per-partition (key, ts) ordering and then streams BOTH
+  *     sides through a single forward merge pass — O(1) state, no window
+  *     buffering, no union materialization.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTs: Attribute, rightTs: Attribute,
+    rightValues: Seq[Attribute],
+    outRightAttrs: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ outRightAttrs
+  // asof_* attrs are synthesized by this operator, not drawn from children
+  override def producedAttributes: AttributeSet = AttributeSet(outRightAttrs)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    rightValues: Seq[Expression],
+    outRightAttrs: Seq[Attribute]) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outRightAttrs
+
+  override def producedAttributes: AttributeSet = AttributeSet(outRightAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val nRightVals = outRightAttrs.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), leftOut)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), rightOut)
+      val rValProj = UnsafeProjection.create(rightValues, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val outProj = UnsafeProjection.create(output, output)
+      val nullRight: InternalRow = new GenericInternalRow(nRightVals)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // single forward pass; all retained rows are copies (sorter reuses
+        // its row buffers)
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        private var rHeadTs: Long = 0L
+        private var lastKey: UnsafeRow = _
+        private var lastVals: UnsafeRow = _
+
+        private def loadRight(): Boolean = {
+          if (rHead == null && rIter.hasNext) {
+            rHead = rIter.next().copy()
+            rHeadKey = rKeyProj(rHead).copy()
+            rHeadTs = rTsProj(rHead).getLong(0)
+          }
+          rHead != null
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTs = lTsProj(lRow).getLong(0)
+          var advancing = true
+          while (advancing && loadRight()) {
+            val cmp = keyOrd.compare(rHeadKey, lKey)
+            if (cmp < 0 || (cmp == 0 && rHeadTs <= lTs)) {
+              if (cmp == 0) { // candidate match; remember latest
+                lastKey = rHeadKey
+                lastVals = rValProj(rHead).copy()
+              }
+              rHead = null // consume
+            } else advancing = false
+          }
+          val matched = lastVals != null && lastKey != null &&
+            keyOrd.compare(lastKey, lKey) == 0
+          outProj(joined(lRow, if (matched) lastVals else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** Public wrapper: as-of join via the native operator. Right side is
+  * re-aliased first so self-joins can't collide attribute ids.
+  */
+object NativeAsOfJoin {
+
+  def join(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightValues: Seq[String]): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // fresh exprIds on the right side (safe under self-join)
+    val rSel = (keys :+ rightTs) ++ rightValues
+    val rAliased = rightDf.select(rSel.map(c => col(c).as(s"__r_$c")): _*)
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rAliased.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${p.output.map(_.name)}"))
+    val rVals = rightValues.map(v => attr(rp, s"__r_$v"))
+    val outAttrs = rightValues.zip(rVals).map { case (name, a) =>
+      AttributeReference(s"asof_$name", a.dataType, nullable = true)()
+    }
+    val node = AsOfJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
+      attr(lp, leftTs), attr(rp, s"__r_$rightTs"), rVals, outAttrs)
+    org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, node)
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Same-package accessor for the package-private classic Dataset factory —
+  * the standard mechanism Spark extension libraries use to materialize a
+  * custom LogicalPlan as a public DataFrame (classic.Dataset.ofRows is
+  * private[sql] in Spark 4).
+  */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.ops.AsOfJoin
+
+class NativeAsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native exec matches the union+window formulation on real data") {
+    val e = Tables.load(spark, sf001, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val viaWindow = AsOfJoin.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"), rightTieBreak = Some("event_id"))
+      .select("event_id", "user_id", "asof_event_id", "asof_value")
+    val viaNative = NativeAsOfJoin.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"))
+      .select("event_id", "user_id", "asof_event_id", "asof_value")
+    assert(viaNative.count() == purchases.count())
+    val diff = viaWindow.except(viaNative).count() + viaNative.except(viaWindow).count()
+    assert(diff == 0)
+  }
+
+  test("left rows before any right row get nulls; '<=' includes equal ts") {
+    val l = Seq((1L, "A", ts("2024-01-01 00:00:05")), (2L, "A", ts("2024-01-01 00:00:10")),
+      (3L, "B", ts("2024-01-01 00:00:01")))
+      .toDF("id", "sym", "ts")
+    val r = Seq((10L, "A", ts("2024-01-01 00:00:05"), 1.5),
+      (11L, "A", ts("2024-01-01 00:00:07"), 2.5),
+      (12L, "B", ts("2024-01-01 00:00:02"), 9.9))
+      .toDF("rid", "sym", "ts", "px")
+    val out = NativeAsOfJoin.join(l, r, Seq("sym"), "ts", "ts", Seq("rid", "px"))
+      .select("id", "asof_rid", "asof_px").collect()
+      .map(x => x.getLong(0) -> (Option(x.get(1)), Option(x.get(2)))).toMap
+    assert(out(1L) == (Some(10L), Some(1.5)))   // equal ts matches
+    assert(out(2L) == (Some(11L), Some(2.5)))   // latest earlier
+    assert(out(3L) == (None, None))             // right row is later -> null
+  }
+
+  test("physical plan declares key clustering (co-partitions like SMJ)") {
+    val e = Tables.load(spark, sf0001, "events")
+    val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
+    val r = e.filter(col("event_type") === "click").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = NativeAsOfJoin.join(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+}
