@@ -151,6 +151,47 @@ object Relational2 {
                            row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
                     FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
 
+    // Scalar subquery through the SQL entry point: orders above the global
+    // mean price (mean computed decimal-exact for cross-engine equality).
+    Q("q_scalar_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_v
+                 WHERE o_totalprice > 1.5 * (
+                   SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM orders_v)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice > 1.5 * (
+                SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                FROM orders)
+              ORDER BY o_orderkey""")),
+
+    // Generator (UDTF surface): explode tokens, global top-20 by count.
+    Q("q_explode_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some("""SELECT token, COUNT(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
+    // Map column type: props parsed as map<string,bigint>, key lookup.
+    Q("q_map_access",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            element_at(from_json(col("props"), MapType(StringType, LongType)), "k").as("k"))
+          .filter(col("k") >= 90)
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+              ORDER BY event_id""")),
+
     // Exact percentiles (median / p90) per group — linear interpolation on
     // the sorted values in both engines.
     Q("q_percentile",

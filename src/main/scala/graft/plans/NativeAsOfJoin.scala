@@ -140,6 +140,9 @@ object NativeAsOfJoin {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
     // fresh exprIds on the right side (safe under self-join)
     val rSel = (keys :+ rightTs) ++ rightValues
     val rAliased = rightDf.select(rSel.map(c => col(c).as(s"__r_$c")): _*)

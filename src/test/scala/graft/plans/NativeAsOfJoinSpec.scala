@@ -40,6 +40,26 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out(3L) == (None, None))             // right row is later -> null
   }
 
+  test("optimizer rule pushes left-only filters below the as-of node to the scan") {
+    val e = Tables.load(spark, sf0001, "events")
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = NativeAsOfJoin.join(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+      .filter(col("user_id") < 5) // references only the left side
+    val optimized = out.queryExecution.optimizedPlan
+    // after pushdown the top node is the as-of join itself, not a Filter
+    assert(optimized.isInstanceOf[AsOfJoinNode], optimized.getClass.toString)
+    // and the predicate reached the left parquet scan
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("LessThan(user_id,5)"), phys)
+    // results match post-filtering the unpushed version
+    val unpushed = NativeAsOfJoin.join(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+      .collect().filter(_.getAs[Long]("user_id") < 5)
+    assert(out.count() == unpushed.length)
+  }
+
   test("physical plan declares key clustering (co-partitions like SMJ)") {
     val e = Tables.load(spark, sf0001, "events")
     val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
