@@ -45,6 +45,13 @@ for name in declared:
             print(f"{name:28s} FAIL schema: spark={sorted(scols)} oracle={sorted(ocols)}")
             fails += 1
             continue
+        stypes = dict(zip(scols, [str(t) for t in spark_rel.types]))
+        otypes = dict(zip(ocols, [str(t) for t in ora.types]))
+        tdiff = {c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]}
+        if tdiff:
+            print(f"{name:28s} FAIL types: {tdiff}")
+            fails += 1
+            continue
         cols = ", ".join(f'"{c}"' for c in sorted(scols))
         sdf = con.sql(f"SELECT {cols} FROM spark_rel ORDER BY ALL").fetchall()
         odf = con.sql(f"SELECT {cols} FROM ora ORDER BY ALL").fetchall()

@@ -80,12 +80,12 @@ object Multimodal {
           .groupBy(col("kind"))
           .agg(count(lit(1)).as("n_media"),
             sum(col("n_bytes").cast(LongType)).as("total_bytes"),
-            max((col("n_bytes") % 640 + 16)).as("max_width"),
-            min((col("n_bytes") % 480 + 16)).as("min_height"))
+            max((col("n_bytes") % 640 + 16)).cast(LongType).as("max_width"),
+            min((col("n_bytes") % 480 + 16)).cast(LongType).as("min_height"))
           .orderBy(col("kind")),
       Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                      COUNT(*) AS n_media,
-                     SUM(octet_length(encode(text))::BIGINT) AS total_bytes,
+                     SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
                      MAX(octet_length(encode(text)) % 640 + 16) AS max_width,
                      MIN(octet_length(encode(text)) % 480 + 16) AS min_height
               FROM documents GROUP BY 1 ORDER BY kind"""))

@@ -252,7 +252,7 @@ object Relational {
         t(s, dir, "part")
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
-          .select(col("p_brand"), col("rk"), col("p_partkey"), col("p_retailprice"))
+          .select(col("p_brand"), col("rk").cast(LongType).as("rk"), col("p_partkey"), col("p_retailprice"))
           .orderBy(col("p_brand"), col("rk"))
       },
       Some("""SELECT p_brand, rk, p_partkey, p_retailprice
@@ -377,7 +377,7 @@ object Relational {
           .groupBy(col("event_type"))
           .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
           .orderBy(col("event_type")),
-      Some("""SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k
+      Some("""SELECT event_type, SUM(k)::BIGINT AS sum_k, MAX(k) AS max_k
               FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
               GROUP BY event_type ORDER BY event_type""")),
 
@@ -386,8 +386,8 @@ object Relational {
       (s, dir) =>
         t(s, dir, "orders")
           .select(col("o_orderkey"),
-            year(col("o_orderdate")).as("yr"),
-            month(col("o_orderdate")).as("mo"),
+            year(col("o_orderdate")).cast(LongType).as("yr"),
+            month(col("o_orderdate")).cast(LongType).as("mo"),
             date_add(to_date(col("o_orderdate")), 30).as("due_date"))
           .orderBy(col("o_orderkey")),
       Some("""SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -88,8 +88,8 @@ object Relational2 {
           .orderBy(col("o_orderdate"), col("o_orderkey"))
         t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
-            rank().over(wTied).as("yr_rank"),
-            dense_rank().over(wTied).as("yr_dense_rank"),
+            rank().over(wTied).cast(LongType).as("yr_rank"),
+            dense_rank().over(wTied).cast(LongType).as("yr_dense_rank"),
             lead(col("o_orderkey"), 1).over(wUnique).as("next_order"))
           .orderBy(col("o_orderkey"))
       },
@@ -142,7 +142,7 @@ object Relational2 {
           .agg(topk.toColumn.name("topk"))
           .toDF("p_brand", "topk")
           .select(col("p_brand"), posexplode(col("topk")))
-          .select(col("p_brand"), (col("pos") + 1).cast(IntegerType).as("rk"),
+          .select(col("p_brand"), (col("pos") + 1).cast(LongType).as("rk"),
             col("col._2").as("p_partkey"), col("col._1").as("p_retailprice"))
           .orderBy(col("p_brand"), col("rk"))
       },
@@ -150,6 +150,51 @@ object Relational2 {
               FROM (SELECT p_brand, p_partkey, p_retailprice,
                            row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
                     FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
+
+    // Pure theta join (no equi key): plans as BroadcastNestedLoopJoin —
+    // correct for small x small; anything larger should carry an equi key
+    // (q_range_join) or be banded first.
+    Q("q_theta_join",
+      (s, dir) => {
+        val a = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+        val b = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+        a.join(b, col("a_bal") < col("b_bal"))
+          .groupBy(col("a_key"))
+          .agg(count(lit(1)).as("n_richer"))
+          .orderBy(col("a_key"))
+      },
+      Some("""SELECT a.s_suppkey AS a_key, COUNT(*) AS n_richer
+              FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
+              GROUP BY a.s_suppkey ORDER BY a_key""")),
+
+    // Variance/stddev computed from decimal-exact sums (sum, sum of
+    // squares) so the result is order-independent on both engines — the
+    // builtin stddev's streaming update is accumulation-order-dependent
+    // and can't hash-match across engines.
+    Q("q_stats_agg",
+      (s, dir) => {
+        val v = dec2(col("l_quantity"))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(v).cast(DoubleType).as("s"),
+            sum(v * v).cast(DoubleType).as("ss"))
+          .select(col("l_returnflag"), col("n"),
+            (col("s") / col("n")).as("mean"),
+            ((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("variance"),
+            sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("stddev"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, n, s / n AS mean,
+                     (ss - s * s / n) / (n - 1) AS variance,
+                     sqrt((ss - s * s / n) / (n - 1)) AS stddev
+              FROM (SELECT l_returnflag, COUNT(*) AS n,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss
+                    FROM lineitem GROUP BY l_returnflag)
+              ORDER BY l_returnflag""")),
 
     // Scalar subquery through the SQL entry point: orders above the global
     // mean price (mean computed decimal-exact for cross-engine equality).

@@ -59,7 +59,7 @@ object Similarity {
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
   /** Random-hyperplane LSH top-k — the 100 TB path. `tables` independent
@@ -111,7 +111,7 @@ object Similarity {
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
   /** IVF (inverted-file) top-k — the second scale path the brief names.
@@ -163,7 +163,7 @@ object Similarity {
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
   // DuckDB mirror of the double-promoted, index-ordered fold.

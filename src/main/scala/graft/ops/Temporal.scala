@@ -121,8 +121,8 @@ object Temporal {
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
               s AS (
                 SELECT user_id, ts,
-                       SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                       (SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
                 FROM g)
               SELECT user_id, session_id, COUNT(*) AS n_events,
                      MIN(ts) AS session_start, MAX(ts) AS session_end

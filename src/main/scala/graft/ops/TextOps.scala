@@ -28,7 +28,7 @@ object TextOps {
           .filter(col("text").like("%spark%"))
           .select(col("doc_id"),
             upper(substring(col("text"), 1, 12)).as("head"),
-            length(col("text")).as("len"),
+            length(col("text")).cast(LongType).as("len"),
             concat(col("source"), lit("/"), col("lang")).as("tag"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, upper(substring(text, 1, 12)) AS head,
@@ -44,8 +44,8 @@ object TextOps {
         t(s, dir, "documents")
           .withColumn("ws", split(col("text"), " "))
           .select(col("doc_id"),
-            size(col("ws")).as("n_tokens"),
-            size(array_distinct(col("ws"))).as("n_uniq"),
+            size(col("ws")).cast(LongType).as("n_tokens"),
+            size(array_distinct(col("ws"))).cast(LongType).as("n_uniq"),
             (expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast(DoubleType) /
               size(col("ws"))).as("avg_token_len"),
             (expr(s"size(filter(ws, w -> array_contains($stopArr, w)))").cast(DoubleType) /
@@ -69,8 +69,8 @@ object TextOps {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
-            length(col("text")).as("n_chars"))
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast(LongType).as("n_bpe_tokens"),
+            length(col("text")).cast(LongType).as("n_chars"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
@@ -105,7 +105,7 @@ object TextOps {
           when(col(s"s_$l") === bestScore, lit(l)).otherwise(acc)
         } // foldRight => first alphabetical max wins (lists are sorted)
         d.select(col("doc_id"), col("declared_lang"), predicted.as("predicted_lang"),
-            bestScore.as("best_score"))
+            bestScore.cast(LongType).as("best_score"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH s AS (
@@ -134,7 +134,7 @@ object TextOps {
             sum(col("n_chars")).as("total_chars"),
             (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
           .orderBy(col("lang")),
-      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+      Some("""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars,
                      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
@@ -147,8 +147,8 @@ object TextOps {
           .select(col("doc_id"), col("text"))
           .withColumn("norm", trim(regexp_replace(
             regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
-          .select(col("doc_id"), length(col("text")).as("len_raw"),
-            length(col("norm")).as("len_norm"),
+          .select(col("doc_id"), length(col("text")).cast(LongType).as("len_raw"),
+            length(col("norm")).cast(LongType).as("len_norm"),
             substring(col("norm"), 1, 20).as("head"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, length(text) AS len_raw,

@@ -42,7 +42,7 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.bruteForceTopK(spark, emb, nQueries = 5, k = 5)
       .orderBy("q_id", "rank").collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
-      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      val cosines = rs.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
       assert(cosines == cosines.sorted.reverse)
     }
   }
