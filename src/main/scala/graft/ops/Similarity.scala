@@ -114,6 +114,41 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
+  /** Embedding near-dup pairs via LSH buckets — the scale path for
+    * cosine dedup: only vectors sharing a bucket in some table are
+    * compared, then exact-verified, so precision is 1 and the quadratic
+    * compare is confined to bucket-local candidates.
+    */
+  def embedNearDupLsh(s: SparkSession, emb: DataFrame, minCos: Double,
+      tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(tables * planesPerTable)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.floatDot(s, col("embedding"), typedLit(p)) > 0d, 1)
+        .otherwise(0).as(s"bit$i")
+    }
+    val codeCols = (0 until tables).map { t =>
+      (0 until planesPerTable)
+        .map(j => col(s"bit${t * planesPerTable + j}") * lit(1 << (planesPerTable - 1 - j)))
+        .reduce(_ + _)
+    }
+    val buckets = withNorm(s,
+        emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
+          .withColumn("code", array(codeCols: _*)))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        posexplode(col("code")).as(Seq("tbl", "bkt")))
+    val a = buckets.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"), col("tbl"), col("bkt"))
+    val b = buckets.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("norm").as("b_norm"), col("tbl"), col("bkt"))
+    a.join(b, Seq("tbl", "bkt")).filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) top-k — the second scale path the brief names.
     * One k-means-style refinement builds `nlist` centroids (seeded from the
     * first `nlist` vectors — deterministic); every corpus vector is
@@ -205,6 +240,11 @@ object Similarity {
     Q("q_sim_topk_ivf",
       (s, dir) => ivfTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
+      None),
+
+    Q("q_embed_neardup_lsh",
+      (s, dir) => embedNearDupLsh(s, t(s, dir, "embeddings"), 0.5)
+        .orderBy(col("a_id"), col("b_id")),
       None)
   )
 }

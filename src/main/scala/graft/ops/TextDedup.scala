@@ -235,6 +235,48 @@ object TextDedup {
               WHERE prev_max IS NULL OR event_id > prev_max
               ORDER BY user_id, event_id""")),
 
+    // Composite training-data cleaning pipeline: quality gate (token count
+    // + uniqueness) then near-dup removal (for each Jaccard>=0.6 pair the
+    // higher doc_id drops — the greedy keep-first policy; full clustering
+    // would union-find connected components). The whole thing is one
+    // declarative plan: quality is per-row, dedup reuses the inverted
+    // index, and the final anti-join broadcasts the small drop-list.
+    Q("q_corpus_clean",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("n_tokens"),
+            (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
+              .as("uniq_ratio"))
+          .filter(col("n_tokens") >= 30 && col("uniq_ratio") >= 0.3)
+        val dropped = ngramJaccardPairs(docs, 0.6)
+          .select(col("b_id").as("doc_id")).distinct()
+        quality.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              dropped AS (
+                SELECT DISTINCT b.doc_id
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              q AS (
+                SELECT doc_id, len(ws) AS n_tokens,
+                       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              SELECT doc_id, n_tokens, uniq_ratio FROM q
+              WHERE n_tokens >= 30 AND uniq_ratio >= 0.3
+                AND doc_id NOT IN (SELECT doc_id FROM dropped)
+              ORDER BY doc_id""")),
+
     // Hash-based variants: sketches aren't reproducible in DuckDB, so no
     // SQL oracle (driver records rows-only); DedupSpec pins them against
     // the exact Jaccard pairs (precision 1, measured recall) instead.

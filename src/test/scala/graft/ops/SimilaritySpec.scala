@@ -38,6 +38,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"recall $recall")
   }
 
+  test("LSH near-dup pairs are a subset of the exact pairs") {
+    val exact = Similarity.cosinePairs(spark, emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.embedNearDupLsh(spark, emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.5,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("top-k ranks are ordered by descending cosine per query") {
     val rows = Similarity.bruteForceTopK(spark, emb, nQueries = 5, k = 5)
       .orderBy("q_id", "rank").collect()
