@@ -27,4 +27,11 @@ object Tables {
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Register every table as a temp view so the SQL entry point
+    * (`spark.sql`) can reference the catalog by name — the Athena-style
+    * consumption surface the reference deferred (SURVEY.md §3.3).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SqlCatalogSpec extends SparkSpec {
+
+  test("registerAll exposes every table to spark.sql by name") {
+    Tables.registerAll(spark, sf0001)
+    val n = spark.sql(
+      """SELECT n_name, count(*) AS cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""").count()
+    assert(n == 25)
+    assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) == 500)
+    // events goes through the nanos-normalizing loader
+    assert(spark.sql("SELECT min(ts) FROM events").schema.head.dataType.typeName
+      .startsWith("timestamp"))
+  }
+}
