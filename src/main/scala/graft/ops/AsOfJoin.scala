@@ -52,6 +52,6 @@ object AsOfJoin {
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightValues.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.toIndexedSeq.map(col) ++ rightValues.map(c => col(s"asof_$c")): _*)
   }
 }

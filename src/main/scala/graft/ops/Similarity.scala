@@ -176,7 +176,7 @@ object Similarity {
     // seed centroids, one refinement pass (mean of assigned vectors)
     val seed = emb.filter(col("vec_id") < nlist).select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toIndexedSeq))
-    val assigned0 = nearestCells(emb, seed, 1)
+    val assigned0 = nearestCells(emb, seed.toIndexedSeq, 1)
       .withColumn("cell", col("cells")(0)).drop("cells")
     val centroids = assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -186,10 +186,10 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq))
     val e = withNorm(s, emb)
-    val corpus = nearestCells(e, centroids, 1)
+    val corpus = nearestCells(e, centroids.toIndexedSeq, 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm"), col("cells")(0).as("cell"))
-    val queries = nearestCells(e.filter(col("vec_id") < nQueries), centroids, nprobe)
+    val queries = nearestCells(e.filter(col("vec_id") < nQueries), centroids.toIndexedSeq, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm"), explode(col("cells")).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
