@@ -66,6 +66,32 @@ object Multimodal {
     }
   }
 
+  /** STUB RESIZE — deterministic fake: a real implementation decodes,
+    * scales, re-encodes; the stub truncates/pads to the target byte budget
+    * (w*h/8) so downstream size accounting is exercised for real. Batched
+    * like decodeStub.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h / 8)
+    if (bytes.length >= target) bytes.take(target)
+    else bytes ++ Array.fill(target - bytes.length)(0.toByte)
+  }
+
+  /** Batched resize over the media table: binary in, binary out, metadata
+    * columns carried — the transform-shaped plumbing (vs decodeBatched's
+    * extract shape).
+    */
+  def resizeBatched(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    implicit val enc = Encoders.product[(Long, String, Array[Byte])]
+    media.select("media_id", "kind", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec/scaler init would happen HERE, once
+        batch.map(r => (r.getLong(0), r.getString(1),
+          resizeStub(r.getAs[Array[Byte]](2), w, h)))
+      }
+    }.toDF("media_id", "kind", "bytes")
+  }
+
   import graft.ops.Q
 
   val queries: Seq[Q] = Seq(

@@ -20,6 +20,15 @@ class MultimodalSpec extends SparkSpec {
     assert(sample.width >= 16 && sample.duration_ms == sample.n_bytes * 40)
   }
 
+  test("batched resize transforms binary payloads to the target budget") {
+    val m = Multimodal.mediaTable(spark, sf0001)
+    val resized = Multimodal.resizeBatched(m, w = 64, h = 32)
+    assert(resized.count() == m.count())
+    import org.apache.spark.sql.functions._
+    val sizes = resized.select(octet_length(col("bytes"))).distinct().collect()
+    assert(sizes.map(_.getInt(0)).toSeq == Seq(64 * 32 / 8))
+  }
+
   test("decode is deterministic (stub contract for the oracle)") {
     val a = Multimodal.decodeStub(1L, "image", "hello".getBytes)
     val b = Multimodal.decodeStub(1L, "image", "hello".getBytes)
