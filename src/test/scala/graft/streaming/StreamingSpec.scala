@@ -96,6 +96,10 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     in.addData(quoteJson("AAPL", 111.0, base + 1200))
     q.processAllAvailable()
+    // the drop is OBSERVABLE via StreamingQueryProgress (late-data
+    // handling row of SURVEY.md §2.2; H1's heartbeat analogue)
+    assert(q.recentProgress.exists(_.stateOperators.exists(_.numRowsDroppedByWatermark > 0)),
+      "expected numRowsDroppedByWatermark > 0 in progress events")
     val rows = spark.table("candles_out")
       .filter(col("minute") === ts("2023-11-14 22:13:00"))
       .select("open", "high", "low", "close", "n_quotes").collect()
