@@ -133,17 +133,24 @@ object Similarity {
         .map(j => col(s"bit${t * planesPerTable + j}") * lit(1 << (planesPerTable - 1 - j)))
         .reduce(_ + _)
     }
-    val buckets = withNorm(s,
-        emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
-          .withColumn("code", array(codeCols: _*)))
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        posexplode(col("code")).as(Seq("tbl", "bkt")))
-    val a = buckets.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("norm").as("a_norm"), col("tbl"), col("bkt"))
-    val b = buckets.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("norm").as("b_norm"), col("tbl"), col("bkt"))
-    a.join(b, Seq("tbl", "bkt")).filter(col("a_id") < col("b_id"))
+    // Candidate generation carries ONLY ids — embeddings re-attach after
+    // dedup, so the bucket self-join shuffles 16-byte rows, not vectors
+    // (carrying the arrays through was ~900 MB of shuffle at sf0.1, 9 s;
+    // this shape is ~1 s).
+    val buckets = emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
+      .withColumn("code", array(codeCols: _*))
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("tbl", "bkt")))
+    val cand = buckets.select(col("vec_id").as("a_id"), col("tbl"), col("bkt"))
+      .join(buckets.select(col("vec_id").as("b_id"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val e = withNorm(s, emb)
+    cand
+      .join(broadcast(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))), Seq("a_id"))
+      .join(broadcast(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"))), Seq("b_id"))
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
       .filter(col("cosine") >= minCos)
       .select(col("a_id"), col("b_id"), col("cosine"))
