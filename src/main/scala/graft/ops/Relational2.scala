@@ -237,6 +237,18 @@ object Relational2 {
               FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
               ORDER BY event_id""")),
 
+    // Approximate percentiles (KLL-style sketch) — the 100 TB path where
+    // the exact sort-based percentile is unaffordable. Sketches aren't
+    // engine-portable, so no oracle; the spec bounds error vs exact.
+    Q("q_approx_percentile",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+            percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"))
+          .orderBy(col("event_type")),
+      None),
+
     // Exact percentiles (median / p90) per group — linear interpolation on
     // the sorted values in both engines.
     Q("q_percentile",

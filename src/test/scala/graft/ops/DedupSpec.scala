@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(n == docs.count())
   }
 
+  test("approx percentile within 2% of exact") {
+    val e = Tables.load(spark, sf001, "events")
+    val both = e.groupBy("event_type").agg(
+      expr("percentile(value, 0.9)").as("exact"),
+      percentile_approx(col("value"), lit(0.9), lit(10000)).as("approx"))
+    val rel = both.select((abs(col("exact") - col("approx")) / col("exact")).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(rel.forall(_ <= 0.02), rel.toSeq.toString)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val e = Tables.load(spark, sf001, "events")
     val exactCounts = e.groupBy("event_type").agg(countDistinct("user_id").as("x"))
