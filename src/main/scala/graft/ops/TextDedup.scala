@@ -137,6 +137,39 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list via iterative
+    * min-label propagation: every node ends up labeled with the smallest
+    * doc_id reachable from it — the proper "keeper" assignment when
+    * near-dup pairs chain (a~b, b~c => one cluster), where the greedy
+    * per-pair drop (q_corpus_clean) over-keeps. Driver loop with a
+    * convergence check; iterations are bounded by the graph diameter
+    * (near-dup clusters are shallow). The 100 TB refinement is
+    * large-star/small-star, which contracts paths in O(log n) rounds —
+    * same DataFrame skeleton, more aggressive exchange per round.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist()
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var guard = 0
+    while (changed > 0 && guard < 50) {
+      val nbrMin = sym.join(labels, sym("v") === labels("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      guard += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("keeper_id"))
+  }
+
   /** 64-bit word-level SimHash per document plus near-dup pairs within a
     * Hamming radius, found by banding the fingerprint into 4x16-bit keys
     * (any pair within Hamming<=3 of 64 bits shares at least one exact
@@ -276,6 +309,38 @@ object TextDedup {
               WHERE n_tokens >= 30 AND uniq_ratio >= 0.3
                 AND doc_id NOT IN (SELECT doc_id FROM dropped)
               ORDER BY doc_id""")),
+
+    // Near-dup clusters: connected components of the Jaccard>=0.6 pair
+    // graph, keeper = min doc_id per component. Oracled with a recursive
+    // CTE computing the same reachability closure.
+    Q("q_dedup_clusters",
+      (s, dir) => connectedComponents(ngramJaccardPairs(t(s, dir, "documents"), 0.6))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+              edges AS (
+                SELECT a_id AS u, b_id AS v FROM pairs
+                UNION ALL SELECT b_id, a_id FROM pairs),
+              reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              comp AS (
+                SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper_id
+                FROM reach GROUP BY u)
+              SELECT doc_id, keeper_id FROM comp
+              WHERE doc_id != keeper_id ORDER BY doc_id""")),
 
     // Hash-based variants: sketches aren't reproducible in DuckDB, so no
     // SQL oracle (driver records rows-only); DedupSpec pins them against

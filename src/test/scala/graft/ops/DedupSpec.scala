@@ -31,6 +31,15 @@ class DedupSpec extends SparkSpec {
     assert(hits.toDouble / sh.size >= 0.5, s"precision vs exact: $hits/${sh.size}")
   }
 
+  test("connected components label chained near-dups with the min id") {
+    import spark.implicits._
+    // components: {1,2,3,9} (chained), {5,6}, isolated nodes absent
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("a_id", "b_id")
+    val cc = TextDedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val d = TextDedup.queries.find(_.name == "q_dedup_exact").get.fn(spark, sf001)
     val n = d.agg(sum("n_copies")).head.getLong(0)
