@@ -187,7 +187,13 @@ object Similarity {
       .withColumn("cell", col("cells")(0)).drop("cells")
     val centroids = assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"), col("pos"))
+      // decimal-exact mean (float widened to double, rounded to 7
+      // decimals in decimal, then summed exactly): independent of
+      // partial-aggregation order — a plain avg(float) varies run to run
+      // in the last bits, which can flip assignments near cell boundaries
+      .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 7)))
+        .cast(DoubleType) / count(lit(1))).as("m"))
       .groupBy(col("cell")).agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .withColumn("centroid", expr("transform(ps, x -> CAST(x.m AS FLOAT))"))
       .select(col("cell"), col("centroid"))
@@ -252,6 +258,23 @@ object Similarity {
     Q("q_embed_neardup_lsh",
       (s, dir) => embedNearDupLsh(s, t(s, dir, "embeddings"), 0.5)
         .orderBy(col("a_id"), col("b_id")),
-      None)
+      None),
+
+    // Per-label centroid, one row per (label, dimension) — grouped vector
+    // arithmetic with decimal-exact means so both engines agree bitwise.
+    Q("q_embed_centroids",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .select(col("label"), (col("pos0") + 1).cast(LongType).as("pos"), col("v"))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("v").cast(DoubleType).cast(DecimalType(18, 7)))
+              .cast(DoubleType) / count(lit(1))).as("mean"))
+          .orderBy(col("label"), col("pos")),
+      Some("""SELECT label, i AS pos, COUNT(*) AS n,
+                     CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*) AS mean
+              FROM embeddings CROSS JOIN range(1, 65) t(i)
+              GROUP BY label, i ORDER BY label, pos"""))
   )
 }
