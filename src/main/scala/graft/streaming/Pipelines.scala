@@ -67,6 +67,13 @@ object Pipelines {
       .select(col("window.start").as("minute"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("n_quotes"))
 
+  /** E1: producer-side serialization — one JSON line per record, the
+    * topic wire format (ref producer_stock_quotes.py:132 json.dumps).
+    * Inverse of decodeQuotes/decodeNews up to column order.
+    */
+  def encodeForTopic(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   // ---- news ------------------------------------------------------------
 
   def decodeNews(raw: DataFrame): DataFrame =

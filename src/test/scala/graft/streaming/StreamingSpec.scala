@@ -41,6 +41,17 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getTimestamp(2) == ts("2023-11-14 22:13:20")) // 1700000000 UTC
   }
 
+  test("E1/E2 round-trip: encode to the topic wire format and decode back") {
+    val wire = Seq(("AAPL", 190.5, 0.1, 0.2, 191.5, 189.5, 190.0, 190.0, 1700000000L))
+      .toDF("symbol", "c", "d", "dp", "h", "l", "o", "pc", "t")
+    val encoded = Pipelines.encodeForTopic(wire)
+    assert(encoded.columns.toSeq == Seq("value"))
+    val back = Pipelines.quotes(Pipelines.decodeQuotes(encoded)).collect().head
+    assert(back.getAs[String]("symbol") == "AAPL")
+    assert(back.getAs[Double]("current_price") == 190.5)
+    assert(back.getAs[java.sql.Timestamp]("event_ts") == ts("2023-11-14 22:13:20"))
+  }
+
   test("D1 dedup: monotone high-watermark semantics across micro-batches") {
     val in = MemoryStream[String]
     val deduped = Pipelines.news(in.toDF().toDF("value"))
