@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Deduplication operators over the `documents` table — the training-data
-  * pipeline surface (builder brief; SURVEY.md §2.2 "NS extras"). Four
-  * families:
+  * pipeline surface (builder brief; SURVEY.md §2.2 "NS extras"):
   *
-  *  - exact (hash-groupBy)                      -> q_dedup_exact      (oracled)
-  *  - n-gram Jaccard via inverted index          -> q_dedup_ngram      (oracled)
-  *  - MinHash + LSH banding, exact-verified      -> q_dedup_minhash    (spec'd)
-  *  - SimHash + Hamming banding                  -> q_dedup_simhash    (spec'd)
+  *  - exact (hash-groupBy)                       -> q_dedup_exact        (oracled)
+  *  - n-gram Jaccard via inverted index          -> q_dedup_ngram        (oracled)
+  *  - MinHash + LSH banding, exact-verified      -> q_dedup_minhash      (spec'd)
+  *  - SimHash + Hamming banding                  -> q_dedup_simhash      (spec'd)
+  *  - connected-component keeper clustering      -> q_dedup_clusters     (oracled)
+  *  - quality-gate + near-dup-removal pipeline   -> q_corpus_clean       (oracled)
   *
   * plus the reference's D1 monotone high-watermark dedup re-expressed as a
   * batch window (q_dedup_highwatermark, oracled; streaming form lives in
@@ -66,18 +67,18 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signatures (numHashes seeded xxhash64 min over shingles) +
-    * LSH banding; candidates from band-bucket equi-joins are verified with
-    * the exact Jaccard, so precision is 1 and only recall is probabilistic
-    * (1-(1-j^r)^b; ~0.99 at j=0.7 with 16x4). Join cost is bounded by
-    * band-bucket collisions — this is the 100 TB path.
-    */
   /** Max docs per LSH bucket before the bucket is skipped. A bucket this
     * popular is non-discriminative (tiny-vocab corpora collide heavily) and
     * would make the candidate join quadratic — the classic LSH skew guard.
     */
   val MaxBucketSize = 64
 
+  /** MinHash signatures (numHashes seeded xxhash64 min over shingles) +
+    * LSH banding; candidates from band-bucket equi-joins are verified with
+    * the exact Jaccard, so precision is 1 and only recall is probabilistic
+    * (1-(1-j^r)^b; ~0.99 at j=0.7 with 16x4). Join cost is bounded by
+    * band-bucket collisions — this is the 100 TB path.
+    */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
