@@ -117,6 +117,24 @@ object Pipelines {
       .withColumn("day", date_format(col(tsCol), "dd"))
       .withColumn("hour", date_format(col(tsCol), "HH"))
 
+  /** foreachBatch sink with dynamic partition overwrite: each micro-batch
+    * REPLACES the partitions it touches instead of appending, so replaying
+    * a batch after a failure (R1's at-least-once redelivery) converges to
+    * the same lake state — idempotence by partition, the standard upgrade
+    * path when the target isn't a transactional table format.
+    */
+  def idempotentPartitionSink(df: DataFrame, partitionCol: String, path: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      }
+
   /** Checkpointed partitioned writer — exactly-once file sink (upgrade of
     * R1's whole-batch retry; SURVEY.md §2.1 R1).
     */
