@@ -151,6 +151,34 @@ object Relational2 {
                            row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
                     FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""")),
 
+    // HAVING: post-aggregation predicate (kept out of the scan pushdown,
+    // applied on the aggregated rows).
+    Q("q_having",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .filter(col("n_orders") >= 12)
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+              ORDER BY o_custkey""")),
+
+    // ntile: equal-frequency bucketing per partition.
+    Q("q_ntile",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            ntile(4).over(w).cast(LongType).as("quartile"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+              FROM orders ORDER BY o_orderkey""")),
+
     // Pure theta join (no equi key): plans as BroadcastNestedLoopJoin —
     // correct for small x small; anything larger should carry an equi key
     // (q_range_join) or be banded first.

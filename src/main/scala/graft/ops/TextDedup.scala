@@ -346,6 +346,20 @@ object TextDedup {
     // Hash-based variants: sketches aren't reproducible in DuckDB, so no
     // SQL oracle (driver records rows-only); DedupSpec pins them against
     // the exact Jaccard pairs (precision 1, measured recall) instead.
+    // The "shuffle the hash, not the body" form of exact dedup: groups on
+    // xxhash64(text) so the exchange carries 16-byte rows regardless of
+    // document size — the variant actually run at 100 TB. Engine-specific
+    // hash => no SQL oracle; DedupSpec proves it equals q_dedup_exact.
+    Q("q_dedup_exact_hash",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), xxhash64(col("text")).as("th"))
+          .groupBy(col("th"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .select(col("keeper_id"), col("n_copies"))
+          .orderBy(col("keeper_id")),
+      None),
+
     Q("q_dedup_minhash",
       (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6)
         .orderBy(col("a_id"), col("b_id")),

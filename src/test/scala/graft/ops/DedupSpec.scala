@@ -46,6 +46,12 @@ class DedupSpec extends SparkSpec {
     assert(n == docs.count())
   }
 
+  test("hash-based exact dedup equals text-based exact dedup") {
+    val byText = TextDedup.queries.find(_.name == "q_dedup_exact").get.fn(spark, sf001)
+    val byHash = TextDedup.queries.find(_.name == "q_dedup_exact_hash").get.fn(spark, sf001)
+    assert(byText.except(byHash).count() == 0 && byHash.except(byText).count() == 0)
+  }
+
   test("approx percentile within 2% of exact") {
     val e = Tables.load(spark, sf001, "events")
     val both = e.groupBy("event_type").agg(
