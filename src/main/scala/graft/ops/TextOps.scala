@@ -138,6 +138,16 @@ object TextOps {
                      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // regexp_extract with a capture group (string-function surface).
+    Q("q_regexp_extract",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_str"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
+              FROM events ORDER BY event_id""")),
+
     // Pretraining-style text normalization: lowercase, strip non-alnum,
     // collapse whitespace, trim — plus before/after lengths. Simple char
     // classes keep Java-regex and RE2 semantics identical.
