@@ -36,7 +36,11 @@ for name in declared:
     spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
     if name not in oracle:
         n = spark_rel.count("*").fetchone()[0]
-        print(f"{name:28s} NO-ORACLE rows={n}" + ("  (EMPTY!)" if n == 0 else ""))
+        if n == 0:  # no-oracle queries still must return rows (driver contract)
+            print(f"{name:28s} FAIL NO-ORACLE rows=0")
+            fails += 1
+        else:
+            print(f"{name:28s} NO-ORACLE rows={n}")
         continue
     try:
         ora = con.sql(oracle[name])

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -14,6 +15,8 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // local mode: generous broadcast budget keeps dim joins shuffle-free
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // exercise the injected function/strategy path, same as a cluster would
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -22,19 +25,32 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
     // best-of-2 per query: the first run may pay one-time costs (cache
-    // fill, codegen compilation) that aren't the query's steady-state time
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fill, codegen compilation) that aren't the query's steady-state time.
+    // A query that throws records the sentinel -1, never its elapsed time.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // Durable copy for the driver (BENCH_r01 lost the line to sbt noise):
+    // written to a file AND printed as the process's very last line, after
+    // spark.stop(), so no executor-shutdown log can trail it.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try Files.writeString(Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
+    println(line)
   }
 }

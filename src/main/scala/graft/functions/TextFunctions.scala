@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct xxhash64 values of all n-word shingles of a text column, in
+  * one zero-copy pass — array<long>, first-occurrence order.
+  *
+  * Semantically identical to the declarative pipeline
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', w[i-1],…)))`
+  * followed by `xxhash64(shingle)` (and bitwise-equal to it: an n-word
+  * shingle of a single-space-split text IS a contiguous byte slice of the
+  * original string, and both paths hash those bytes with seed-42 XXH64).
+  * The HOF form evaluates its lambdas interpreted and materializes every
+  * shingle string; this expression scans the UTF-8 bytes once, hashing
+  * each word window in place — the dominant cost of every text-dedup
+  * variant (shingling runs over the full corpus) drops to a tight
+  * codegen'd loop.
+  *
+  * Texts with fewer than n words hash as one whole-text shingle (same
+  * CASE the declarative form used). Word splitting mirrors
+  * `split(text, " ")` with its keep-empty-segments semantics: every
+  * 0x20 byte is a separator (safe byte-wise — UTF-8 continuation bytes
+  * are always >= 0x80).
+  */
+case class WordShingleHashes(child: Expression, n: Int = 3, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def computeRow(s: UTF8String): ArrayData = WordShingleHashes.compute(s, n, seed)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("shingler", this, classOf[WordShingleHashes].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingle_hashes"
+}
+
+object WordShingleHashes {
+
+  def compute(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nWords = spaces + 1
+    if (nWords < n)
+      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(base, off, len, seed)))
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val nSh = nWords - n + 1
+    val out = new Array[Long](nSh)
+    val seen = new java.util.HashSet[java.lang.Long](nSh * 2)
+    var cnt = 0
+    var k = 0
+    while (k < nSh) {
+      val start = starts(k)
+      val end = if (k + n < nWords) starts(k + n) - 1 else len // exclusive
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, seed)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+}
+
+object TextFunctions {
+
+  /** Distinct seed-42 xxhash64 of all n-word shingles of a string column. */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      WordShingleHashes(org.apache.spark.sql.graft.GraftSqlShims.expression(c), n))
+}

@@ -60,6 +60,91 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def prettyName: String = "float_dot"
 }
 
+/** All hyperplane-LSH sign bits of an embedding in ONE pass, packed into
+  * per-table bucket codes — array<int> of `planes.length / planesPerTable`
+  * codes, code bit j (MSB-first) = (dot(embedding, plane) > 0).
+  *
+  * Replaces the 64 separate FloatDotProduct evaluations the LSH queries
+  * used per row (each re-traversing the ArrayData): the vector is copied
+  * to a float[] once and the plane matrix lives in one flat float[]
+  * reference object, so the generated loop is a dense (nPlanes x dim)
+  * mat-vec inside whole-stage codegen.
+  */
+case class MultiPlaneCode(child: Expression, planes: Seq[Seq[Float]],
+    planesPerTable: Int) extends UnaryExpression {
+
+  private lazy val nPlanes = planes.length
+  private lazy val dim = planes.head.length
+  private lazy val nTables = nPlanes / planesPerTable
+  private lazy val flat: Array[Float] = planes.flatten.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    val n = math.min(v.length, dim)
+    val codes = new Array[Int](nTables)
+    var p = 0
+    var t = 0
+    while (t < nTables) {
+      var code = 0
+      var j = 0
+      while (j < planesPerTable) {
+        val base = p * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v(i).toDouble * flat(base + i); i += 1 }
+        code = (code << 1) | (if (acc > 0) 1 else 0)
+        p += 1; j += 1
+      }
+      codes(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("planes", flat, "float[]")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val p = ctx.freshName("p")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val code = ctx.freshName("code")
+      s"""
+         |float[] $v = $a.toFloatArray();
+         |int $n = java.lang.Math.min($v.length, $dim);
+         |int[] $codes = new int[$nTables];
+         |int $p = 0;
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  int $code = 0;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    int $base = $p * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += ((double) $v[$i]) * $planesRef[$base + $i];
+         |    }
+         |    $code = ($code << 1) | ($acc > 0 ? 1 : 0);
+         |    $p++;
+         |  }
+         |  $codes[$t] = $code;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPlaneCode =
+    copy(child = newChild)
+
+  override def prettyName: String = "multi_plane_code"
+}
+
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions first-class SQL functions in any session built with
   * `.withExtensions(new GraftExtensions)` or
@@ -92,4 +177,10 @@ object VectorFunctions {
     register(spark)
     call_function("float_dot", a, b)
   }
+
+  /** All LSH bucket codes of an embedding column in one fused pass. */
+  def multiPlaneCode(emb: Column, planes: Seq[Seq[Float]], planesPerTable: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      MultiPlaneCode(org.apache.spark.sql.graft.GraftSqlShims.expression(emb),
+        planes, planesPerTable))
 }

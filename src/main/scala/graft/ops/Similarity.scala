@@ -75,23 +75,16 @@ object Similarity {
   def lshTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int, tables: Int = 16,
       planesPerTable: Int = 4): DataFrame = {
     val nPlanes = tables * planesPerTable
-    // Deterministic plane vectors (seeded) shipped as array<float>
-    // LITERALS, so each sign bit is one codegen'd FloatDotProduct against a
-    // constant — no interpreted lambdas, no per-row hash evaluation.
+    // Deterministic plane vectors (seeded) baked into ONE fused
+    // MultiPlaneCode expression — a single pass over the embedding
+    // computes all sign bits and packs the per-table codes (the previous
+    // shape, 64 separate FloatDotProduct evaluations per row, re-read the
+    // ArrayData 64x).
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Float]] =
       Seq.fill(nPlanes)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.floatDot(s, col("embedding"), typedLit(p)) > 0d, 1)
-        .otherwise(0).as(s"bit$i")
-    }
-    val codeCols = (0 until tables).map { t =>
-      (0 until planesPerTable)
-        .map(j => col(s"bit${t * planesPerTable + j}") * lit(1 << (planesPerTable - 1 - j)))
-        .reduce(_ + _)
-    }
-    val codes = emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
-      .withColumn("code", array(codeCols: _*))
+    val codes = emb.withColumn("code",
+        VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable))
       .select(col("vec_id"), col("embedding"), col("code"))
     val e = withNorm(s, codes)
     val buckets = e.select(col("vec_id"), col("embedding"), col("norm"),
@@ -124,21 +117,13 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Float]] =
       Seq.fill(tables * planesPerTable)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.floatDot(s, col("embedding"), typedLit(p)) > 0d, 1)
-        .otherwise(0).as(s"bit$i")
-    }
-    val codeCols = (0 until tables).map { t =>
-      (0 until planesPerTable)
-        .map(j => col(s"bit${t * planesPerTable + j}") * lit(1 << (planesPerTable - 1 - j)))
-        .reduce(_ + _)
-    }
     // Candidate generation carries ONLY ids — embeddings re-attach after
     // dedup, so the bucket self-join shuffles 16-byte rows, not vectors
     // (carrying the arrays through was ~900 MB of shuffle at sf0.1, 9 s;
-    // this shape is ~1 s).
-    val buckets = emb.select(col("vec_id") +: col("embedding") +: bitCols: _*)
-      .withColumn("code", array(codeCols: _*))
+    // this shape is ~1 s). All bucket codes come from one fused
+    // MultiPlaneCode pass over the vector.
+    val buckets = emb.withColumn("code",
+        VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable))
       .select(col("vec_id"), posexplode(col("code")).as(Seq("tbl", "bkt")))
     val cand = buckets.select(col("vec_id").as("a_id"), col("tbl"), col("bkt"))
       .join(buckets.select(col("vec_id").as("b_id"), col("tbl"), col("bkt")),

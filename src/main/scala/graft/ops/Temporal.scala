@@ -16,17 +16,20 @@ object Temporal {
     Tables.load(s, dir, name)
 
   /** Daily OHLC candles per event_type — the flagship query (SparkEntry.entry).
-    * Single shuffle on (day, type); open/close via min_by/max_by on the
-    * event timestamp, so no per-group sort or collect.
+    * Single shuffle on (day, type); open/close via min_by/max_by on a
+    * (ts, event_id) struct key — the event_id tie-break makes the picked
+    * value deterministic when timestamps tie within a group (plain
+    * min_by(value, ts) is unspecified on ties, and so is the oracle's
+    * arg_min) — so no per-group sort or collect.
     */
   def ohlcDaily(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(
-        min_by(col("value"), col("ts")).as("open"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max_by(col("value"), col("ts")).as("close"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("n_trades"),
         dsum(col("value")).as("volume"))
       .orderBy(col("day"), col("event_type"))
@@ -45,6 +48,26 @@ object Temporal {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts",
+        rightValues = Seq("event_id", "value"), rightTieBreak = Some("event_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_event_id").as("last_click_id"),
+        col("asof_value").as("last_click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The same as-of semantics through the native
+    * LogicalPlan/Strategy/Exec stack (plans.NativeAsOfJoin) — declared as
+    * its own oracled query so the custom-operator path sits under the hard
+    * correctness gate (executing AsOfJoinExec), not just under its spec.
+    */
+  def asofPurchaseClickNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    graft.plans.NativeAsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
         leftTs = "ts", rightTs = "ts",
         rightValues = Seq("event_id", "value"), rightTieBreak = Some("event_id"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
@@ -72,28 +95,45 @@ object Temporal {
       .orderBy(col("user_id"), col("error_id"), col("view_id"))
   }
 
-  val queries: Seq[Q] = Seq(
-    Q("q_ohlc_daily", ohlcDaily,
-      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-                     arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
-                     arg_max(value, ts) AS close, COUNT(*) AS n_trades,
-                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
-              FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+  /** Shared by q_asof_join (union+window plan) and q_asof_native
+    * (AsOfJoinExec merge): both must match the same reachability closure.
+    */
+  private val asofOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, ts, value,
+              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+       FROM events WHERE event_type IN ('click','purchase')),
+       w AS (SELECT *,
+              last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+              last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+             FROM e)
+       SELECT event_id AS purchase_id, user_id, last_click_id, last_click_value
+       FROM w WHERE kind = 1 ORDER BY purchase_id"""
 
-    Q("q_asof_join", asofPurchaseClick,
-      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
-                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-              FROM events WHERE event_type IN ('click','purchase')),
-              w AS (SELECT *,
-                     last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
-                     last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
-                    FROM e)
-              SELECT event_id AS purchase_id, user_id, last_click_id, last_click_value
-              FROM w WHERE kind = 1 ORDER BY purchase_id""")),
+  val queries: Seq[Q] = Seq(
+    // Oracle: DuckDB's arg_min/arg_max take no composite key, so the
+    // (ts, event_id)-deterministic open/close are expressed as first_value
+    // windows (constant per group; MIN collapses them in the GROUP BY).
+    Q("q_ohlc_daily", ohlcDaily,
+      Some("""SELECT day, event_type, MIN(open) AS open, MAX(value) AS high,
+                     MIN(value) AS low, MIN(close) AS close, COUNT(*) AS n_trades,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+              FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, value,
+                           first_value(value) OVER (PARTITION BY date_trunc('day', ts), event_type
+                                                    ORDER BY ts, event_id) AS open,
+                           first_value(value) OVER (PARTITION BY date_trunc('day', ts), event_type
+                                                    ORDER BY ts DESC, event_id DESC) AS close
+                    FROM events)
+              GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    Q("q_asof_join", asofPurchaseClick, Some(asofOracleSql)),
+
+    // Identical contract, executed by the native AsOfJoinExec merge
+    // operator — same oracle puts the custom plan stack on the hard gate.
+    Q("q_asof_native", asofPurchaseClickNative, Some(asofOracleSql)),
 
     // Sessionization: split each user's event stream into sessions at
     // >1-day silence gaps (batch analogue of session_window; the streaming

@@ -26,19 +26,18 @@ object TextDedup {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** doc_id + distinct 3-word shingles (+ shingle count). Computed
-    * per-row — no shuffle; the expensive part of every dedup variant stays
-    * embarrassingly parallel.
+  /** doc_id + distinct 3-word shingle HASHES (+ count). Computed per-row
+    * with the codegen'd WordShingleHashes expression — one zero-copy pass
+    * over the text, no shuffle; the expensive part of every dedup variant
+    * stays embarrassingly parallel. (The declarative
+    * transform/concat_ws/array_distinct form is semantically identical
+    * but evaluates its lambdas interpreted — several times slower over a
+    * full corpus.)
     */
   def shingled(docs: DataFrame): DataFrame =
     docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(ws) >= 3
-           THEN array_distinct(transform(sequence(1, size(ws) - 2),
-                                         i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])))
-           ELSE array(text) END"""))
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .withColumn("hs", graft.functions.TextFunctions.shingleHashes(col("text")))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
 
   /** Exact near-dup pairs with Jaccard >= minJaccard over 3-word shingles,
     * via an inverted shingle index: explode -> equi-join on shingle ->
@@ -53,18 +52,23 @@ object TextDedup {
     // 8-byte keys and the join compares longs. (Collision odds over ~10^6
     // distinct shingles are ~1e-7 — and the sf0.01 oracle would catch one.)
     val ex = sh.select(col("doc_id"), col("n_sh"),
-      explode(col("shingles")).as("sh0"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("sh0")).as("sh"))
+      explode(col("hs")).as("sh"))
       .persist() // both join sides reference it; avoids re-shingling
     val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh"))
-    a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+    val pairs = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // Materialize the (small) pair list eagerly, then free the inverted
+    // index — a long-lived session running many queries must not accumulate
+    // orphaned caches (persist -> materialize -> unpersist discipline).
+    val out = pairs.localCheckpoint()
+    ex.unpersist()
+    out
   }
 
   /** Max docs per LSH bucket before the bucket is skipped. A bucket this
@@ -83,13 +87,11 @@ object TextDedup {
       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
     // One shingling pass, persisted as (doc_id, h) longs only — the
-    // interpreted shingle transform would otherwise re-run for every plan
-    // subtree that references it (signatures + both verification probes).
+    // shingle expression would otherwise re-run for every plan subtree
+    // that references it (signatures + both verification probes).
     // ~16 bytes/shingle; at warehouse scale this materializes to a table.
     val ex = shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
       .persist()
     // Signature via explode + codegen'd min aggregates: the variable-length
     // shingle STRING is xxhash64'd once, and the 64 signature hashes
@@ -129,46 +131,93 @@ object TextDedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("c"))
     val counts = sig.select(col("doc_id"), col("n_sh"))
-    common
+    val verified = common
       .join(broadcast(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), Seq("a_id"))
       .join(broadcast(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), Seq("b_id"))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // persist -> materialize -> unpersist: no caches outlive the query
+    val out = verified.localCheckpoint()
+    ex.unpersist()
+    sig.unpersist()
+    out
   }
 
-  /** Connected components over an undirected edge list via iterative
-    * min-label propagation: every node ends up labeled with the smallest
-    * doc_id reachable from it — the proper "keeper" assignment when
-    * near-dup pairs chain (a~b, b~c => one cluster), where the greedy
-    * per-pair drop (q_corpus_clean) over-keeps. Driver loop with a
-    * convergence check; iterations are bounded by the graph diameter
-    * (near-dup clusters are shallow). The 100 TB refinement is
-    * large-star/small-star, which contracts paths in O(log n) rounds —
-    * same DataFrame skeleton, more aggressive exchange per round.
+  /** Connected components over an undirected edge list: every node ends up
+    * labeled with the smallest doc_id reachable from it — the proper
+    * "keeper" assignment when near-dup pairs chain (a~b, b~c => one
+    * cluster), where the greedy per-pair drop (q_corpus_clean) over-keeps.
+    *
+    * Algorithm: alternating large-star/small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * MapReduce-native formulation that converges in O(log n) rounds
+    * instead of O(diameter), with no driver-side data:
+    *   - large-star: every node points its larger neighbors at the
+    *     minimum of its neighborhood (long paths halve);
+    *   - small-star: every node folds its smaller neighbors onto that
+    *     minimum (stars form).
+    * The fixed point is a star forest: each component is exactly its
+    * min-id root plus direct children. Each round is two window
+    * aggregations + distincts over the (canonically small->large
+    * oriented) edge set; convergence is detected by an edge-set signature
+    * (count, bit_xor of row hashes) folded into the same aggregate that
+    * materializes the round's persist — no standalone count() job, and
+    * each round's cache is unpersisted as soon as its successor exists.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .persist()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    var changed = 1L
-    var guard = 0
-    while (changed > 0 && guard < 50) {
-      val nbrMin = sym.join(labels, sym("v") === labels("node"))
-        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("u"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      guard += 1
+    // canonical orientation u < v, deduplicated
+    var e = edges.select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    // One aggregate materializes the persist AND yields the convergence
+    // signature. bit_xor (not sum) keeps ANSI arithmetic overflow-safe;
+    // a false signature collision is ~2^-64 per round.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
     }
-    labels.select(col("node").as("doc_id"), col("label").as("keeper_id"))
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    val maxRounds = 30 // log-contraction: 30 rounds covers any real graph
+    while (!converged && rounds < maxRounds) {
+      // large-star: from each node u, connect every larger neighbor v to
+      // min(N(u) ∪ {u}). Output stays canonical: mn <= u < v.
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // no distinct here: small-star's min windows are multiset-safe, and
+      // the round ends in one distinct — saves a full shuffle per round
+      val ls = sym
+        .withColumn("mn", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("mn").as("u"), col("v"))
+      // small-star: fold each node v's smaller neighbors (and v itself)
+      // onto mn = min of those neighbors. mn <= u < v keeps orientation.
+      val ss = ls.withColumn("mn", min(col("u")).over(Window.partitionBy("v")))
+      val next = ss.select(col("mn").as("u"), col("v"))
+        .unionAll(ss.filter(col("u") =!= col("mn"))
+          .select(col("mn").as("u"), col("u").as("v")))
+        .distinct().persist()
+      val nsig = signature(next) // materializes next
+      e.unpersist()
+      converged = nsig == sig
+      sig = nsig
+      e = next
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"(edge signature still changing) — refusing to return split labels")
+    // Fixed point = star forest: every edge is (root=min id, child).
+    val labels = e.select(col("v").as("doc_id"), col("u").as("keeper_id"))
+      .unionAll(e.select(col("u").as("doc_id"), col("u").as("keeper_id")))
+      .distinct()
+    val out = labels.localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** 64-bit word-level SimHash per document plus near-dup pairs within a
@@ -202,7 +251,7 @@ object TextDedup {
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
       .select(col("band"), col("key"))
     val pruned = banded.join(broadcast(small), Seq("band", "key"))
-    pruned.as("x").join(pruned.as("y"),
+    val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
@@ -211,6 +260,10 @@ object TextDedup {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    // persist -> materialize -> unpersist: no caches outlive the query
+    val out = pairs.localCheckpoint()
+    fp.unpersist()
+    out
   }
 
   val queries: Seq[Q] = Seq(

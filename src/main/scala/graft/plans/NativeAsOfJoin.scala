@@ -28,7 +28,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightValues: Seq[Attribute],
-    outRightAttrs: Seq[Attribute]) extends BinaryNode {
+    outRightAttrs: Seq[Attribute],
+    rightTieBreak: Option[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
   // asof_* attrs are synthesized by this operator, not drawn from children
   override def producedAttributes: AttributeSet = AttributeSet(outRightAttrs)
@@ -39,8 +40,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs, tb) :: Nil
     case _ => Nil
   }
 }
@@ -50,7 +51,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     rightValues: Seq[Expression],
-    outRightAttrs: Seq[Attribute]) extends SparkPlan with BinaryExecNode {
+    outRightAttrs: Seq[Attribute],
+    rightTieBreak: Option[Expression]) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
 
@@ -59,9 +61,14 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // Right rows sharing (key, ts) are consumed in tie-break order and the
+  // LAST consumed wins, so the greatest tie-break value is carried —
+  // deterministic, and exactly the union+window AsOfJoin's rightTieBreak
+  // semantics. Without a tie-break the carried row on ties is
+  // sort-nondeterministic (callers must then guarantee ts uniqueness).
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    ((rightKeys :+ rightTs) ++ rightTieBreak).map(SortOrder(_, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -135,7 +142,8 @@ case class AsOfJoinExec(
 object NativeAsOfJoin {
 
   def join(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, rightValues: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightValues: Seq[String],
+      rightTieBreak: Option[String] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -144,7 +152,7 @@ object NativeAsOfJoin {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
     // fresh exprIds on the right side (safe under self-join)
-    val rSel = (keys :+ rightTs) ++ rightValues
+    val rSel = ((keys :+ rightTs) ++ rightValues ++ rightTieBreak).distinct
     val rAliased = rightDf.select(rSel.map(c => col(c).as(s"__r_$c")): _*)
     val lp = leftDf.queryExecution.analyzed
     val rp = rAliased.queryExecution.analyzed
@@ -157,7 +165,8 @@ object NativeAsOfJoin {
     }
     val node = AsOfJoinNode(lp, rp,
       keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
-      attr(lp, leftTs), attr(rp, s"__r_$rightTs"), rVals, outAttrs)
+      attr(lp, leftTs), attr(rp, s"__r_$rightTs"), rVals, outAttrs,
+      rightTieBreak.map(c => attr(rp, s"__r_$c")))
     org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, node)
   }
 }

@@ -43,20 +43,35 @@ object HighWatermarkDedup {
     (batchMax, out)
   }
 
-  private def fn(symbol: String, it: Iterator[NewsArticle],
+  /** Reference initial state: `last_seen_news_ids.get(symbol, 0)`
+    * (producer_company_news.py:133) — the watermark starts at 0, so an id
+    * <= 0 is dropped even on a key's very first batch.
+    */
+  val DefaultInitialWatermark = 0L
+
+  private def fn(initial: Long)(symbol: String, it: Iterator[NewsArticle],
       state: GroupState[Long]): Iterator[NewsArticle] = {
-    val lastSeen = state.getOption.getOrElse(Long.MinValue)
+    val lastSeen = state.getOption.getOrElse(initial)
+    // O1's batch sort requires materializing the group iterator (it.toSeq).
+    // Memory bound = ONE key's slice of ONE micro-batch — fine under the
+    // reference's ≤100-record batches; for arbitrary streams, bound the
+    // trigger (maxFilesPerTrigger / maxOffsetsPerTrigger) so a pathological
+    // hot key cannot make a single group executor-memory-sized.
     val (batchMax, out) = dedupBatch(lastSeen, it.toSeq)
     if (batchMax != lastSeen) state.update(batchMax)
     out.iterator
   }
 
-  /** Works on both streaming and batch Datasets (batch = one micro-batch). */
-  def apply(articles: Dataset[NewsArticle]): Dataset[NewsArticle] = {
+  /** Works on both streaming and batch Datasets (batch = one micro-batch).
+    * `initialWatermark` defaults to the reference's implicit 0; pass
+    * Long.MinValue for "emit any first-seen id" semantics instead.
+    */
+  def apply(articles: Dataset[NewsArticle],
+      initialWatermark: Long = DefaultInitialWatermark): Dataset[NewsArticle] = {
     implicit val enc: Encoder[NewsArticle] = Encoders.product[NewsArticle]
     implicit val stateEnc: Encoder[Long] = Encoders.scalaLong
     articles
       .groupByKey(_.symbol)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn(initialWatermark))
   }
 }

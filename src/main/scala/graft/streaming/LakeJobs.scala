@@ -39,13 +39,28 @@ object LakeJobs {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Topic config from the CLI source arg — the config-only transport
+    * switch (parity with the reference's broker stage,
+    * terraform/kinesis.tf:4-40): "kafka:<bootstrap-servers>/<topic>"
+    * selects the Kafka connector; anything else is a JSONL drop directory.
+    */
+  def topicConf(src: String): Map[String, String] =
+    if (src.startsWith("kafka:")) {
+      val rest = src.stripPrefix("kafka:")
+      val idx = rest.lastIndexOf('/')
+      require(idx > 0, "kafka source must be kafka:<bootstrap-servers>/<topic>")
+      Map("format" -> "kafka",
+        "kafka.bootstrap.servers" -> rest.substring(0, idx),
+        "subscribe" -> rest.substring(idx + 1))
+    } else Map("format" -> "file", "path" -> src)
+
   def run(args: Array[String], kind: String, cadence: String): Unit = {
-    require(args.length >= 3, "args: <srcDir> <lakeDir> <checkpointDir> [continuous]")
+    require(args.length >= 3, "args: <src> <lakeDir> <checkpointDir> [continuous]")
     val Array(src, lake, ckpt) = args.take(3)
     val continuous = args.length > 3 && args(3) == "continuous"
     implicit val spark: SparkSession = session()
     spark.sparkContext.setLogLevel("WARN")
-    val raw = spark.readStream.text(src).toDF("value")
+    val raw = graft.sources.Sources.readTopic(spark, topicConf(src))
     val trigger =
       if (continuous) Trigger.ProcessingTime(cadence) else Trigger.AvailableNow()
     val query = kind match {

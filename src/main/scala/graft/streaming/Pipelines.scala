@@ -122,6 +122,15 @@ object Pipelines {
     * a batch after a failure (R1's at-least-once redelivery) converges to
     * the same lake state — idempotence by partition, the standard upgrade
     * path when the target isn't a transactional table format.
+    *
+    * CONTRACT: at most one micro-batch may ever emit rows for a given
+    * `partitionCol` value — overwrite REPLACES, it does not merge, so a
+    * partition written by two different batches keeps only the later
+    * batch's rows. Safe when the partition column is derived from the
+    * batch's watermark-closed window (each window closes exactly once);
+    * NOT safe for a partition column coarser than the trigger window or
+    * for late-reopened windows — use a transactional format with MERGE
+    * there instead.
     */
   def idempotentPartitionSink(df: DataFrame, partitionCol: String, path: String,
       checkpoint: String): DataStreamWriter[Row] =

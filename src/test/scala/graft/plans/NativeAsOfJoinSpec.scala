@@ -17,7 +17,7 @@ class NativeAsOfJoinSpec extends SparkSpec {
         Seq("event_id", "value"), rightTieBreak = Some("event_id"))
       .select("event_id", "user_id", "asof_event_id", "asof_value")
     val viaNative = NativeAsOfJoin.join(purchases, clicks, Seq("user_id"), "ts", "ts",
-        Seq("event_id", "value"))
+        Seq("event_id", "value"), rightTieBreak = Some("event_id"))
       .select("event_id", "user_id", "asof_event_id", "asof_value")
     assert(viaNative.count() == purchases.count())
     val diff = viaWindow.except(viaNative).count() + viaNative.except(viaWindow).count()
@@ -38,6 +38,22 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out(1L) == (Some(10L), Some(1.5)))   // equal ts matches
     assert(out(2L) == (Some(11L), Some(2.5)))   // latest earlier
     assert(out(3L) == (None, None))             // right row is later -> null
+  }
+
+  test("rightTieBreak makes ties on (key, ts) deterministic: greatest wins") {
+    val l = Seq((1L, "A", ts("2024-01-01 00:00:10"))).toDF("id", "sym", "ts")
+    // three right rows at the SAME (key, ts): without a tie-break the
+    // carried row is sort-nondeterministic; with it, the greatest rid wins
+    // (matching the union+window AsOfJoin's rightTieBreak contract)
+    val r = Seq((10L, "A", ts("2024-01-01 00:00:05"), 1.0),
+      (12L, "A", ts("2024-01-01 00:00:05"), 3.0),
+      (11L, "A", ts("2024-01-01 00:00:05"), 2.0))
+      .toDF("rid", "sym", "ts", "px")
+    val out = NativeAsOfJoin.join(l, r, Seq("sym"), "ts", "ts", Seq("rid", "px"),
+        rightTieBreak = Some("rid"))
+      .select("id", "asof_rid", "asof_px").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 12L && out(0).getDouble(2) == 3.0)
   }
 
   test("optimizer rule pushes left-only filters below the as-of node to the scan") {

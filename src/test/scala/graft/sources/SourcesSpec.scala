@@ -25,6 +25,48 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == e.count() + 1) // valid extra row kept, corrupt dropped
   }
 
+  test("corrupt lines are dead-lettered verbatim; main read unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dl").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in/mixed.json"),
+      """{"event_id": 1, "user_id": 2, "event_type": "click", "value": 3.0}
+        |{"event_id": broken json line
+        |{"event_id": 2, "user_id": 5, "event_type": "view", "value": 1.0}
+        |""".stripMargin)
+    val back = Sources.readJsonl(spark, s"$dir/in", schema,
+      deadLetterPath = Some(s"$dir/dead"))
+    assert(back.count() == 2) // both valid rows kept
+    val dead = spark.read.text(s"$dir/dead").collect().map(_.getString(0))
+    assert(dead.length == 1 && dead.head.contains("broken json line"))
+  }
+
+  test("readTopic file fallback feeds the unchanged decode stages (config-only transport)") {
+    import graft.streaming.{LakeJobs, Pipelines}
+    val dir = java.nio.file.Files.createTempDirectory("graft_topic").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/drop.jsonl"),
+      """{"symbol":"AAPL","c":190.5,"d":1.2,"dp":0.6,"h":191.0,"l":188.0,"o":189.0,"pc":189.3,"t":1700000000}
+        |{"symbol":"MSFT","c":370.0,"d":-0.5,"dp":-0.1,"h":371.0,"l":368.0,"o":370.5,"pc":370.5,"t":1700000060}
+        |not json at all
+        |""".stripMargin)
+    val raw = Sources.readTopic(spark, LakeJobs.topicConf(dir))
+    assert(raw.isStreaming && raw.columns.sameElements(Array("value")))
+    val q = Pipelines.quotes(Pipelines.decodeQuotes(raw))
+      .writeStream.format("memory").queryName("topic_quotes")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("topic_quotes")
+    assert(out.count() == 2) // corrupt line dropped by the F1 filter (R2)
+    assert(out.select("symbol").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet == Set("AAPL", "MSFT"))
+    // the kafka variant builds from the same options seam
+    val kconf = LakeJobs.topicConf("kafka:broker1:9092,broker2:9092/quotes")
+    assert(kconf("format") == "kafka" &&
+      kconf("kafka.bootstrap.servers") == "broker1:9092,broker2:9092" &&
+      kconf("subscribe") == "quotes")
+  }
+
   test("CSV scan with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val e = Tables.load(spark, sf0001, "events")

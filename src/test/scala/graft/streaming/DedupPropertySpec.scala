@@ -43,6 +43,16 @@ object DedupPropertySpec extends Properties("HighWatermarkDedup") {
       newMax == 7L && out.size == nullOnly.size
     }
 
+  property("first batch drops ids <= 0 under the reference's initial state 0") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(-5L, 5L), Gen.chooseNum(0L, 100L)))) { pairs =>
+      // ref producer_company_news.py:133: .get(symbol, 0) — an id <= 0 is
+      // dropped even when the key has never been seen before
+      val batch = pairs.map { case (id, t) => art(Some(id), t) }
+      val (_, out) = HighWatermarkDedup.dedupBatch(
+        HighWatermarkDedup.DefaultInitialWatermark, batch)
+      out.flatMap(_.news_id).forall(_ > 0L)
+    }
+
   property("idempotent: replaying the same batch emits nothing new") =
     forAll(genBatch) { batch =>
       val (max1, out1) = HighWatermarkDedup.dedupBatch(Long.MinValue, batch)
