@@ -56,7 +56,12 @@ object TextDedup {
       .persist() // both join sides reference it; avoids re-shingling
     val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
     val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh"))
-    val pairs = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+    // Length filter (set-similarity-join standard): jaccard >= j forces
+    // min(na,nb) >= j*max(na,nb), so size-mismatched pairs drop BEFORE the
+    // per-pair aggregation — a pure candidate prune, never changes results.
+    val pairs = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")).cast(DoubleType) >=
+          greatest(col("na"), col("nb")) * minJaccard)
       .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
       .withColumn("jaccard",
@@ -166,20 +171,44 @@ object TextDedup {
     * materializes the round's persist — no standalone count() job, and
     * each round's cache is unpersisted as soon as its successor exists.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  /** Size cutover for connectedComponents: at or below this many
+    * (deduplicated) edges the component graph contracts in ONE task via
+    * union-find — a few-hundred-MB hash map at most, the same
+    * small-side-fits decision a broadcast join makes — instead of paying
+    * O(log n) distributed rounds of pure scheduling latency. Above it,
+    * the star-contraction rounds run. Near-dup edge sets are tiny
+    * relative to their corpus (they only contain the duplicates), so at
+    * 100 TB both regimes genuinely occur.
+    */
+  val CcLocalMaxEdges: Long = 1L << 20
+
+  def connectedComponents(edges: DataFrame,
+      localThreshold: Long = CcLocalMaxEdges): DataFrame = {
     // canonical orientation u < v, deduplicated
-    var e = edges.select(least(col("a_id"), col("b_id")).as("u"),
+    val e0 = edges.select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v"))
       .filter(col("u") =!= col("v")).distinct().persist()
-    // One aggregate materializes the persist AND yields the convergence
-    // signature. bit_xor (not sum) keeps ANSI arithmetic overflow-safe;
-    // a false signature collision is ~2^-64 per round.
+    val nEdges = e0.count() // materializes the persist; decides the regime
+    if (nEdges <= localThreshold) return localUnionFind(e0)
+    // Lineage MUST truncate every round: each round references `e` twice
+    // (the symmetrized union), so carrying logical plans forward doubles
+    // the tree per round — exponential analysis blowup by round ~15
+    // (caught by CcRegimeSpec's 100-node chain). localCheckpoint(eager =
+    // false) resets the plan to a leaf; the round's signature aggregate
+    // is the single job that materializes it. Superseded rounds' blocks
+    // are dropped by the ContextCleaner once unreferenced.
+    var e = e0.localCheckpoint(false)
+    // The signature doubles as the convergence test. bit_xor (not sum)
+    // keeps ANSI arithmetic overflow-safe; a false signature collision is
+    // ~2^-64 per round.
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = signature(e)
+    // No initial-signature job: the first round must run regardless, so
+    // `prev` starts as an impossible sentinel.
+    var sig = (-1L, -1L)
     var converged = false
     var rounds = 0
     val maxRounds = 30 // log-contraction: 30 rounds covers any real graph
@@ -199,9 +228,9 @@ object TextDedup {
       val next = ss.select(col("mn").as("u"), col("v"))
         .unionAll(ss.filter(col("u") =!= col("mn"))
           .select(col("mn").as("u"), col("u").as("v")))
-        .distinct().persist()
-      val nsig = signature(next) // materializes next
-      e.unpersist()
+        .distinct().localCheckpoint(false)
+      val nsig = signature(next) // the round's one job; checkpoints next
+      if (rounds == 0) e0.unpersist()
       converged = nsig == sig
       sig = nsig
       e = next
@@ -218,6 +247,72 @@ object TextDedup {
     val out = labels.localCheckpoint()
     e.unpersist()
     out
+  }
+
+  /** Small-graph regime of connectedComponents: the (already
+    * materialized, canonical) edge set collapses in one task with
+    * path-compressed union-find, unioning larger roots under smaller so
+    * the root IS the component minimum. Not a driver collect — the work
+    * runs in an executor task and the result stays a DataFrame.
+    */
+  private def localUnionFind(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val labels = e0.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { val g = parent(parent(r)); parent(r) = g; r = g }
+        r
+      }
+      it.foreach { case (u, v) =>
+        if (!parent.contains(u)) parent(u) = u
+        if (!parent.contains(v)) parent(v) = v
+        val ru = find(u); val rv = find(v)
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      val nodes = parent.keys.toArray
+      nodes.iterator.map(x => (x, find(x)))
+    }.toDF("doc_id", "keeper_id")
+    val out = labels.localCheckpoint()
+    e0.unpersist()
+    out
+  }
+
+  /** Corpus-level segment dedup (the C4/"remove duplicated lines across
+    * the corpus" cleaning step): split every document into segments, keep
+    * each distinct segment ONLY at its first occurrence corpus-wide
+    * (min (doc_id, position)), and reassemble documents from their
+    * surviving segments. The segmenter is fixed-size word windows
+    * (`wordsPerSeg`) because the synthetic corpus is single-line; with
+    * newline-delimited text the same pipeline splits on '\n'.
+    *
+    * Scale shape: segments shuffle once on their 8-byte hash for the
+    * keep-first window (row_number streams, O(1) state per segment), then
+    * once on doc_id to reassemble — no joins, no per-pair work. A
+    * boilerplate segment shared by millions of docs is ONE hot window
+    * partition; its rows stream through a single counter, so skew costs
+    * I/O, not memory.
+    */
+  def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
+    val segs = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, int(ceil(size(ws) / ${wordsPerSeg}D)) - 1),
+            j -> array_join(slice(ws, j * $wordsPerSeg + 1, $wordsPerSeg), ' '))"""))
+        .as(Seq("pos", "segment")))
+    val w = Window.partitionBy(col("seg_h")).orderBy(col("doc_id"), col("pos"))
+    segs
+      .withColumn("seg_h", xxhash64(col("segment")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, segment))), x -> x.segment)"),
+        " ").as("clean_text"))
   }
 
   /** 64-bit word-level SimHash per document plus near-dup pairs within a
@@ -265,6 +360,36 @@ object TextDedup {
     fp.unpersist()
     out
   }
+
+  /** Shared by q_dedup_clusters (union-find regime) and
+    * q_dedup_clusters_star (star-contraction regime): both must match the
+    * same reachability closure.
+    */
+  private val clustersOracleSql: String =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                     ELSE [text] END AS sh
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+       edges AS (
+         SELECT a_id AS u, b_id AS v FROM pairs
+         UNION ALL SELECT b_id, a_id FROM pairs),
+       reach(u, v) AS (
+         SELECT u, v FROM edges
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       comp AS (
+         SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper_id
+         FROM reach GROUP BY u)
+       SELECT doc_id, keeper_id FROM comp
+       WHERE doc_id != keeper_id ORDER BY doc_id"""
 
   val queries: Seq[Q] = Seq(
 
@@ -366,35 +491,42 @@ object TextDedup {
 
     // Near-dup clusters: connected components of the Jaccard>=0.6 pair
     // graph, keeper = min doc_id per component. Oracled with a recursive
-    // CTE computing the same reachability closure.
+    // CTE computing the same reachability closure. The tiny sf edge sets
+    // take the single-task union-find regime; q_dedup_clusters_star below
+    // forces the distributed star-contraction regime onto the same oracle.
     Q("q_dedup_clusters",
       (s, dir) => connectedComponents(ngramJaccardPairs(t(s, dir, "documents"), 0.6))
         .filter(col("doc_id") =!= col("keeper_id"))
         .orderBy(col("doc_id")),
-      Some("""WITH RECURSIVE d AS (
-                SELECT doc_id,
-                       CASE WHEN len(string_split(text, ' ')) >= 3
-                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
-                            ELSE [text] END AS sh
-                FROM documents),
-              pairs AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM d a JOIN d b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-              edges AS (
-                SELECT a_id AS u, b_id AS v FROM pairs
-                UNION ALL SELECT b_id, a_id FROM pairs),
-              reach(u, v) AS (
-                SELECT u, v FROM edges
-                UNION
-                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-              comp AS (
-                SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper_id
-                FROM reach GROUP BY u)
-              SELECT doc_id, keeper_id FROM comp
-              WHERE doc_id != keeper_id ORDER BY doc_id""")),
+      Some(clustersOracleSql)),
+
+    Q("q_dedup_clusters_star",
+      (s, dir) => connectedComponents(ngramJaccardPairs(t(s, dir, "documents"), 0.6),
+          localThreshold = 0L)
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .orderBy(col("doc_id")),
+      Some(clustersOracleSql)),
+
+    // C4-style corpus segment dedup: every 20-word segment survives only
+    // at its first (doc_id, pos) occurrence; docs reassemble from kept
+    // segments. Oracled segment-by-segment in DuckDB.
+    Q("q_line_dedup",
+      (s, dir) => segmentDedup(t(s, dir, "documents"), 20)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              seg AS (
+                SELECT doc_id, j AS pos,
+                       array_to_string(ws[j*20+1 : j*20+20], ' ') AS segment
+                FROM (SELECT doc_id, ws,
+                             unnest(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS j
+                      FROM w)),
+              kept AS (
+                SELECT doc_id, pos, segment,
+                       row_number() OVER (PARTITION BY segment ORDER BY doc_id, pos) AS rn
+                FROM seg)
+              SELECT doc_id, string_agg(segment, ' ' ORDER BY pos) AS clean_text
+              FROM kept WHERE rn = 1
+              GROUP BY doc_id ORDER BY doc_id""")),
 
     // Hash-based variants: sketches aren't reproducible in DuckDB, so no
     // SQL oracle (driver records rows-only); DedupSpec pins them against

@@ -74,6 +74,33 @@ object Pipelines {
   def encodeForTopic(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** Python's `datetime.isoformat()` on a whole-second UTC timestamp:
+    * "2024-01-02T03:04:05+00:00" — note "+00:00", not the "Z" that
+    * date_format's XXX pattern emits for zero offset.
+    */
+  private def pyIso(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))
+
+  /** Compat projection to the reference's EXACT quote wire fields — the
+    * engine normalizes each event time to one TimestampType column
+    * (SURVEY.md §1.3), but the reference carries timestamps redundantly
+    * as unix seconds AND an ISO-8601 string
+    * (producer_stock_quotes.py:98-110: quote_timestamp_unix +
+    * quote_timestamp_utc + fetch_timestamp_utc). This projection derives
+    * the wire pair back from the typed columns, so engine output is
+    * field-for-field comparable with reference lake rows (round-trip
+    * asserted in StreamingSpec).
+    */
+  def withWireColumns(quotes: DataFrame): DataFrame =
+    quotes.select(
+      col("symbol"),
+      pyIso(col("fetch_ts")).as("fetch_timestamp_utc"),
+      unix_timestamp(col("event_ts")).as("quote_timestamp_unix"),
+      pyIso(col("event_ts")).as("quote_timestamp_utc"),
+      col("current_price"), col("change"), col("percent_change"),
+      col("high_price_day"), col("low_price_day"),
+      col("open_price_day"), col("previous_close_price"))
+
   // ---- news ------------------------------------------------------------
 
   def decodeNews(raw: DataFrame): DataFrame =

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Connected-components regimes must agree: single-task union-find
+  * (small graphs) vs distributed large-star/small-star contraction.
+  */
+class CcRegimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star contraction equals union-find on a deep chain plus cliques") {
+    // a 100-node path (diameter 99 — hostile to O(diameter) propagation,
+    // fine for O(log n) star rounds), a triangle, and an isolated pair
+    val edges = (0L until 99L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L), (300L, 301L))
+    val df = edges.toDF("a_id", "b_id")
+    def run(thr: Long) = TextDedup.connectedComponents(df, localThreshold = thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue)
+    val star = run(0L)
+    assert(local == star)
+    assert((0L to 99L).forall(local(_) == 0L))
+    assert(Seq(200L, 201L, 202L).forall(local(_) == 200L))
+    assert(local(301L) == 300L && local(300L) == 300L)
+  }
+
+  test("duplicate and reversed input edges don't change components") {
+    val df = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    def run(thr: Long) = TextDedup.connectedComponents(df, localThreshold = thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Long.MaxValue) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(run(0L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -1,0 +1,27 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+class WireCompatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withWireColumns reproduces the reference's redundant timestamp wire fields") {
+    val raw = Seq(
+      """{"symbol":"AAPL","c":190.5,"d":1.2,"dp":0.6,"h":191.0,"l":188.0,"o":189.0,"pc":189.3,"t":1700000000}"""
+    ).toDF("value")
+    val engine = Pipelines.quotes(Pipelines.decodeQuotes(raw))
+    val wire = Pipelines.withWireColumns(engine)
+    val row = wire.collect()(0)
+    assert(row.getAs[Long]("quote_timestamp_unix") == 1700000000L)
+    // python: datetime.fromtimestamp(1700000000, tz=timezone.utc).isoformat()
+    assert(row.getAs[String]("quote_timestamp_utc") == "2023-11-14T22:13:20+00:00")
+    assert(row.getAs[String]("fetch_timestamp_utc").endsWith("+00:00"))
+    assert(row.getAs[Double]("current_price") == 190.5)
+    // the reference's exact field set, producer construction order
+    // (producer_stock_quotes.py:98-110)
+    assert(wire.columns.toSeq == Seq(
+      "symbol", "fetch_timestamp_utc", "quote_timestamp_unix", "quote_timestamp_utc",
+      "current_price", "change", "percent_change", "high_price_day",
+      "low_price_day", "open_price_day", "previous_close_price"))
+  }
+}
