@@ -76,6 +76,49 @@ object TextDedup {
     out
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
+    * Xiao et al.): under any global token ordering (here: hash order), two
+    * sets with Jaccard >= j MUST share a token among each one's smallest
+    * (n - ceil(j*n) + 1) tokens — so only prefix tokens generate
+    * candidates, and the inverted index the candidates verify against is
+    * built once and reused. Same exact results as ngramJaccardPairs
+    * (shared DuckDB oracle via q_dedup_ngram_prefix); the candidate join
+    * cost drops from Σ df² over ALL shingles to Σ df² over prefix
+    * postings — the classic exact-set-similarity scale path when a
+    * MinHash recall bound isn't acceptable.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val ex = shingled(docs)
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
+      .persist()
+    // prefix length p = n - ceil(j*n) + 1, tokens ranked by hash order
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sh"))
+    val prefix = ex
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
+      .select(col("doc_id"), col("n_sh"), col("sh"))
+    val cand = prefix.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")).cast(DoubleType) >=
+          greatest(col("na"), col("nb")) * minJaccard)
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .distinct()
+    // exact verification: |intersection| via the full inverted index
+    val verified = cand
+      .join(ex.select(col("doc_id").as("a_id"), col("sh").as("h")), Seq("a_id"))
+      .join(ex.select(col("doc_id").as("b_id"), col("sh").as("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val out = verified.localCheckpoint()
+    ex.unpersist()
+    out
+  }
+
   /** Max docs per LSH bucket before the bucket is skipped. A bucket this
     * popular is non-discriminative (tiny-vocab corpora collide heavily) and
     * would make the candidate join quadratic — the classic LSH skew guard.
@@ -361,6 +404,26 @@ object TextDedup {
     out
   }
 
+  /** Shared by q_dedup_ngram (full inverted-index join) and
+    * q_dedup_ngram_prefix (prefix-filtered candidates): exact algorithms
+    * must produce identical pair sets.
+    */
+  private val ngramOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                     ELSE [text] END AS sh
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+         FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       SELECT a_id, b_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+       FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
+       ORDER BY a_id, b_id"""
+
   /** Shared by q_dedup_clusters (union-find regime) and
     * q_dedup_clusters_star (star-contraction regime): both must match the
     * same reachability closure.
@@ -409,20 +472,14 @@ object TextDedup {
     Q("q_dedup_ngram",
       (s, dir) => ngramJaccardPairs(t(s, dir, "documents"), 0.6)
         .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH d AS (
-                SELECT doc_id,
-                       CASE WHEN len(string_split(text, ' ')) >= 3
-                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
-                            ELSE [text] END AS sh
-                FROM documents),
-              p AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
-                FROM d a JOIN d b ON a.doc_id < b.doc_id)
-              SELECT a_id, b_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
-              FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
-              ORDER BY a_id, b_id""")),
+      Some(ngramOracleSql)),
+
+    // Same exact semantics through prefix-filtered candidate generation —
+    // the shared oracle proves the prefix bound loses no pairs.
+    Q("q_dedup_ngram_prefix",
+      (s, dir) => ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(ngramOracleSql)),
 
     // D1's monotone high-watermark dedup as a batch window: keep a row iff
     // its id exceeds the max id among earlier rows of the same key

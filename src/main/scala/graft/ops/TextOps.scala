@@ -1,15 +1,17 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 
 /** Text-analysis operators over `documents`: quality scoring, token
-  * counting, language-ID voting, and document fingerprinting (builder
-  * brief "text analysis"; SURVEY.md §2.2 string/NS rows). All per-row
-  * expressions — zero shuffles except the declared final sorts, so every
-  * one of these streams at input bandwidth on a cluster.
+  * counting, language-ID voting, document fingerprinting, and
+  * token-budget sharding (builder brief "text analysis"; SURVEY.md §2.2
+  * string/NS rows). All per-row expressions — zero shuffles except the
+  * declared final sorts and the two-phase shard offsets — so these
+  * stream at input bandwidth on a cluster.
   */
 object TextOps {
 
@@ -19,7 +21,49 @@ object TextOps {
   /** Tiny stopword list drawn from the synthetic vocabulary. */
   val stopwords: Seq[String] = Seq("the", "a")
 
+  /** Token-budget sharding (training-data packing): documents, in doc_id
+    * order, are assigned to contiguous shards of `budget` tokens by their
+    * global starting token offset. The global running sum is computed in
+    * the two-phase shape that survives 100 TB: per-chunk token totals
+    * (one small aggregate), a prefix sum over the FEW chunk rows (the
+    * only single-partition window, O(|chunks|)), broadcast back, then a
+    * per-chunk window for the within-chunk offsets — no global
+    * single-partition scan of the data ever happens.
+    */
+  def tokenShards(docs: DataFrame, budget: Long = 4096L,
+      docsPerChunk: Long = 1024L): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / docsPerChunk))
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = sized.groupBy(col("chunk"))
+      .agg(sum(col("n_tokens")).as("cs"))
+      .withColumn("chunk_off", coalesce(sum(col("cs")).over(wChunks), lit(0L)))
+      .select(col("chunk"), col("chunk_off"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized.join(broadcast(chunkOffsets), Seq("chunk"))
+      .withColumn("offset",
+        col("chunk_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        floor(col("offset") / budget.toDouble).cast(LongType).as("shard"))
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // Token-budget packing: global offsets via the two-phase running sum.
+    Q("q_token_shards",
+      (s, dir) => tokenShards(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+                     CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT) AS shard
+              FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+              ORDER BY doc_id""")),
 
     // Scalar string functions (P1/P2 analogues + LIKE search surface).
     Q("q_string_fns",

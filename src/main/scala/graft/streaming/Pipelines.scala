@@ -101,6 +101,21 @@ object Pipelines {
       col("high_price_day"), col("low_price_day"),
       col("open_price_day"), col("previous_close_price"))
 
+  /** News-side wire compat (producer_company_news.py:152-164): the
+    * article_published unix/ISO pair derives from the one typed
+    * published_ts; nulls propagate like the producer's None handling
+    * (ref :144-150).
+    */
+  def withNewsWireColumns(articles: DataFrame): DataFrame =
+    articles.select(
+      col("symbol"),
+      col("news_id"),
+      pyIso(col("fetch_ts")).as("fetch_timestamp_utc"),
+      unix_timestamp(col("published_ts")).as("article_published_unix"),
+      pyIso(col("published_ts")).as("article_published_utc"),
+      col("category"), col("headline"), col("summary"),
+      col("source"), col("url"), col("image_url"))
+
   // ---- news ------------------------------------------------------------
 
   def decodeNews(raw: DataFrame): DataFrame =

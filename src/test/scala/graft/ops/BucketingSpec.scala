@@ -43,4 +43,43 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  test("native as-of join over bucketed inputs plans zero exchanges") {
+    // AsOfJoinExec declares ClusteredDistribution on its keys, so a
+    // bucketed-by-key layout must satisfy it with no shuffle — the same
+    // zero-exchange contract a sort-merge join gets, which is what makes
+    // the operator viable for recurring 100 TB as-of joins.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val e = Tables.load(spark, sf0001, "events")
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable("purch_bkt")
+      e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable("click_bkt")
+      val out = graft.plans.NativeAsOfJoin.join(
+        spark.table("purch_bkt"), spark.table("click_bkt"),
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"),
+        rightTieBreak = Some("event_id"))
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(planStr.contains("AsOfJoin"), planStr)
+      assert(!planStr.contains("Exchange"), planStr)
+      // still the right answer: matches the shuffled (unbucketed) run
+      val shuffled = graft.plans.NativeAsOfJoin.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"),
+        rightTieBreak = Some("event_id"))
+      assert(out.count() == shuffled.count())
+      assert(out.except(shuffled).count() == 0 && shuffled.except(out).count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS purch_bkt")
+      spark.sql("DROP TABLE IF EXISTS click_bkt")
+    }
+  }
 }

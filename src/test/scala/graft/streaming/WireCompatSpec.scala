@@ -24,4 +24,24 @@ class WireCompatSpec extends SparkSpec {
       "current_price", "change", "percent_change", "high_price_day",
       "low_price_day", "open_price_day", "previous_close_price"))
   }
+
+  test("withNewsWireColumns: unix/ISO pair derives from published_ts; nulls propagate") {
+    implicit val s = spark
+    val raw = Seq(
+      """{"symbol":"AAPL","id":7,"datetime":1700000000,"category":"company","headline":"h","summary":"s","source":"src","url":"u","image":"img"}""",
+      """{"symbol":"MSFT","id":8,"category":"company","headline":"h2","summary":"s2","source":"src","url":"u2","image":null}"""
+    ).toDF("value")
+    val wire = Pipelines.withNewsWireColumns(
+      Pipelines.newsArticles(Pipelines.decodeNews(raw)).toDF())
+    assert(wire.columns.toSeq == Seq(
+      "symbol", "news_id", "fetch_timestamp_utc", "article_published_unix",
+      "article_published_utc", "category", "headline", "summary",
+      "source", "url", "image_url"))
+    val rows = wire.collect().map(r => r.getAs[String]("symbol") -> r).toMap
+    assert(rows("AAPL").getAs[Long]("article_published_unix") == 1700000000L)
+    assert(rows("AAPL").getAs[String]("article_published_utc") == "2023-11-14T22:13:20+00:00")
+    // missing datetime -> both wire forms null, like the producer's None
+    assert(rows("MSFT").isNullAt(rows("MSFT").fieldIndex("article_published_unix")))
+    assert(rows("MSFT").isNullAt(rows("MSFT").fieldIndex("article_published_utc")))
+  }
 }
