@@ -92,9 +92,54 @@ object Multimodal {
     }.toDF("media_id", "kind", "bytes")
   }
 
+  /** Batched frame sampling over video rows — the explode-shaped plumbing
+    * (one media row -> N frame rows). Frame timestamps come from the stub
+    * decode's sampling schedule; the "frame" payload is a deterministic
+    * byte slice standing in for a decoded frame. A real deployment swaps
+    * the slice for a demuxer read; per-batch demuxer init amortizes
+    * exactly like the other batched stubs.
+    */
+  def frameSampleBatched(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long, Long, Array[Byte])]
+    media.filter(col("kind") === "video")
+      .select("media_id", "kind", "bytes").mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch demuxer/decoder initialization would happen HERE
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](2)
+            val meta = decodeStub(id, "video", bytes)
+            meta.frames.zipWithIndex.map { case (ts, i) =>
+              val slice = bytes.slice(
+                (i * bytes.length / math.max(1, meta.frames.size)),
+                ((i + 1) * bytes.length / math.max(1, meta.frames.size)))
+              (id, i.toLong, ts, slice)
+            }
+          }
+        }
+      }.toDF("media_id", "frame_idx", "frame_ts_ms", "frame_bytes")
+  }
+
   import graft.ops.Q
 
   val queries: Seq[Q] = Seq(
+    // Frame-sampling schedule as a pure expression (the oracle-able form
+    // of frameSampleBatched's timestamps): 4 frames per video at
+    // idx * (duration/4), duration = 40ms/byte from the stub decode.
+    Q("q_frame_sample",
+      (s, dir) =>
+        mediaTable(s, dir).filter(col("kind") === "video")
+          .select(col("media_id"), octet_length(col("bytes")).cast(LongType).as("n_bytes"))
+          .filter(col("n_bytes") > 0)
+          .select(col("media_id"), explode(sequence(lit(0), lit(3))).as("fi"), col("n_bytes"))
+          .select(col("media_id"), col("fi").cast(LongType).as("frame_idx"),
+            (col("fi") * col("n_bytes") * 10).as("frame_ts_ms"))
+          .orderBy(col("media_id"), col("frame_idx")),
+      Some("""SELECT doc_id AS media_id, i AS frame_idx,
+                     (i * octet_length(encode(text)) * 10)::BIGINT AS frame_ts_ms
+              FROM documents CROSS JOIN range(0, 4) t(i)
+              WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+              ORDER BY media_id, frame_idx""")),
     // Columnar metadata extraction over binary payloads — the expression
     // form of the decode stub, fully oracle-able (byte lengths and the
     // derived dims are plain arithmetic in both engines). Bytes are never
