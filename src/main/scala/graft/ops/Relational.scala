@@ -356,6 +356,32 @@ object Relational {
               SELECT user_id FROM events WHERE event_type = 'signup' AND value > 300.0
               ORDER BY user_id""")),
 
+    // Multiset (ALL) forms: bag semantics with per-row multiplicity —
+    // planned as aggregate-on-counts, not row-by-row anti joins.
+    Q("q_except_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("event_type") === "click").select(col("user_id"))
+          .exceptAll(e.filter(col("event_type") === "purchase").select(col("user_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id""")),
+
+    Q("q_intersect_all",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.filter(col("event_type") === "click").select(col("user_id"))
+          .intersectAll(e.filter(col("event_type") === "purchase").select(col("user_id")))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'click'
+              INTERSECT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'
+              ORDER BY user_id""")),
+
     // Global top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
     // per-partition top-N then a single-driver merge of N*partitions rows,
     // never a full global sort.

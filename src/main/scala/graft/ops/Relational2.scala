@@ -179,6 +179,31 @@ object Relational2 {
                      ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
               FROM orders ORDER BY o_orderkey""")),
 
+    // Distribution window functions: percent_rank / cume_dist / nth_value
+    // — one shuffle on the partition key, same single-Window plan as the
+    // ranking family.
+    Q("q_window_distribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cdist"),
+            nth_value(col("o_orderkey"), 2).over(wf).as("second_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+                     percent_rank() OVER w AS pct_rank,
+                     cume_dist() OVER w AS cdist,
+                     nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey""")),
+
     // Pure theta join (no equi key): plans as BroadcastNestedLoopJoin —
     // correct for small x small; anything larger should carry an equi key
     // (q_range_join) or be banded first.

@@ -88,15 +88,14 @@ object TextDedup {
     * MinHash recall bound isn't acceptable.
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val ex = shingled(docs)
-      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
-      .persist()
-    // prefix length p = n - ceil(j*n) + 1, tokens ranked by hash order
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("sh"))
-    val prefix = ex
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * minJaccard) + 1)
-      .select(col("doc_id"), col("n_sh"), col("sh"))
+    val sh = shingled(docs).persist()
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
+    // prefix = the (n - ceil(j*n) + 1) smallest hashes, computed PER ROW
+    // by sorting the doc's own hash array — no shuffle, no window; only
+    // prefix tokens are ever exploded into the candidate join.
+    val prefix = sh.select(col("doc_id"), col("n_sh"),
+      explode(expr(
+        s"slice(array_sort(hs), 1, int(n_sh - ceil(n_sh * $minJaccard) + 1))")).as("sh"))
     val cand = prefix.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
       .join(prefix.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id") &&
@@ -115,7 +114,7 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     val out = verified.localCheckpoint()
-    ex.unpersist()
+    sh.unpersist()
     out
   }
 
