@@ -157,6 +157,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    // word_shingle_hashes(text[, n]) — n must be a literal int
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        val n = if (exprs.length > 1) exprs(1) match {
+          case Literal(i: Int, _) => i
+          case other => throw new IllegalArgumentException(
+            s"word_shingle_hashes: n must be a literal int, got $other")
+        } else 3
+        WordShingleHashes(exprs(0), n)
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -184,6 +185,48 @@ object Pipelines {
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      }
+
+  /** foreachBatch sink that MERGES into touched partitions instead of
+    * replacing them — the sibling of idempotentPartitionSink for the case
+    * its contract forbids: several micro-batches legitimately emitting
+    * rows into the same partition value (late-closing windows, partition
+    * column coarser than the trigger window). Per batch: read the
+    * touched partitions' existing rows (partition-pruned scan), union,
+    * keep ONE row per `keyCols` preferring the incoming batch (so replays
+    * and corrections converge — the poor man's MERGE for a
+    * non-transactional file lake), dynamic-overwrite those partitions.
+    * The only driver-side data is the list of touched partition VALUES —
+    * bounded by partitions-per-batch, never rows.
+    */
+  def mergingPartitionSink(df: DataFrame, partitionCol: String, keyCols: Seq[String],
+      path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val touched = batch.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (touched.nonEmpty) {
+          val existing =
+            try spark.read.schema(batch.schema).parquet(path)
+              .filter(col(partitionCol).isInCollection(touched))
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], batch.schema)
+            }
+          val w = Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(col("__is_new").desc)
+          val merged = batch.withColumn("__is_new", lit(1))
+            .unionByName(existing.withColumn("__is_new", lit(0)))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__is_new", "__rn")
+          merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        }
       }
 
   /** Checkpointed partitioned writer — exactly-once file sink (upgrade of

@@ -25,6 +25,16 @@ class ExtensionsSpec extends AnyFunSuite {
           "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
         .head.getDouble(0)
       assert(r == 4.0)
+      // word_shingle_hashes is SQL-callable too, default n = 3
+      val hs = spark.sql(
+        "SELECT word_shingle_hashes('a b c d') AS hs, " +
+          "word_shingle_hashes('a b c d', 2) AS hs2")
+        .head
+      assert(hs.getSeq[Long](0).length == 2)  // "a b c", "b c d"
+      assert(hs.getSeq[Long](1).length == 3)  // "a b", "b c", "c d"
+      // matches the engine-side xxhash64 of the shingle string
+      val expect = spark.sql("SELECT xxhash64('a b c') AS h").head.getLong(0)
+      assert(hs.getSeq[Long](0).head == expect)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

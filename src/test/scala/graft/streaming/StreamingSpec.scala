@@ -216,6 +216,37 @@ class StreamingSpec extends SparkSpec {
     assert(first > 0 && second == first, s"$first vs $second")
   }
 
+  test("foreachBatch merging sink: same partition across batches merges, replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val base = 1700000000L
+    // two runs = two separate micro-batch deliveries INTO THE SAME
+    // partition value (hour bucket) — exactly what idempotentPartitionSink's
+    // contract forbids and this sink exists for
+    def deliver(ckpt: String, quotes: Seq[String]): Unit = {
+      val in = MemoryStream[String]
+      val df = Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value")))
+        .withColumn("hour", date_format(col("event_ts"), "yyyy-MM-dd-HH"))
+      in.addData(quotes: _*)
+      val q = Pipelines.mergingPartitionSink(df, "hour",
+        keyCols = Seq("symbol", "event_ts"), s"$dir/lake", ckpt).start()
+      q.awaitTermination()
+    }
+    deliver(s"$dir/c1", Seq(quoteJson("AAPL", 10.0, base)))
+    deliver(s"$dir/c2", Seq(quoteJson("MSFT", 20.0, base + 60))) // same hour!
+    val afterTwo = spark.read.parquet(s"$dir/lake")
+    assert(afterTwo.count() == 2) // overwrite sink would have lost AAPL
+    assert(afterTwo.select("symbol").as[String].collect().toSet == Set("AAPL", "MSFT"))
+    // replaying delivery 2 (fresh checkpoint, same data) converges
+    deliver(s"$dir/c3", Seq(quoteJson("MSFT", 20.0, base + 60)))
+    assert(spark.read.parquet(s"$dir/lake").count() == 2)
+    // a correction for an existing key replaces, preferring the new batch
+    deliver(s"$dir/c4", Seq(quoteJson("AAPL", 11.5, base)))
+    val rows = spark.read.parquet(s"$dir/lake")
+    assert(rows.count() == 2)
+    assert(rows.filter(col("symbol") === "AAPL")
+      .select("current_price").head.getDouble(0) == 11.5)
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
