@@ -60,10 +60,12 @@ object Pipelines {
       .withWatermark("event_ts", late)
       .groupBy(window(col("event_ts"), "1 minute"), col("symbol"))
       .agg(
-        min_by(col("current_price"), col("event_ts")).as("open"),
+        // tie-break equal-timestamp quotes on price so open/close are
+        // deterministic (same fix as the batch q_ohlc_daily)
+        min_by(col("current_price"), struct(col("event_ts"), col("current_price"))).as("open"),
         max(col("current_price")).as("high"),
         min(col("current_price")).as("low"),
-        max_by(col("current_price"), col("event_ts")).as("close"),
+        max_by(col("current_price"), struct(col("event_ts"), col("current_price"))).as("close"),
         count(lit(1)).as("n_quotes"))
       .select(col("window.start").as("minute"), col("symbol"),
         col("open"), col("high"), col("low"), col("close"), col("n_quotes"))

@@ -47,4 +47,23 @@ class DedupDivergenceSpec extends SparkSpec {
     assert(watermarkIds.toSet == Set(10L))     // reference semantics: 5 dropped
     assert(setIds.toSet == Set(10L, 5L))       // built-in set: 5 emitted
   }
+
+  test("hot-key batch: 100k single-key articles dedup in one pass, sorted") {
+    // guards the documented it.toSeq bound: one key's slice of one
+    // micro-batch materializes for the O1 sort, so a hot symbol must stay
+    // O(n log n) time and O(batch) memory — not quadratic
+    import graft.model.NewsArticle
+    import java.sql.Timestamp
+    val batch = (1 to 100000).map { i =>
+      NewsArticle("S", Some((i.toLong * 7919L) % 100000L), new Timestamp(0),
+        Some(new Timestamp((i % 997).toLong)), None, None, None, None, None, None)
+    }
+    val t0 = System.nanoTime()
+    val (mx, out) = HighWatermarkDedup.dedupBatch(0L, batch)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 10, s"took $secs s")
+    assert(mx == 99999L)
+    val keys = out.map(a => (a.published_ts.map(_.getTime).getOrElse(0L), a.news_id.getOrElse(0L)))
+    assert(keys == keys.sorted)
+  }
 }
