@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Properties of the custom codegen expressions against independent
+  * re-implementations (plain Scala split/sliding + the XXH64 API).
+  */
+object ExpressionPropertySpec extends Properties("CustomExpressions") {
+
+  // words may be empty (consecutive/leading/trailing spaces) and contain
+  // multi-byte UTF-8
+  private val word: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("héllo"),
+      Gen.const("日本"), Gen.const("a"))
+  private val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  property("WordShingleHashes == split/sliding/distinct + XXH64 reference") =
+    forAll(text) { t =>
+      val ws = t.split(" ", -1).toSeq
+      val shingles =
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSeq.distinct
+        else Seq(t)
+      val expect = shingles.map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+      val got = WordShingleHashes.compute(UTF8String.fromString(t), 3, 42L)
+        .toLongArray().toSeq
+      got == expect
+    }
+
+  private val vec: Gen[Seq[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
+
+  property("MultiPlaneCode == per-plane double dot products, MSB-first packing") =
+    forAll(vec, Gen.listOfN(8, vec)) { (v, planes) =>
+      val codes = MultiPlaneCode(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        planes, planesPerTable = 4)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val expect = planes.grouped(4).map { tbl =>
+        tbl.foldLeft(0) { (code, p) =>
+          val dot = v.zip(p).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (code << 1) | (if (dot > 0) 1 else 0)
+        }
+      }.toSeq
+      codes == expect
+    }
+}
