@@ -86,7 +86,7 @@ object Sources {
       case "rate" =>
         spark.readStream.format("rate")
           .option("rowsPerSecond", conf.getOrElse("rowsPerSecond", "10")).load()
-          .select(concat(lit("v"), col("value")).as("value"))
+          .select(concat(lit("v"), col("value").cast(StringType)).as("value"))
       case other =>
         throw new IllegalArgumentException(s"unknown topic format: $other")
     }

@@ -199,7 +199,9 @@ object Pipelines {
     * and corrections converge — the poor man's MERGE for a
     * non-transactional file lake), dynamic-overwrite those partitions.
     * The only driver-side data is the list of touched partition VALUES —
-    * bounded by partitions-per-batch, never rows.
+    * bounded by partitions-per-batch, never rows. If one batch contains
+    * several rows for the SAME key, which of them survives is
+    * unspecified — dedupe upstream if intra-batch order matters.
     */
   def mergingPartitionSink(df: DataFrame, partitionCol: String, keyCols: Seq[String],
       path: String, checkpoint: String): DataStreamWriter[Row] =

@@ -65,6 +65,9 @@ class SourcesSpec extends SparkSpec {
     assert(kconf("format") == "kafka" &&
       kconf("kafka.bootstrap.servers") == "broker1:9092,broker2:9092" &&
       kconf("subscribe") == "quotes")
+    // the rate smoke source normalizes to the same value:string column
+    val rate = Sources.readTopic(spark, Map("format" -> "rate"))
+    assert(rate.isStreaming && rate.schema("value").dataType.typeName == "string")
   }
 
   test("CSV scan with explicit schema") {
