@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordShingleHashes(child: Expression, n: Int = 3, seed: Long = 42L)
     extends UnaryExpression {
 
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

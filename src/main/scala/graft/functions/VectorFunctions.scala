@@ -163,9 +163,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
       (exprs: Seq[Expression]) => {
         val n = if (exprs.length > 1) exprs(1) match {
-          case Literal(i: Int, _) => i
+          case Literal(i: Int, _) if i >= 1 => i
           case other => throw new IllegalArgumentException(
-            s"word_shingle_hashes: n must be a literal int, got $other")
+            s"word_shingle_hashes: n must be a literal int >= 1, got $other")
         } else 3
         WordShingleHashes(exprs(0), n)
       }))

@@ -62,7 +62,9 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
-  /** Random-hyperplane LSH top-k — the 100 TB path. `tables` independent
+  /** Random-hyperplane LSH top-k — the 100 TB path. Rows with a null
+    * embedding produce a null code and are EXCLUDED from candidates (a
+    * vector that doesn't exist can't be a neighbor). `tables` independent
     * sign codes of `planesPerTable` hyperplanes per vector (planes derived
     * from xxhash64, so fully deterministic and shippable to every executor
     * as an expression); candidates = corpus vectors sharing any table's
@@ -110,7 +112,8 @@ object Similarity {
   /** Embedding near-dup pairs via LSH buckets — the scale path for
     * cosine dedup: only vectors sharing a bucket in some table are
     * compared, then exact-verified, so precision is 1 and the quadratic
-    * compare is confined to bucket-local candidates.
+    * compare is confined to bucket-local candidates. Null embeddings are
+    * excluded (null code -> no buckets), same as lshTopK.
     */
   def embedNearDupLsh(s: SparkSession, emb: DataFrame, minCos: Double,
       tables: Int = 16, planesPerTable: Int = 4): DataFrame = {

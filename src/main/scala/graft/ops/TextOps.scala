@@ -32,10 +32,14 @@ object TextOps {
     */
   def tokenShards(docs: DataFrame, budget: Long = 4096L,
       docsPerChunk: Long = 1024L): DataFrame = {
+    // persisted: both the chunk totals and the join probe side read it,
+    // and cross-subtree plans re-execute (no CSE) — without this the
+    // text-splitting scan runs twice
     val sized = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / docsPerChunk))
+      .persist()
     val wChunks = Window.orderBy(col("chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunkOffsets = sized.groupBy(col("chunk"))
@@ -44,11 +48,14 @@ object TextOps {
       .select(col("chunk"), col("chunk_off"))
     val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    sized.join(broadcast(chunkOffsets), Seq("chunk"))
+    val out = sized.join(broadcast(chunkOffsets), Seq("chunk"))
       .withColumn("offset",
         col("chunk_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("offset"),
         floor(col("offset") / budget.toDouble).cast(LongType).as("shard"))
+      .localCheckpoint()
+    sized.unpersist()
+    out
   }
 
   val queries: Seq[Q] = Seq(

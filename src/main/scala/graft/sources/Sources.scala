@@ -35,7 +35,10 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
       dropCorrupt: Boolean = true, deadLetterPath: Option[String] = None): DataFrame = {
     val withCorrupt = schema.add(Corrupt, StringType)
+    // blank lines are not records: the json datasource skips them, and
+    // from_json('') would otherwise surface them as phantom all-null rows
     val parsed = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)).as("r"))
       .select(col("r.*"))
@@ -44,7 +47,7 @@ object Sources {
         .write.mode("append").text(dl)
     }
     if (dropCorrupt) parsed.filter(col(Corrupt).isNull).drop(Corrupt)
-    else parsed
+    else parsed.drop(Corrupt) // caller's declared schema; corrupt rows null out
   }
 
   def readCsv(spark: SparkSession, path: String, schema: StructType,

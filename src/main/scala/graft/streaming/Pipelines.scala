@@ -215,9 +215,17 @@ object Pipelines {
         val touched = batch.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSeq
         if (touched.nonEmpty) {
+          // null partition values (the default-partition dir) need an
+          // explicit isNull arm: SQL IN never matches null, and missing
+          // them here would let the overwrite below DELETE their history
+          val nonNull = touched.filter(_ != null)
+          val touchedCond = {
+            val in = if (nonNull.nonEmpty)
+              col(partitionCol).isInCollection(nonNull) else lit(false)
+            if (touched.exists(_ == null)) in || col(partitionCol).isNull else in
+          }
           val existing =
-            try spark.read.schema(batch.schema).parquet(path)
-              .filter(col(partitionCol).isInCollection(touched))
+            try spark.read.schema(batch.schema).parquet(path).filter(touchedCond)
             catch { case _: org.apache.spark.sql.AnalysisException =>
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[Row], batch.schema)

@@ -32,11 +32,15 @@ class SourcesSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/in/mixed.json"),
       """{"event_id": 1, "user_id": 2, "event_type": "click", "value": 3.0}
         |{"event_id": broken json line
+        |
         |{"event_id": 2, "user_id": 5, "event_type": "view", "value": 1.0}
+        |
         |""".stripMargin)
     val back = Sources.readJsonl(spark, s"$dir/in", schema,
       deadLetterPath = Some(s"$dir/dead"))
-    assert(back.count() == 2) // both valid rows kept
+    // both valid rows kept; blank/whitespace lines are NOT phantom records
+    assert(back.count() == 2)
+    assert(back.filter(col("event_id").isNull).count() == 0)
     val dead = spark.read.text(s"$dir/dead").collect().map(_.getString(0))
     assert(dead.length == 1 && dead.head.contains("broken json line"))
   }

@@ -247,6 +247,24 @@ class StreamingSpec extends SparkSpec {
       .select("current_price").head.getDouble(0) == 11.5)
   }
 
+  test("merging sink preserves existing null-partition rows across batches") {
+    // SQL IN never matches null: without the explicit isNull arm, batch 2
+    // would dynamic-overwrite __HIVE_DEFAULT_PARTITION__ and delete row 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_null").toString
+    def deliver(ckpt: String, rows: Seq[(Long, Option[String])]): Unit = {
+      val in = MemoryStream[(Long, Option[String])]
+      in.addData(rows: _*)
+      val q = Pipelines.mergingPartitionSink(in.toDF().toDF("k", "part"),
+        "part", keyCols = Seq("k"), s"$dir/lake", ckpt).start()
+      q.awaitTermination()
+    }
+    deliver(s"$dir/c1", Seq((1L, None), (10L, Some("p0"))))
+    deliver(s"$dir/c2", Seq((2L, None)))
+    val rows = spark.read.parquet(s"$dir/lake")
+    assert(rows.count() == 3)
+    assert(rows.filter(col("part").isNull).count() == 2) // 1 and 2 both kept
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
