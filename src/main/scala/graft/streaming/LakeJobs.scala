@@ -20,12 +20,12 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object QuotesLakeJob {
   def main(args: Array[String]): Unit =
-    LakeJobs.run(args, "quotes", "60 seconds")
+    LakeJobs.run(args, "quotes", graft.model.GraftConfig.QuotesCadence)
 }
 
 object NewsLakeJob {
   def main(args: Array[String]): Unit =
-    LakeJobs.run(args, "news", "15 minutes")
+    LakeJobs.run(args, "news", graft.model.GraftConfig.NewsCadence)
 }
 
 object LakeJobs {

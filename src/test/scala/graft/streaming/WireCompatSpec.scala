@@ -44,4 +44,13 @@ class WireCompatSpec extends SparkSpec {
     assert(rows("MSFT").isNullAt(rows("MSFT").fieldIndex("article_published_unix")))
     assert(rows("MSFT").isNullAt(rows("MSFT").fieldIndex("article_published_utc")))
   }
+
+  test("symbol-universe filter reproduces the producers' tracked-symbols invariant") {
+    import graft.model.GraftConfig
+    assert(GraftConfig.SymbolsToTrack ==
+      Seq("AAPL", "MSFT", "GOOGL", "AMZN", "NVDA", "META")) // ref config.py:4
+    val df = Seq("AAPL", "META", "UNTRACKED").toDF("symbol")
+    val kept = df.filter(GraftConfig.inUniverse).collect().map(_.getString(0)).toSet
+    assert(kept == Set("AAPL", "META"))
+  }
 }
