@@ -337,7 +337,10 @@ object TextDedup {
     * once on doc_id to reassemble — no joins, no per-pair work. A
     * boilerplate segment shared by millions of docs is ONE hot window
     * partition; its rows stream through a single counter, so skew costs
-    * I/O, not memory.
+    * I/O, not memory. The per-row segmentation lambda is interpreted
+    * (~15 segments/doc — far lighter than shingling's ~200); if it ever
+    * profiles hot, promote it to a codegen sibling of WordShingleHashes
+    * that emits the segment strings.
     */
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
