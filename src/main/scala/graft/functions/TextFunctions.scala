@@ -91,10 +91,75 @@ object WordShingleHashes {
   }
 }
 
+/** The text split into consecutive k-word segments, as strings —
+  * array<string> of ceil(nWords / k) elements, one pass over the UTF-8
+  * bytes (each segment is a contiguous byte slice; UTF8String.fromBytes
+  * wraps the region without copying). Byte-equal to
+  * `transform(sequence(0, ceil(size(ws)/k)-1),
+  *            j -> array_join(slice(ws, j*k+1, k), ' '))`
+  * over `ws = split(text, " ")`, but codegen instead of interpreted
+  * lambdas — the segmenting pass of corpus segment dedup.
+  */
+case class WordSegments(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"segment width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def computeRow(s: UTF8String): ArrayData = WordSegments.compute(s, k)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("segmenter", this, classOf[WordSegments].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordSegments =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_segments"
+}
+
+object WordSegments {
+
+  def compute(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes // one copy; segments wrap regions of it
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
+    val nSeg = (nWords + k - 1) / k
+    val out = new Array[AnyRef](nSeg)
+    var j = 0
+    while (j < nSeg) {
+      val start = starts(j * k)
+      val end = if ((j + 1) * k < nWords) starts((j + 1) * k) - 1 else len // exclusive
+      out(j) = UTF8String.fromBytes(bytes, start, end - start)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
 
   /** Distinct seed-42 xxhash64 of all n-word shingles of a string column. */
   def shingleHashes(c: Column, n: Int = 3): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       WordShingleHashes(org.apache.spark.sql.graft.GraftSqlShims.expression(c), n))
+
+  /** Consecutive k-word segments of a string column, as strings. */
+  def wordSegments(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      WordSegments(org.apache.spark.sql.graft.GraftSqlShims.expression(c), k))
 }

@@ -337,18 +337,14 @@ object TextDedup {
     * once on doc_id to reassemble — no joins, no per-pair work. A
     * boilerplate segment shared by millions of docs is ONE hot window
     * partition; its rows stream through a single counter, so skew costs
-    * I/O, not memory. The per-row segmentation lambda is interpreted
-    * (~15 segments/doc — far lighter than shingling's ~200); if it ever
-    * profiles hot, promote it to a codegen sibling of WordShingleHashes
-    * that emits the segment strings.
+    * I/O, not memory. Segmenting is the codegen WordSegments expression
+    * (one byte pass per row), same family as WordShingleHashes.
     */
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, int(ceil(size(ws) / ${wordsPerSeg}D)) - 1),
-            j -> array_join(slice(ws, j * $wordsPerSeg + 1, $wordsPerSeg), ' '))"""))
-        .as(Seq("pos", "segment")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.wordSegments(col("text"), wordsPerSeg))
+          .as(Seq("pos", "segment")))
     val w = Window.partitionBy(col("seg_h")).orderBy(col("doc_id"), col("pos"))
     segs
       .withColumn("seg_h", xxhash64(col("segment")))

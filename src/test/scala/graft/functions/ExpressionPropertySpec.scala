@@ -29,6 +29,15 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       got == expect
     }
 
+  property("WordSegments == split/grouped/mkString reference") =
+    forAll(text, Gen.chooseNum(1, 5)) { (t, k) =>
+      val expect = t.split(" ", -1).toSeq.grouped(k).map(_.mkString(" ")).toSeq
+      val got = WordSegments.compute(UTF8String.fromString(t), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).toSeq
+        .map(_.toString)
+      got == expect
+    }
+
   private val vec: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
 
