@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables
 
 /** Skew-handling utilities (builder brief: "skewed keys → salting or AQE
   * skew-join"). AQE rebalances sort-merge skew automatically; these cover
@@ -27,4 +29,28 @@ object Skew {
         min(col("pmin")).as("vmin"), max(col("pmax")).as("vmax"))
     (salted, merged)
   }
+
+  // The salted two-phase aggregation under the hard gate: its oracle is
+  // the PLAIN single-phase GROUP BY — salting must be invisible in the
+  // result. events.event_type has 5 values over 100k+ rows, exactly the
+  // hot-key shape the salt exists for. Decimal-exact value aggregation
+  // keeps the double sums order-independent across both plans and engines.
+  val queries: Seq[Q] = Seq(
+    Q("q_salted_agg",
+      (s, dir) => {
+        val (_, merged) = saltedAgg(Tables.load(s, dir, "events"),
+          col("event_type"), dec2(col("value")),
+          saltBuckets = 16, saltSource = col("event_id"))
+        merged.select(col("k").as("event_type"), col("n"),
+            col("total").cast(DoubleType).as("total"),
+            col("vmin").cast(DoubleType).as("vmin"),
+            col("vmax").cast(DoubleType).as("vmax"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                     CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+                     CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+              FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
 }

@@ -77,6 +77,15 @@ object Pipelines {
   def encodeForTopic(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** K1 on a keyed broker: (key, value) wire rows — the Kafka sink hashes
+    * `key` to a partition, reproducing the reference's
+    * PartitionKey=symbol per-key ordering guarantee
+    * (producer_stock_quotes.py:126-129).
+    */
+  def encodeForTopicKeyed(df: DataFrame, keyCol: String = "symbol"): DataFrame =
+    df.select(col(keyCol).cast(StringType).as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** Python's `datetime.isoformat()` on a whole-second UTC timestamp:
     * "2024-01-02T03:04:05+00:00" — note "+00:00", not the "Z" that
     * date_format's XXX pattern emits for zero offset.
@@ -148,6 +157,36 @@ object Pipelines {
     */
   def news(raw: DataFrame)(implicit spark: SparkSession): Dataset[NewsArticle] =
     HighWatermarkDedup(newsArticles(decodeNews(raw)))
+
+  /** Streaming as-of with bounded lookback: for each news article, the
+    * latest quote of the same symbol in [published - lookback, published]
+    * — the natural cross-stream query of the reference's two topics
+    * ("price context at publish time"). A TRUE as-of cannot stream (its
+    * lookback is unbounded, so join state would be too); the explicit
+    * lookback is what makes the stream-stream join's state
+    * watermark-finite, and is the domain's real contract — a quote older
+    * than the lookback is stale context anyway. Two chained stateful
+    * operators (watermarked interval join, then per-article max_by),
+    * relying on Spark 4 watermark propagation; articles with no quote in
+    * the window produce no row (inner semantics). Batch as-of with
+    * unbounded lookback stays `ops.AsOfJoin`/`plans.NativeAsOfJoin`.
+    */
+  def newsWithLatestQuote(quotes: DataFrame, news: DataFrame,
+      lookback: String = "1 hour", late: String = "2 minutes"): DataFrame = {
+    val q = quotes.withWatermark("event_ts", late)
+      .select(col("symbol").as("q_sym"), col("event_ts"), col("current_price"))
+    val n = news.withWatermark("published_ts", late)
+      .select(col("symbol"), col("news_id"), col("published_ts"))
+    n.join(q,
+        col("symbol") === col("q_sym") &&
+          col("event_ts") >= col("published_ts") - expr(s"INTERVAL $lookback") &&
+          col("event_ts") <= col("published_ts"))
+      .groupBy(col("symbol"), col("news_id"), col("published_ts"))
+      .agg(
+        max(col("event_ts")).as("asof_quote_ts"),
+        max_by(col("current_price"), struct(col("event_ts"), col("current_price")))
+          .as("asof_price"))
+  }
 
   // ---- sinks -----------------------------------------------------------
 

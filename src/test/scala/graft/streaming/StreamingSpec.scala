@@ -46,6 +46,12 @@ class StreamingSpec extends SparkSpec {
       .toDF("symbol", "c", "d", "dp", "h", "l", "o", "pc", "t")
     val encoded = Pipelines.encodeForTopic(wire)
     assert(encoded.columns.toSeq == Seq("value"))
+    // keyed form: K1's partition key rides alongside, value unchanged
+    val keyed = Pipelines.encodeForTopicKeyed(wire)
+    assert(keyed.columns.toSeq == Seq("key", "value"))
+    assert(keyed.select("key").head.getString(0) == "AAPL")
+    assert(keyed.select("value").head.getString(0) ==
+      encoded.select("value").head.getString(0))
     val back = Pipelines.quotes(Pipelines.decodeQuotes(encoded)).collect().head
     assert(back.getAs[String]("symbol") == "AAPL")
     assert(back.getAs[Double]("current_price") == 190.5)
@@ -192,6 +198,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ==
       Set(("AAPL", 1L, 100.0)))
+  }
+
+  test("streaming as-of: latest quote at or before publish, lookback-bounded") {
+    val qIn = MemoryStream[String]
+    val nIn = MemoryStream[String]
+    val out = Pipelines.newsWithLatestQuote(
+      Pipelines.quotes(Pipelines.decodeQuotes(qIn.toDF().toDF("value"))),
+      Pipelines.newsArticles(Pipelines.decodeNews(nIn.toDF().toDF("value"))).toDF(),
+      lookback = "1 hour", late = "1 minute")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    val base = 1700000000L
+    qIn.addData(
+      quoteJson("AAPL", 100.0, base),          // in window, older
+      quoteJson("AAPL", 101.0, base + 20),     // in window, latest <= publish
+      quoteJson("AAPL", 999.0, base + 40),     // AFTER publish: excluded
+      quoteJson("AAPL", 50.0, base - 7200),    // before lookback: excluded
+      quoteJson("MSFT", 75.0, base))           // other symbol
+    nIn.addData(newsJson("AAPL", 1L, base + 30))
+    q.processAllAvailable()
+    // advance both watermarks so the join + aggregation finalize
+    qIn.addData(quoteJson("AAPL", 1.0, base + 4000))
+    nIn.addData(newsJson("AAPL", 99L, base + 4000))
+    q.processAllAvailable()
+    val rows = spark.table("asof_stream")
+      .select("symbol", "news_id", "asof_price").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.contains(("AAPL", 1L, 101.0)), rows.mkString(", "))
+    assert(!rows.exists(_._3 == 999.0) && !rows.exists(_._3 == 50.0))
   }
 
   test("foreachBatch idempotent sink: replaying input converges, not duplicates") {
