@@ -179,6 +179,59 @@ object Relational2 {
                      ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
               FROM orders ORDER BY o_orderkey""")),
 
+    // Unpivot (melt): wide measure columns -> long (measure, val) rows —
+    // the inverse of q_pivot, a pure narrow transform (no shuffle).
+    Q("q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "measure", "val")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+                SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+                UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+              ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // Per-row edit distance — the classic fuzzy-string primitive both
+    // engines implement natively.
+    Q("q_edit_distance",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            levenshtein(col("p_name"), lit("forest green")).cast(LongType).as("dist"))
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, levenshtein(p_name, 'forest green') AS dist
+              FROM part ORDER BY p_partkey""")),
+
+    // Array set algebra over each document's first/second word halves —
+    // results sorted so both engines' unspecified orders compare equal.
+    Q("q_array_fns",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("a", expr("slice(ws, 1, int(size(ws) / 2))"))
+          .withColumn("b", expr("slice(ws, int(size(ws) / 2) + 1, size(ws))"))
+          .select(col("doc_id"),
+            array_sort(array_intersect(col("a"), col("b"))).as("inter"),
+            array_sort(array_union(col("a"), col("b"))).as("uni"),
+            array_sort(array_except(col("a"), col("b"))).as("exc"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     list_sort(list_distinct(list_intersect(a, b))) AS inter,
+                     list_sort(list_distinct(list_concat(a, b))) AS uni,
+                     list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS exc
+              FROM (SELECT doc_id,
+                           ws[1 : len(ws) // 2] AS a,
+                           ws[len(ws) // 2 + 1 : len(ws)] AS b
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              ORDER BY doc_id""")),
+
     // Distribution window functions: percent_rank / cume_dist / nth_value
     // — one shuffle on the partition key, same single-Window plan as the
     // ranking family.
