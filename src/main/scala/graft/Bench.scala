@@ -27,10 +27,17 @@ object Bench {
     // best-of-2 per query: the first run may pay one-time costs (cache
     // fill, codegen compilation) that aren't the query's steady-state time.
     // A query that throws records the sentinel -1, never its elapsed time.
+    // Timed via the noop sink, NOT count(): count(1) lets ColumnPruning
+    // delete every projected expression (a fingerprint query would time
+    // as a bare row-count scan) — noop executes the full plan and
+    // discards the rows.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0

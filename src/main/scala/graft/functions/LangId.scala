@@ -18,8 +18,10 @@ object LangId {
       "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar"),
     "es" -> Seq("de", "es", "en", "el", "la", "os", "ue", "ra", "qu", "do",
       "er", "as", "on", "st", "ad", "al", "or", "ta", "ci", "io"),
+    // all entries must be BIgrams — a trigram can never match the bigram
+    // set and silently deflates the language's normalized score
     "de" -> Seq("er", "en", "ch", "de", "ei", "nd", "te", "in", "ie", "ge",
-      "st", "ne", "be", "es", "un", "sch", "an", "he", "au", "ng"),
+      "st", "ne", "be", "es", "un", "ic", "an", "he", "au", "ng"),
     "fr" -> Seq("es", "le", "de", "en", "re", "nt", "on", "er", "te", "el",
       "an", "ai", "se", "et", "la", "it", "me", "ou", "em", "ie"))
 

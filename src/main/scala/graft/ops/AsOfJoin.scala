@@ -32,26 +32,33 @@ object AsOfJoin {
       leftTs: String, rightTs: String, rightValues: Seq[String],
       rightTieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns
+    // The payload is carried as ONE struct, not per-column: carrying each
+    // column with its own last(ignoreNulls) would tear values from
+    // DIFFERENT right rows whenever a payload field is null (a null
+    // field must ride along with its row, exactly like the native
+    // AsOfJoinExec carries the matched row atomically).
     // side 0 = right (sorts first at equal ts => "<=" semantics), 1 = left
     val r = right.select(
       keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        rightValues.map(c => col(c).as(s"asof_$c")) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(rightValues.map(col): _*).as("__payload")) ++
+        rightTieBreak.map(c => col(c).as("__tb")).toSeq ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val l = left.select(
       keys.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        rightValues.map(c => lit(null).as(s"asof_$c")) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).as("__payload")) ++
+        rightTieBreak.map(_ => lit(null).as("__tb")).toSeq ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val order = Seq(col("__ts"), col("__side")) ++
-      rightTieBreak.map(c => col(s"asof_$c").asc_nulls_first)
+      rightTieBreak.map(_ => col("__tb").asc_nulls_first)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightValues.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.toIndexedSeq.map(col) ++ rightValues.map(c => col(s"asof_$c")): _*)
+    r.unionByName(l)
+      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.toIndexedSeq.map(col) ++
+        rightValues.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
   }
 }

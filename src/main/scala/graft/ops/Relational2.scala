@@ -332,11 +332,14 @@ object Relational2 {
               GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
 
     // Map column type: props parsed as map<string,bigint>, key lookup.
+    // try_element_at, not element_at: under ANSI mode a row whose props
+    // lacks "k" must become null and drop in the filter (what the
+    // json_extract oracle does), not throw MAP_KEY_DOES_NOT_EXIST.
     Q("q_map_access",
       (s, dir) =>
         t(s, dir, "events")
           .select(col("event_id"),
-            element_at(from_json(col("props"), MapType(StringType, LongType)), "k").as("k"))
+            try_element_at(from_json(col("props"), MapType(StringType, LongType)), lit("k")).as("k"))
           .filter(col("k") >= 90)
           .orderBy(col("event_id")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

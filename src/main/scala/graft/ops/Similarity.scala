@@ -153,8 +153,11 @@ object Similarity {
     * driver-side structure an IVF index legitimately keeps — and shipped
     * back as literal arrays through the codegen'd dot product.
     */
-  def ivfTopK(s: SparkSession, emb: DataFrame, nQueries: Int, k: Int,
+  def ivfTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // same null-embedding contract as the LSH paths: a vector that
+    // doesn't exist is neither a seed, a corpus candidate, nor a query
+    val emb = embRaw.filter(col("embedding").isNotNull)
     def nearestCells(df: DataFrame, cents: Seq[(Int, Seq[Float])], n: Int): DataFrame = {
       // scores per centroid via literal-array dots, then top-n cell ids
       val scored = cents.foldLeft(df) { case (d, (cid, v)) =>

@@ -103,14 +103,12 @@ object Temporal {
               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
        FROM events WHERE event_type IN ('click','purchase')),
        w AS (SELECT *,
-              last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+              last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value) END IGNORE NULLS)
                 OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
-              last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
-                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
              FROM e)
-       SELECT event_id AS purchase_id, user_id, last_click_id, last_click_value
+       SELECT event_id AS purchase_id, user_id,
+              lc.i AS last_click_id, lc.v AS last_click_value
        FROM w WHERE kind = 1 ORDER BY purchase_id"""
 
   val queries: Seq[Q] = Seq(
@@ -142,10 +140,14 @@ object Temporal {
     Q("q_sessionize",
       (s, dir) => {
         val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        // exact interval comparison — unix_timestamp() floors to seconds,
+        // which disagrees with the oracle's microsecond-exact ts - lag(ts)
+        // on gaps within a second of the boundary
         t(s, dir, "events")
           .withColumn("gap", when(
-            unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wo)) > 86400L ||
-              lag(col("ts"), 1).over(wo).isNull, 1L).otherwise(0L))
+            lag(col("ts"), 1).over(wo).isNull ||
+              col("ts") - lag(col("ts"), 1).over(wo) > expr("INTERVAL 1 DAY"),
+            1L).otherwise(0L))
           .withColumn("session_id", sum(col("gap")).over(
             wo.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy(col("user_id"), col("session_id"))

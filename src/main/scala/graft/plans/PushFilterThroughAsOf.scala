@@ -21,8 +21,10 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, a: AsOfJoinNode) =>
       val leftOut = a.left.outputSet
+      // deterministic-only, like Catalyst's own pushdown rules: a pushed
+      // rand() would re-flip on partial recomputation after executor loss
       val (pushable, kept) = splitConjuncts(cond)
-        .partition(_.references.subsetOf(leftOut))
+        .partition(c => c.deterministic && c.references.subsetOf(leftOut))
       if (pushable.isEmpty) f
       else {
         val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))

@@ -100,10 +100,9 @@ object Sources {
     */
   def writeHivePartitioned(df: DataFrame, tsCol: String, path: String,
       format: String = "parquet"): Unit =
-    df.withColumn("year", date_format(col(tsCol), "yyyy"))
-      .withColumn("month", date_format(col(tsCol), "MM"))
-      .withColumn("day", date_format(col(tsCol), "dd"))
-      .withColumn("hour", date_format(col(tsCol), "HH"))
+    // one partition-scheme definition for batch AND streaming writers —
+    // the layouts must never drift
+    graft.streaming.Pipelines.withHivePartitions(df, tsCol)
       .write.mode("overwrite")
       .partitionBy("year", "month", "day", "hour")
       .format(format).save(path)

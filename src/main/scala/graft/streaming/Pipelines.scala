@@ -86,12 +86,21 @@ object Pipelines {
     df.select(col(keyCol).cast(StringType).as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  /** Python's `datetime.isoformat()` on a whole-second UTC timestamp:
-    * "2024-01-02T03:04:05+00:00" — note "+00:00", not the "Z" that
-    * date_format's XXX pattern emits for zero offset.
+  /** Python's `datetime.isoformat()` for a UTC timestamp:
+    * "2024-01-02T03:04:05+00:00", with ".ffffff" microseconds appended
+    * ONLY when non-zero (isoformat omits a zero fraction) and "+00:00"
+    * rather than the "Z" date_format's XXX pattern emits. Event times
+    * built from unix seconds are whole-second; fetch timestamps
+    * (current_timestamp) are not — both must round-trip byte-equal.
     */
-  private def pyIso(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))
+  private def pyIso(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val micros = unix_micros(ts) % 1000000L
+    concat(
+      date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+      when(micros =!= 0L, concat(lit("."), lpad(micros.cast("string"), 6, "0")))
+        .otherwise(lit("")),
+      lit("+00:00"))
+  }
 
   /** Compat projection to the reference's EXACT quote wire fields — the
     * engine normalizes each event time to one TimestampType column
@@ -223,9 +232,11 @@ object Pipelines {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+        // per-write option, NOT session conf: mutating the shared conf
+        // would silently make every later overwrite in the session dynamic
+        batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol).parquet(path)
       }
 
   /** foreachBatch sink that MERGES into touched partitions instead of
@@ -250,7 +261,6 @@ object Pipelines {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val touched = batch.select(col(partitionCol)).distinct()
           .collect().map(_.get(0)).toSeq
         if (touched.nonEmpty) {
@@ -276,7 +286,10 @@ object Pipelines {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1)
             .drop("__is_new", "__rn")
-          merged.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+          // per-write option, NOT session conf (same reason as above)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionCol).parquet(path)
         }
       }
 
