@@ -15,7 +15,10 @@ class WireCompatSpec extends SparkSpec {
     assert(row.getAs[Long]("quote_timestamp_unix") == 1700000000L)
     // python: datetime.fromtimestamp(1700000000, tz=timezone.utc).isoformat()
     assert(row.getAs[String]("quote_timestamp_utc") == "2023-11-14T22:13:20+00:00")
-    assert(row.getAs[String]("fetch_timestamp_utc").endsWith("+00:00"))
+    // fetch_ts = current_timestamp() carries micros: isoformat shape with
+    // optional 6-digit fraction, "+00:00" offset (never "Z")
+    assert(row.getAs[String]("fetch_timestamp_utc")
+      .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{6})?\+00:00"""))
     assert(row.getAs[Double]("current_price") == 190.5)
     // the reference's exact field set, producer construction order
     // (producer_stock_quotes.py:98-110)
