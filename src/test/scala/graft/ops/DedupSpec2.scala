@@ -24,6 +24,23 @@ class CcRegimeSpec extends SparkSpec {
     assert(local(301L) == 300L && local(300L) == 300L)
   }
 
+  test("regimes agree on seeded random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a_id", "b_id")
+      val local = TextDedup.connectedComponents(df, localThreshold = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = TextDedup.connectedComponents(df, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == star, s"trial $trial: $local vs $star")
+      // every keeper is its component's min: keepers map to themselves
+      assert(local.values.toSet.forall(k => local(k) == k))
+    }
+  }
+
   test("duplicate and reversed input edges don't change components") {
     val df = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
     def run(thr: Long) = TextDedup.connectedComponents(df, localThreshold = thr)

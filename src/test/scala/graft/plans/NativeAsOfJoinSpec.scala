@@ -76,6 +76,21 @@ class NativeAsOfJoinSpec extends SparkSpec {
     assert(out.count() == unpushed.length)
   }
 
+  test("nondeterministic predicates are NOT pushed below the as-of join") {
+    val e = Tables.load(spark, sf0001, "events")
+    val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
+    val r = e.filter(col("event_type") === "click").select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = NativeAsOfJoin.join(l, r, Seq("user_id"), "ts", "ts", Seq("value"))
+      .filter(rand(7) < lit(0.5) && col("user_id") >= 0) // rand conjunct must stay above
+    val optimized = out.queryExecution.optimizedPlan
+    // the deterministic conjunct may push; the rand() one must remain in a
+    // Filter ABOVE the as-of node (pushed rand re-flips on recomputation)
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      optimized.getClass.toString)
+    assert(optimized.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]
+      .condition.toString.contains("rand"))
+  }
+
   test("physical plan declares key clustering (co-partitions like SMJ)") {
     val e = Tables.load(spark, sf0001, "events")
     val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))
