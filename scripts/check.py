@@ -43,6 +43,15 @@ for name in declared:
             print(f"{name:28s} NO-ORACLE rows={n}")
         continue
     try:
+        # The DRIVER's compare sorts via pandas, which cannot hash list/struct
+        # cells — an array-typed output column passes here (duckdb ORDER BY ALL
+        # handles lists) but fails the real gate. Flag it as a failure locally.
+        nested = [c for c, t in zip(spark_rel.columns, spark_rel.types)
+                  if "[]" in str(t) or "STRUCT" in str(t) or "MAP" in str(t)]
+        if nested:
+            print(f"{name:28s} FAIL nested-typed output cols (driver pandas sort chokes): {nested}")
+            fails += 1
+            continue
         ora = con.sql(oracle[name])
         scols, ocols = spark_rel.columns, ora.columns
         if sorted(scols) != sorted(ocols):

@@ -210,7 +210,10 @@ object Relational2 {
               FROM part ORDER BY p_partkey""")),
 
     // Array set algebra over each document's first/second word halves —
-    // results sorted so both engines' unspecified orders compare equal.
+    // sorted and joined to strings: the driver's oracle compare sorts
+    // result columns with pandas, which cannot hash array cells, so
+    // oracled queries must emit scalar columns (the array ops themselves
+    // are still what's under test).
     Q("q_array_fns",
       (s, dir) =>
         t(s, dir, "documents")
@@ -218,14 +221,14 @@ object Relational2 {
           .withColumn("a", expr("slice(ws, 1, int(size(ws) / 2))"))
           .withColumn("b", expr("slice(ws, int(size(ws) / 2) + 1, size(ws))"))
           .select(col("doc_id"),
-            array_sort(array_intersect(col("a"), col("b"))).as("inter"),
-            array_sort(array_union(col("a"), col("b"))).as("uni"),
-            array_sort(array_except(col("a"), col("b"))).as("exc"))
+            array_join(array_sort(array_intersect(col("a"), col("b"))), " ").as("inter"),
+            array_join(array_sort(array_union(col("a"), col("b"))), " ").as("uni"),
+            array_join(array_sort(array_except(col("a"), col("b"))), " ").as("exc"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
-                     list_sort(list_distinct(list_intersect(a, b))) AS inter,
-                     list_sort(list_distinct(list_concat(a, b))) AS uni,
-                     list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))) AS exc
+                     coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ' '), '') AS inter,
+                     coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ' '), '') AS uni,
+                     coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ' '), '') AS exc
               FROM (SELECT doc_id,
                            ws[1 : len(ws) // 2] AS a,
                            ws[len(ws) // 2 + 1 : len(ws)] AS b
