@@ -151,6 +151,64 @@ object WordSegments {
   }
 }
 
+/** Whole MinHash signature in one pass: out[i] = min over h in the input
+  * array of xxhash64(i, h), for i in 0 until numHashes — array<long> of
+  * numHashes slots (Long.MaxValue slots for an empty array).
+  *
+  * Bitwise-equal to the aggregate formulation
+  * `explode(hs) -> groupBy(doc).agg(min(xxhash64(lit(i), h)) for i)`:
+  * SQL xxhash64(lit(i), h) folds seed 42 through the int then the long,
+  * so per-function seeds precompute as XXH64.hashInt(i, 42) and each
+  * element costs one XXH64.hashLong. The aggregate form needs an explode
+  * plus a 65-column hash aggregation whose generated update method is
+  * large enough that janino+JIT dominate a cold run (~5 s at sf0.1); this
+  * is a per-row loop in one small codegen unit, no shuffle at all.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // seed_i = xxhash64 state after hashing the int literal i with seed 42,
+  // identical to SQL xxhash64(lit(i), h)'s first fold
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  def computeRow(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = a.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, seeds(i))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("minhasher", this, classOf[MinHashSignature].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
 object TextFunctions {
 
   /** Distinct seed-42 xxhash64 of all n-word shingles of a string column. */
@@ -162,4 +220,9 @@ object TextFunctions {
   def wordSegments(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       WordSegments(org.apache.spark.sql.graft.GraftSqlShims.expression(c), k))
+
+  /** numHashes-slot MinHash signature of an array<long> hash column. */
+  def minhashSignature(c: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      MinHashSignature(org.apache.spark.sql.graft.GraftSqlShims.expression(c), numHashes))
 }

@@ -133,27 +133,22 @@ object TextDedup {
   def minhashPairs(docs: DataFrame, minJaccard: Double,
       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
-    // One shingling pass, persisted as (doc_id, h) longs only — the
-    // shingle expression would otherwise re-run for every plan subtree
-    // that references it (signatures + both verification probes).
-    // ~16 bytes/shingle; at warehouse scale this materializes to a table.
-    val ex = shingled(docs)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .persist()
-    // Signature via explode + codegen'd min aggregates: the variable-length
-    // shingle STRING is xxhash64'd once, and the 64 signature hashes
-    // re-hash that fixed 8-byte long with per-function seeds — one xxhash
-    // round each, in one whole-stage-codegen stage. (A seedless linear
-    // a*h+b family is order-preserving and degenerates to single-hash
-    // minhash; ANSI mode also forbids the wrapping 64-bit arithmetic a
-    // mod-prime family would need.)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    // one aggregation computes the signature AND the distinct-shingle count
-    val sig = ex.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sh"), minCols: _*)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"h$i")): _*))
-      .select(col("doc_id"), col("n_sh"), col("sig"))
+    // One shingling pass, persisted as doc-level hash ARRAYS — both the
+    // signature pass and the (exploded) verification probes re-read the
+    // cached arrays instead of re-shingling the corpus. ~16 bytes/shingle;
+    // at warehouse scale this materializes to a table.
+    val sh = shingled(docs).persist()
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    // Whole signature per row via ONE small codegen expression (no
+    // explode, no shuffle): sig[i] = min over shingles of xxhash64(i, h),
+    // bitwise-equal to the 64-min-aggregate formulation but without its
+    // huge generated update method — that aggregate's janino+JIT cost
+    // alone was ~5 s on a cold sf0.1 run. (A seedless linear a*h+b family
+    // is order-preserving and degenerates to single-hash minhash; ANSI
+    // mode also forbids the wrapping 64-bit arithmetic a mod-prime family
+    // would need.)
+    val sig = sh.select(col("doc_id"), col("n_sh"),
+        graft.functions.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
       .persist()
     val banded = sig.select(col("doc_id"),
         explode(expr(
@@ -187,7 +182,7 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
     // persist -> materialize -> unpersist: no caches outlive the query
     val out = verified.localCheckpoint()
-    ex.unpersist()
+    sh.unpersist()
     sig.unpersist()
     out
   }

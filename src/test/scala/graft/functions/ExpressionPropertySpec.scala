@@ -38,6 +38,21 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       got == expect
     }
 
+  property("MinHashSignature == min over XXH64.hashLong(h, hashInt(i, 42)) reference") =
+    forAll(Gen.listOf(Gen.long), Gen.chooseNum(1, 16)) { (hs, k) =>
+      val got = MinHashSignature(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          hs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        k).eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      val expect = (0 until k).map { i =>
+        val seed = XXH64.hashInt(i, 42L)
+        if (hs.isEmpty) Long.MaxValue
+        else hs.map(h => XXH64.hashLong(h, seed)).min
+      }
+      got == expect
+    }
+
   private val vec: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
 
