@@ -15,7 +15,8 @@ object SparkEntry {
   def all: Seq[Q] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Temporal.queries ++
       ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries ++
-      ops.Skew.queries ++ ops.BloomJoin.queries ++ multimodal.Multimodal.queries
+      ops.Skew.queries ++ ops.BloomJoin.queries ++ ops.CorpusOps.queries ++
+      multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,300 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-analytics batch: the term-statistics, deterministic-sampling and
+  * calendar operators a training-data pipeline runs corpus-wide, plus the
+  * remaining engine-surface entries (correlated EXISTS, RANGE frames,
+  * cross join, first/last navigation).
+  *
+  * Scale notes (the 100 TB lens):
+  *  - every term-statistics query is explode -> partial-agg -> final-agg:
+  *    the shuffle carries one row per DISTINCT (doc,term) or term, never
+  *    the token stream itself;
+  *  - sampling is hash-deterministic (md5 of the key), so it is stable
+  *    under retries/replays and needs no global sort or count — the
+  *    standard trick for reproducible corpus subsets;
+  *  - top-k queries end in TakeOrderedAndProject (O(k) per partition,
+  *    no global sort).
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** (doc_id, term) exploded token stream, empty tokens dropped. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+
+  val queries: Seq[Q] = Seq(
+
+    // TF-IDF top-3 terms per document. Scoring uses ratio idf (tf * N/df)
+    // rather than log idf: the ranking inputs stay integer-exact and the
+    // one double op is a single IEEE division, so Spark and DuckDB agree
+    // bitwise (libm log is not guaranteed identical across engines; a log
+    // variant is a one-expression swap). Plan: tokens -> (doc,term) counts
+    // (partial+final agg) -> df by term -> broadcast N -> per-doc top-3
+    // via row_number. The df join shuffles O(vocab), never the corpus.
+    Q("q_tfidf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(dft, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast(DoubleType) * col("n_docs") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"), col("term"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                                     CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / dft.df AS score,
+                                     row_number() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY tf.tf DESC, dft.df ASC, tf.term ASC) AS rn
+                              FROM tf JOIN dft USING (term))
+              SELECT doc_id, term, tf, df, score FROM scored WHERE rn <= 3
+              ORDER BY doc_id, term""")),
+
+    // Corpus-wide top-100 tokens — the Zipf head. Partial aggregation
+    // combines per-partition counts map-side; the deterministic
+    // (cnt DESC, term ASC) key makes the cut stable under ties.
+    Q("q_token_freq",
+      (s, dir) =>
+        tokens(t(s, dir, "documents"))
+          .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(100),
+      Some("""SELECT term, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+              WHERE term <> ''
+              GROUP BY term ORDER BY cnt DESC, term LIMIT 100""")),
+
+    // Top-50 word bigrams: posexplode keeps token positions, lead() over
+    // (doc, pos) forms each adjacent pair — one shuffle on doc_id (the
+    // window), then the same partial-agg count/top-k shape as unigrams.
+    // (The oracle builds the pair list with a DuckDB list comprehension —
+    // same raw adjacency, so identical pairs.)
+    Q("q_bigram_freq",
+      (s, dir) => {
+        val tp = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "tok")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        tp.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(50)
+      },
+      Some("""SELECT bigram, count(*) AS cnt
+              FROM (SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                                   for i in generate_series(1, len(ws) - 1)]) AS bigram
+                    FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+              GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""")),
+
+    // Deterministic ~5% corpus sample: keep docs whose md5(doc_id) starts
+    // <= '0c' (13/256). Pure per-row filter — no count, no sort, no state;
+    // replay-stable and embarrassingly parallel, unlike rand()-based
+    // sampling which changes under retries.
+    Q("q_hash_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) <= "0c")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'
+              ORDER BY doc_id""")),
+
+    // Stratified deterministic sample: 20 docs per source, ranked by
+    // md5(doc_id) — a reproducible per-stratum quota. One shuffle on the
+    // stratum key; rank state is O(1) per partition after the sort.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 20)
+          .select(col("source"), col("doc_id"), col("rn"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, doc_id, rn FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents)
+              WHERE rn <= 20 ORDER BY source, rn""")),
+
+    // Calendar gap fill: generate the full min..max day range (sequence +
+    // explode — O(days), driver-free) and left-join daily aggregates, so
+    // missing days surface as explicit zero rows — the standard
+    // time-series densification before windowed training features.
+    Q("q_gap_fill_days",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val daily = e.groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+        val cal = e.agg(date_trunc("day", min(col("ts"))).as("mn"),
+            date_trunc("day", max(col("ts"))).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 day"))).as("day"))
+        cal.join(daily, Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH bounds AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+                                     CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS mx
+                              FROM events),
+                   cal AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM bounds),
+                   daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                                    count(*) AS n_events,
+                                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                             FROM events GROUP BY 1)
+              SELECT cal.day,
+                     coalesce(daily.n_events, 0) AS n_events,
+                     coalesce(daily.total, 0.0) AS total
+              FROM cal LEFT JOIN daily ON cal.day = daily.day
+              ORDER BY cal.day""")),
+
+    // Correlated EXISTS through the SQL entry point — Catalyst rewrites it
+    // to a left-semi join (same plan class as q_semi_join), proving the
+    // subquery surface, not just the DataFrame API.
+    Q("q_exists_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderpriority = '1-URGENT')
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')
+              ORDER BY c_custkey""")),
+
+    // Trailing-1-hour sliding aggregate per user via a RANGE frame over
+    // epoch microseconds — event-time feature engineering without
+    // self-joining the stream against itself. One shuffle on user_id;
+    // the frame is evaluated in a single ordered pass per key.
+    Q("q_range_frame_1h",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec2(col("value"))).over(w).cast(DoubleType).as("sum_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+                     count(*) OVER w AS n_1h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // Fixed-width histogram of order totals: floor-divide to a bucket id,
+    // then partial+final count/sum — O(buckets) shuffle. (floor(x/c) on
+    // doubles is one IEEE division, bitwise-identical across engines.)
+    Q("q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 50000.0).cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("bucket")),
+      Some("""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+                     count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // Grouped distinct-set aggregation to a sorted joined string — the
+    // scalar-safe form of collect_set (the driver's compare cannot hash
+    // array cells). Broadcast dim join + O(groups × distinct values) agg.
+    Q("q_collect_set_str",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .join(t(s, dir, "customer"),
+            col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+            count(lit(1)).as("n_cust"))
+          .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+                     string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+                     count(*) AS n_cust
+              FROM nation JOIN customer ON n_nationkey = c_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    // Explicit cartesian product of two tiny dims — the one join shape
+    // with no keys at all; Spark plans a broadcast nested-loop. Only ever
+    // sane when one side is broadcastable (125 rows here).
+    Q("q_cross_join",
+      (s, dir) =>
+        t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+          .select(col("r_name"), col("n_name"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name""")),
+
+    // first/last navigation over each user's event history — session
+    // entry/exit values. (ts, event_id) ordering makes ties deterministic;
+    // last_value needs the full frame (default frames stop at CURRENT ROW).
+    Q("q_first_last_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            first(col("value")).over(w).as("first_val"),
+            last(col("value")).over(wf).as("last_val"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+                     first_value(value) OVER w AS first_val,
+                     last_value(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""")),
+
+    // PII-style redaction: every digit run in the payload replaced — the
+    // per-row scrub pass every training corpus gets. Pure codegen'd
+    // regexp_replace, zero shuffles. (DuckDB needs the 'g' flag; Spark
+    // replaces all matches by default.)
+    Q("q_pii_redact",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_id"),
+            regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+                     regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+              FROM events ORDER BY event_id"""))
+  )
+}
