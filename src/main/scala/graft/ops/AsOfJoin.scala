@@ -27,21 +27,30 @@ object AsOfJoin {
     * @param rightTieBreak right column ordering rows that share (key, ts):
     *                      the greatest wins; None if right timestamps are
     *                      unique per key
+    * @param toleranceMicros max staleness: a match older than this many
+    *                      microseconds before leftTs is discarded (asof_*
+    *                      come back null, the left row is kept) — the
+    *                      pandas merge_asof `tolerance` semantics. Requires
+    *                      timestamp-typed ts columns. None = unbounded.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     // The payload is carried as ONE struct, not per-column: carrying each
     // column with its own last(ignoreNulls) would tear values from
     // DIFFERENT right rows whenever a payload field is null (a null
     // field must ride along with its row, exactly like the native
-    // AsOfJoinExec carries the matched row atomically).
+    // AsOfJoinExec carries the matched row atomically). The right ts
+    // rides inside the struct for the same reason — the tolerance check
+    // must see the ts of the row whose values were carried.
     // side 0 = right (sorts first at equal ts => "<=" semantics), 1 = left
+    val payload = struct(col(rightTs).as("__rts") +: rightValues.map(col): _*)
     val r = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-          struct(rightValues.map(col): _*).as("__payload")) ++
+          payload.as("__payload")) ++
         rightTieBreak.map(c => col(c).as("__tb")).toSeq ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val l = left.select(
@@ -55,10 +64,17 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    r.unionByName(l)
+    val carried = r.unionByName(l)
       .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.toIndexedSeq.map(col) ++
-        rightValues.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
+    // tolerance: null the whole carried struct when the match is stale —
+    // a pure per-row post-filter, the window pass is unchanged
+    val bounded = toleranceMicros.fold(carried) { tol =>
+      carried.withColumn("__carried",
+        when(unix_micros(col("__ts")) - unix_micros(col("__carried.__rts")) <= tol,
+          col("__carried")))
+    }
+    bounded.select(leftCols.toIndexedSeq.map(col) ++
+      rightValues.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
   }
 }

@@ -30,12 +30,49 @@ object Skew {
     (salted, merged)
   }
 
+  /** Salted equi-join for skewed fact keys: the fact side gets a
+    * deterministic salt in [0, saltBuckets); the dim side is replicated
+    * across ALL salt values (explode of a literal sequence — dim rows ×
+    * saltBuckets, fine for dims, never for facts); the join runs on
+    * (key, salt), spreading each hot key over saltBuckets reducers.
+    * Same results as the unsalted join by construction. AQE's skew-join
+    * split covers sort-merge; this is the explicit form that also works
+    * for hash joins, pre-AQE engines, and deliberate partition control.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltBuckets: Int, saltSource: Column): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(saltBuckets)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+
   // The salted two-phase aggregation under the hard gate: its oracle is
   // the PLAIN single-phase GROUP BY — salting must be invisible in the
   // result. events.event_type has 5 values over 100k+ rows, exactly the
   // hot-key shape the salt exists for. Decimal-exact value aggregation
   // keeps the double sums order-independent across both plans and engines.
   val queries: Seq[Q] = Seq(
+    // Salted join under the gate: oracle is the plain equi-join — the
+    // salt must be invisible in the result here too.
+    Q("q_salted_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val customer = Tables.load(s, dir, "customer")
+        saltedJoin(events, customer, "user_id", "c_custkey",
+            saltBuckets = 8, saltSource = col("event_id"))
+          .select(col("event_id"), col("user_id"), col("c_name"),
+            col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, c_name, event_type
+              FROM events JOIN customer ON user_id = c_custkey
+              ORDER BY event_id""")),
+
     Q("q_salted_agg",
       (s, dir) => {
         val (_, merged) = saltedAgg(Tables.load(s, dir, "events"),
