@@ -301,6 +301,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("part").isNull).count() == 2) // 1 and 2 both kept
   }
 
+  test("built-in bounded-state dedup: dropDuplicatesWithinWatermark") {
+    // The built-in sibling of HighWatermarkDedup: exact dedup with state
+    // EVICTED by the watermark (bounded memory at 100 TB), at the price of
+    // re-admitting an id that reappears after eviction — the engine offers
+    // both and the divergence spec documents when they differ.
+    val in = MemoryStream[String]
+    val base = 1700000000L
+    val deduped = Pipelines.newsArticles(Pipelines.decodeNews(in.toDF().toDF("value")))
+      .withWatermark("published_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("symbol", "news_id")
+    val q = deduped.writeStream.format("memory").queryName("ddww_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(newsJson("AAPL", 1L, base), newsJson("AAPL", 1L, base + 5), // dup
+      newsJson("AAPL", 2L, base + 10))
+    q.processAllAvailable()
+    in.addData(newsJson("AAPL", 1L, base + 20)) // still within state: dup
+    q.processAllAvailable()
+    val got = spark.table("ddww_out").select("news_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 2L), s"got $got")
+  }
+
+  test("stream-static join: streaming facts enriched from a batch dim table") {
+    // The dim side is a plain batch DataFrame — Spark broadcasts it into
+    // every micro-batch; no watermark, no state, the standard lookup-join
+    // shape for reference data at any scale.
+    val dim = Seq(("AAPL", "Apple Inc"), ("MSFT", "Microsoft")).toDF("sym", "company")
+    val in = MemoryStream[String]
+    val joined = Pipelines.quotes(Pipelines.decodeQuotes(in.toDF().toDF("value")))
+      .join(broadcast(dim), col("symbol") === col("sym"), "left")
+      .select(col("symbol"), col("current_price"), col("company"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(quoteJson("AAPL", 190.5, 1700000000L),
+      quoteJson("NVDA", 700.0, 1700000000L)) // no dim row -> null company
+    q.processAllAvailable()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+    q.stop()
+    assert(got == Set(("AAPL", Some("Apple Inc")), ("NVDA", None)))
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
