@@ -43,13 +43,18 @@ object CorpusOps {
     Q("q_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // persisted: tf feeds BOTH the df aggregation and the scoring join,
+        // and cross-subtree plans re-execute (no CSE) — without this the
+        // corpus is tokenized and aggregated twice (at warehouse scale tf
+        // materializes to a table)
         val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+          .persist()
         val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-        tf.join(dft, Seq("term"))
+        val out = tf.join(dft, Seq("term"))
           .crossJoin(broadcast(n))
           .withColumn("score",
             col("tf").cast(DoubleType) * col("n_docs") / col("df"))
@@ -57,6 +62,9 @@ object CorpusOps {
           .filter(col("rn") <= 3)
           .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
           .orderBy(col("doc_id"), col("term"))
+          .localCheckpoint()
+        tf.unpersist()
+        out
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
                    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),

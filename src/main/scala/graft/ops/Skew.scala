@@ -62,7 +62,11 @@ object Skew {
     Q("q_salted_join",
       (s, dir) => {
         val events = Tables.load(s, dir, "events")
-        val customer = Tables.load(s, dir, "customer")
+        // merge hint: at test scale Catalyst would broadcast the dim and
+        // silently skip the salted shuffle this operator exists for —
+        // salting only matters when BOTH sides shuffle (the real
+        // too-big-to-broadcast case), so force the sort-merge path here
+        val customer = Tables.load(s, dir, "customer").hint("merge")
         saltedJoin(events, customer, "user_id", "c_custkey",
             saltBuckets = 8, saltSource = col("event_id"))
           .select(col("event_id"), col("user_id"), col("c_name"),
