@@ -92,17 +92,32 @@ object TextDedup {
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
     // prefix = the (n - ceil(j*n) + 1) smallest hashes, computed PER ROW
     // by sorting the doc's own hash array — no shuffle, no window; only
-    // prefix tokens are ever exploded into the candidate join.
+    // prefix tokens are ever exploded into the candidate join. posexplode
+    // keeps each token's 1-based rank in the SORTED array (the prefix is
+    // its first k elements), feeding the positional filter below.
     val prefix = sh.select(col("doc_id"), col("n_sh"),
-      explode(expr(
-        s"slice(array_sort(hs), 1, int(n_sh - ceil(n_sh * $minJaccard) + 1))")).as("sh"))
-    val cand = prefix.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh")), Seq("sh"))
+        posexplode(expr(
+          s"slice(array_sort(hs), 1, int(n_sh - ceil(n_sh * $minJaccard) + 1))")))
+      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("p"), col("col").as("sh"))
+    // PPJoin positional filter: take each pair's SMALLEST shared prefix
+    // token (min over the token's global hash order, carrying its
+    // positions) — every other shared token sorts after it on both sides,
+    // so true overlap <= 1 + min(na-pa, nb-pb), which must reach the
+    // overlap threshold alpha = ceil(j/(1+j) * (na+nb)) equivalent to
+    // jaccard >= j. A pure candidate prune before verification — the
+    // exact-jaccard gate below is unchanged, the oracle proves it.
+    val cand = prefix.select(col("doc_id").as("a_id"), col("n_sh").as("na"),
+        col("p").as("pa"), col("sh"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+        col("p").as("pb"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")).cast(DoubleType) >=
           greatest(col("na"), col("nb")) * minJaccard)
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(min(struct(col("sh"), col("pa"), col("pb"))).as("w"))
+      .filter(lit(1) + least(col("na") - col("w.pa"), col("nb") - col("w.pb")) >=
+        ceil(lit(minJaccard) * (col("na") + col("nb")) / (1.0 + minJaccard)))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .distinct()
     // exact verification: |intersection| via the full inverted index
     val verified = cand
       .join(ex.select(col("doc_id").as("a_id"), col("sh").as("h")), Seq("a_id"))
