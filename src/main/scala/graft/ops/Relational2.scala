@@ -389,6 +389,86 @@ object Relational2 {
                 SELECT user_id FROM events WHERE event_type = 'error'
                 UNION ALL
                 SELECT user_id FROM events WHERE event_type = 'signup')
-              GROUP BY user_id ORDER BY user_id"""))
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // RIGHT OUTER join (the left form's mirror — kept distinct because
+    // plan-side build/stream roles flip): all customers, their order
+    // counts, null-padded where a customer never ordered.
+    Q("q_right_join",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
+              FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+              RIGHT JOIN customer ON o_custkey = c_custkey
+              ORDER BY c_custkey""")),
+
+    // Conditional aggregation: FILTER-ed aggregates + CASE-sum in one
+    // grouped pass — the pivot-without-pivot idiom (one scan, no joins).
+    Q("q_conditional_agg",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            count(when(col("event_type") === "click", 1)).as("n_clicks"),
+            count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+            sum(when(col("event_type") === "purchase", dec2(col("value")))
+              .otherwise(lit(0).cast(D2))).cast(DoubleType).as("purchase_total"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+                     count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(value AS DECIMAL(18,2))
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_total
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other instead of dropping — the grouping-compatible join
+    // semantics. Null keys are derived (users divisible by 7 anonymize to
+    // null) so both engines join real null groups.
+    Q("q_null_safe_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val keyed = e.select(
+          when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id") % 100)
+            .as("bucket"),
+          col("value"))
+        val dims = keyed.groupBy(col("bucket").as("b"))
+          .agg(count(lit(1)).as("bucket_n"))
+        keyed.join(dims, col("bucket") <=> col("b"))
+          .groupBy(col("bucket"), col("bucket_n"))
+          .agg(dsum(col("value")).as("total"))
+          .select(col("bucket"), col("bucket_n"), col("total"))
+          .orderBy(col("bucket").asc_nulls_first)
+      },
+      Some("""WITH keyed AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL
+                                         ELSE user_id % 100 END AS bucket, value
+                             FROM events),
+                   dims AS (SELECT bucket AS b, count(*) AS bucket_n
+                            FROM keyed GROUP BY 1)
+              SELECT bucket, bucket_n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM keyed JOIN dims ON bucket IS NOT DISTINCT FROM b
+              GROUP BY bucket, bucket_n
+              ORDER BY bucket NULLS FIRST""")),
+
+    // ANSI-safe arithmetic surface: try_divide returns null on /0 instead
+    // of raising (this session runs ANSI mode) — DuckDB mirrors with
+    // divide-by-nullif. Null-diff rows prove the null path is exercised.
+    Q("q_safe_divide",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            try_divide(col("l_extendedprice"),
+              round(col("l_discount") * 10).cast(LongType)).as("price_per_tick"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice / nullif(CAST(round(l_discount * 10) AS BIGINT), 0) AS price_per_tick
+              FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
   )
 }
