@@ -372,20 +372,14 @@ object TextDedup {
     * 16-bit band; radius<=maxHamming verified with bit_count).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Bit-vote sums as 64 codegen'd conditional-sum aggregates over the
-    // exploded (doc, word-hash) rows — one whole-stage-codegen pass.
-    val bitCols = (0 until 64).map(i =>
-      sum(when(expr(s"(h & shiftleft(1L, $i)) != 0"), 1).otherwise(-1)).as(s"b$i"))
+    // Whole fingerprint per row via ONE small codegen expression — no
+    // explode, no 64-column aggregation shuffle (that aggregate's
+    // generated update method dominated a cold run, same pathology the
+    // MinHash signature had). Bitwise-equal to the explode + 64
+    // conditional-sum formulation (property-tested).
     val fp = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-      .groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
       .persist() // referenced by both sides of the band self-join
     val banded = fp.select(col("doc_id"), col("simhash"),
       explode(expr(

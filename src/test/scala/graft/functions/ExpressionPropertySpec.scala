@@ -53,6 +53,21 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       got == expect
     }
 
+  property("SimHash64 == split/hash/vote reference (empty segments vote too)") =
+    forAll(text) { t =>
+      val votes = new Array[Int](64)
+      t.split(" ", -1).foreach { w =>
+        val h = XXH64.hashUTF8String(UTF8String.fromString(w), 42L)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      val expect = (0 until 64).foldLeft(0L) { (fp, b) =>
+        if (votes(b) > 0) fp | (1L << b) else fp
+      }
+      SimHash64.compute(UTF8String.fromString(t)) == expect
+    }
+
   private val vec: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
 
