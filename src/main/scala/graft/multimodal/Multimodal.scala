@@ -140,6 +140,34 @@ object Multimodal {
               FROM documents CROSS JOIN range(0, 4) t(i)
               WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
               ORDER BY media_id, frame_idx""")),
+    // Audio windowing schedule — the audio sibling of q_frame_sample:
+    // fixed 5s windows, 2.5s stride, over each clip's stub duration
+    // (40 ms/byte). One sequence+explode per row, bytes untouched — the
+    // shape of every frame/window feature-extraction pass: schedule
+    // columnar, payload reads batched behind it.
+    Q("q_audio_windows",
+      (s, dir) =>
+        mediaTable(s, dir).filter(col("kind") === "audio")
+          .select(col("media_id"),
+            (octet_length(col("bytes")).cast(LongType) * 40L).as("dur_ms"))
+          .filter(col("dur_ms") > 0)
+          .select(col("media_id"), col("dur_ms"),
+            posexplode(sequence(lit(0L), col("dur_ms") - 1, lit(2500L))))
+          .select(col("media_id"), col("pos").cast(LongType).as("win_idx"),
+            col("col").as("win_start_ms"),
+            least(col("col") + 5000L, col("dur_ms")).as("win_end_ms"))
+          .orderBy(col("media_id"), col("win_idx")),
+      Some("""SELECT media_id,
+                     CAST(row_number() OVER (PARTITION BY media_id ORDER BY s) - 1 AS BIGINT) AS win_idx,
+                     s AS win_start_ms,
+                     least(s + 5000, dur_ms) AS win_end_ms
+              FROM (SELECT doc_id AS media_id,
+                           CAST(octet_length(encode(text)) * 40 AS BIGINT) AS dur_ms,
+                           unnest(generate_series(0, CAST(octet_length(encode(text)) * 40 AS BIGINT) - 1, 2500)) AS s
+                    FROM documents
+                    WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0)
+              ORDER BY media_id, win_idx""")),
+
     // Columnar metadata extraction over binary payloads — the expression
     // form of the decode stub, fully oracle-able (byte lengths and the
     // derived dims are plain arithmetic in both engines). Bytes are never
