@@ -169,6 +169,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         } else 3
         WordShingleHashes(exprs(0), n)
       }))
+    // simhash64(text) — whole 64-bit SimHash fingerprint per row
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    // minhash_signature(array<long>, k) — k must be a literal int
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(1) match {
+          case Literal(i: Int, _) if i >= 1 => i
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature: k must be a literal int >= 1, got $other")
+        }
+        MinHashSignature(exprs(0), k)
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

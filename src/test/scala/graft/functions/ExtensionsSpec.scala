@@ -35,6 +35,21 @@ class ExtensionsSpec extends AnyFunSuite {
       // matches the engine-side xxhash64 of the shingle string
       val expect = spark.sql("SELECT xxhash64('a b c') AS h").head.getLong(0)
       assert(hs.getSeq[Long](0).head == expect)
+      // simhash64: SQL-callable, equals the expression-path fingerprint
+      val sh = spark.sql("SELECT simhash64('hello world again') AS f").head.getLong(0)
+      assert(sh == SimHash64.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world again")))
+      // minhash_signature: k slots, equals min(xxhash64(i, h)) per slot
+      val sig = spark.sql(
+        "SELECT minhash_signature(word_shingle_hashes('a b c d e'), 4) AS s")
+        .head.getSeq[Long](0)
+      assert(sig.length == 4)
+      val viaAgg = spark.sql(
+        """SELECT array(min(xxhash64(0, h)), min(xxhash64(1, h)),
+                        min(xxhash64(2, h)), min(xxhash64(3, h))) AS s
+           FROM (SELECT explode(word_shingle_hashes('a b c d e')) AS h)""")
+        .head.getSeq[Long](0)
+      assert(sig == viaAgg)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
