@@ -24,6 +24,9 @@ object Bench {
     // the first query doesn't absorb ~4s of one-time cost.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     spark.range(1000000L).selectExpr("sum(id % 7)").collect()
+    // noop sink registration/codegen is one-time too — keep it out of the
+    // first query's measurement
+    spark.range(1000L).write.format("noop").mode("overwrite").save()
     // best-of-2 per query: the first run may pay one-time costs (cache
     // fill, codegen compilation) that aren't the query's steady-state time.
     // A query that throws records the sentinel -1, never its elapsed time.

@@ -242,6 +242,35 @@ object TextDedup {
       .filter(col("u") =!= col("v")).distinct().persist()
     val nEdges = e0.count() // materializes the persist; decides the regime
     if (nEdges <= localThreshold) return localUnionFind(e0)
+    // Partition-local pre-contraction (the standard large-graph CC
+    // accelerator): every partition union-finds the edges it holds and
+    // emits only a spanning star per local component — same global
+    // connectivity (each partition's edge set is replaced by an
+    // equivalent spanning star), but long within-partition paths collapse
+    // to depth 1 BEFORE any distributed round, so the star rounds start
+    // from a graph whose diameter is already ~the number of partitions.
+    // The local root is the component's partition-local minimum, so the
+    // canonical u < v orientation is preserved.
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val pre = e0.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { val g = parent(parent(r)); parent(r) = g; r = g }
+        r
+      }
+      it.foreach { case (u, v) =>
+        if (!parent.contains(u)) parent(u) = u
+        if (!parent.contains(v)) parent(v) = v
+        val ru = find(u); val rv = find(v)
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      parent.keys.toArray.iterator
+        .map(x => (find(x), x)).filter { case (r, x) => r != x }
+    }.toDF("u", "v")
     // Lineage MUST truncate every round: each round references `e` twice
     // (the symmetrized union), so carrying logical plans forward doubles
     // the tree per round — exponential analysis blowup by round ~15
@@ -249,7 +278,7 @@ object TextDedup {
     // false) resets the plan to a leaf; the round's signature aggregate
     // is the single job that materializes it. Superseded rounds' blocks
     // are dropped by the ContextCleaner once unreferenced.
-    var e = e0.localCheckpoint(false)
+    var e = pre.localCheckpoint(false)
     // The signature doubles as the convergence test. bit_xor (not sum)
     // keeps ANSI arithmetic overflow-safe; a false signature collision is
     // ~2^-64 per round.
