@@ -17,4 +17,13 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT min(ts) FROM events").schema.head.dataType.typeName
       .startsWith("timestamp"))
   }
+
+  test("declared query names are unique and every oracle has a query") {
+    // SparkEntry.queries is a Map built from the module Seqs — a duplicate
+    // name would silently shadow an earlier query and shrink the gate
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
 }
