@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
@@ -271,6 +272,38 @@ object SimHash64 {
     }
     fp
   }
+}
+
+/** Custom Generator (UDTF surface, the extension point explode/posexplode
+  * cover for built-ins): one output row per DISTINCT n-word shingle hash
+  * of the text — the row-generating form of WordShingleHashes, usable
+  * from SQL as `LATERAL VIEW shingle_rows(text) t AS sh` once injected by
+  * GraftExtensions. Generators run inside GenerateExec (codegen applies
+  * to the child; the generator itself evaluates row-at-a-time, exactly
+  * like every non-builtin generator — the hot dedup paths keep using the
+  * array expression + explode, which IS codegen'd end to end).
+  */
+case class ShingleRows(child: Expression, n: Int = 3)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def elementSchema: StructType =
+    StructType(StructField("sh", LongType, nullable = false) :: Nil)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val s = child.eval(input).asInstanceOf[UTF8String]
+    if (s == null) Iterator.empty
+    else {
+      val arr = WordShingleHashes.compute(s, n, 42L)
+      Iterator.tabulate(arr.numElements())(i => InternalRow(arr.getLong(i)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleRows =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_rows"
 }
 
 object TextFunctions {

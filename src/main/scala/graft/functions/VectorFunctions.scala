@@ -186,6 +186,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         }
         MinHashSignature(exprs(0), k)
       }))
+    // shingle_rows(text[, n]) — custom Generator (UDTF): LATERAL VIEW-able
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_rows"),
+      new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
+      (exprs: Seq[Expression]) => {
+        val n = if (exprs.length > 1) exprs(1) match {
+          case Literal(i: Int, _) if i >= 1 => i
+          case other => throw new IllegalArgumentException(
+            s"shingle_rows: n must be a literal int >= 1, got $other")
+        } else 3
+        ShingleRows(exprs(0), n)
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

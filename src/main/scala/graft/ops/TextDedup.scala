@@ -641,6 +641,30 @@ object TextDedup {
     Q("q_dedup_simhash",
       (s, dir) => simhashPairs(t(s, dir, "documents"), 3)
         .orderBy(col("a_id"), col("b_id")),
-      None)
+      None),
+
+    // Custom Generator through SQL LATERAL VIEW: shingle_rows emits one
+    // row per distinct shingle hash (functions.ShingleRows), so the
+    // per-doc row count equals the distinct-shingle count the oracle
+    // computes from the strings. Registered by GraftExtensions; the
+    // temp-function fallback keeps the query runnable in plain sessions.
+    Q("q_lateral_shingles",
+      (s, dir) => {
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "shingle_rows",
+          exprs => graft.functions.ShingleRows(exprs.head), "built-in")
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql("""SELECT doc_id, count(*) AS n_shingles
+                 FROM documents_v LATERAL VIEW shingle_rows(text) t AS sh
+                 GROUP BY doc_id ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents)
+              ORDER BY doc_id"""))
   )
 }
