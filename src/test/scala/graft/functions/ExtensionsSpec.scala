@@ -50,6 +50,14 @@ class ExtensionsSpec extends AnyFunSuite {
            FROM (SELECT explode(word_shingle_hashes('a b c d e')) AS h)""")
         .head.getSeq[Long](0)
       assert(sig == viaAgg)
+      // shingle_rows: custom Generator via LATERAL VIEW == exploded array
+      val gen = spark.sql(
+        """SELECT sh FROM (SELECT 'a b c d' AS t) LATERAL VIEW shingle_rows(t) g AS sh""")
+        .collect().map(_.getLong(0)).toSeq
+      val viaArr = spark.sql(
+        "SELECT explode(word_shingle_hashes('a b c d')) AS sh")
+        .collect().map(_.getLong(0)).toSeq
+      assert(gen == viaArr && gen.length == 2)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
