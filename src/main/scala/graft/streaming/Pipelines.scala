@@ -306,4 +306,36 @@ object Pipelines {
       .partitionBy("year", "month", "day", "hour")
       .outputMode(OutputMode.Append)
       .trigger(trigger)
+
+  /** Streaming dead-letter variant of the quotes lake write: every raw
+    * topic line that fails decode/validation (R2's skip path, which the
+    * plain pipeline drops silently) is APPENDED verbatim to `dlPath`
+    * while valid rows land in the hive-partitioned lake — the
+    * log-and-continue observability of the reference's processor
+    * (processor_stock_quotes.py:56-62) as a side output instead of a log
+    * line. foreachBatch because one streaming query cannot feed two
+    * sinks; both writes happen per micro-batch under the one checkpoint.
+    */
+  def quotesLakeWithDeadLetter(raw: DataFrame, lakePath: String,
+      dlPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = batch
+          .select(col("value").cast(StringType).as("value"),
+            from_json(col("value").cast(StringType), Schemas.quoteWire).as("q"))
+          .select(col("value"), col("q.*"))
+          .persist()
+        try {
+          decoded.filter(col("c").isNull || col("t").isNull)
+            .select(col("value"))
+            .write.mode("append").text(dlPath)
+          withHivePartitions(quotes(decoded.drop("value")), "event_ts")
+            .write.mode("append")
+            .partitionBy("year", "month", "day", "hour").parquet(lakePath)
+        } finally decoded.unpersist()
+      }
 }

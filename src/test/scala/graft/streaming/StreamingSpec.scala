@@ -343,6 +343,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("AAPL", Some("Apple Inc")), ("NVDA", None)))
   }
 
+  test("streaming dead-letter: corrupt lines land in the side output, main lake unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dl").toString
+    val in = MemoryStream[String]
+    in.addData(
+      quoteJson("AAPL", 190.5, 1700000000L),
+      """{"symbol":"MSFT","c":null,"t":1700000000}""", // validation failure
+      """not json at all""")                           // decode failure
+    val q = Pipelines.quotesLakeWithDeadLetter(in.toDF().toDF("value"),
+      s"$dir/lake", s"$dir/dead", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() == 1 && lake.select("symbol").head.getString(0) == "AAPL")
+    val dead = spark.read.text(s"$dir/dead").as[String].collect().toSet
+    assert(dead == Set("""{"symbol":"MSFT","c":null,"t":1700000000}""", "not json at all"))
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
