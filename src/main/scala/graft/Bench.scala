@@ -27,6 +27,12 @@ object Bench {
     // noop sink registration/codegen is one-time too — keep it out of the
     // first query's measurement
     spark.range(1000L).write.format("noop").mode("overwrite").save()
+    // ...and so is the decimal-aggregation codegen the dsum/davg helpers
+    // lean on (q1_agg runs first alphabetically and was absorbing it)
+    spark.range(100000L)
+      .selectExpr("cast(id as decimal(18,2)) d", "id % 7 k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("d"))
+      .write.format("noop").mode("overwrite").save()
     // best-of-2 per query: the first run may pay one-time costs (cache
     // fill, codegen compilation) that aren't the query's steady-state time.
     // A query that throws records the sentinel -1, never its elapsed time.
