@@ -129,6 +129,30 @@ object CorpusOps {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'
               ORDER BY doc_id""")),
 
+    // Deterministic train/val/test assignment (~80/10/10 by md5 prefix):
+    // the split is a pure function of the key — stable across reruns,
+    // machines, and engine versions, with no global shuffle or count.
+    // Summarized per (source, split) so the whole assignment is checked.
+    Q("q_train_split",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("h", substring(md5(col("doc_id").cast(StringType)), 1, 2))
+          .withColumn("split",
+            when(col("h") < "cc", "train")
+              .when(col("h") < "e6", "val")
+              .otherwise(lit("test")))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("split")),
+      Some("""SELECT source, split, count(*) AS n_docs FROM (
+                SELECT source,
+                       CASE WHEN h < 'cc' THEN 'train'
+                            WHEN h < 'e6' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+                      FROM documents))
+              GROUP BY source, split ORDER BY source, split""")),
+
     // Stratified deterministic sample: 20 docs per source, ranked by
     // md5(doc_id) — a reproducible per-stratum quota. One shuffle on the
     // stratum key; rank state is O(1) per partition after the sort.
