@@ -57,13 +57,15 @@ object Bench {
     // 3-decimal values: the driver parses the tail of captured output, and
     // BENCH_r01/r02 both lost the line to head-truncation — at ~85 queries
     // full double precision pushes the line past the tail window.
-    def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def r3(v: Double): BigDecimal = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // total = sum of the ROUNDED per-query values, so the line is
+    // self-consistent for a consumer that recomputes it from `queries`
+    val total = results.collect { case (_, v) if v >= 0 => r3(v) }.sum
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // Durable copy for the driver (BENCH_r01 lost the line to sbt noise):
     // written to a file AND printed as the process's very last line, after
     // spark.stop(), so no executor-shutdown log can trail it.

@@ -7,9 +7,22 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — targeted re-check of
-    // late-added queries without re-running the whole (DuckDB-bound) gate
+    // late-added queries without re-running the whole (DuckDB-bound) gate.
+    // Targeted mode REQUIRES a fresh outDir: oracle_sql.json is rewritten
+    // with only the filtered entries, so pointing it at a previous full
+    // run's outDir would silently downgrade every other query's check
+    // from exact-value compare to rows>0 (their result dirs survive,
+    // their oracle entries vanish).
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    only.foreach { names =>
+      val existing = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).filterNot(names.contains)
+      require(existing.isEmpty,
+        s"targeted verify needs a fresh outDir; $outDir already holds results " +
+          s"outside the filter (${existing.take(5).mkString(", ")} ...) whose " +
+          "oracle entries this run would drop")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

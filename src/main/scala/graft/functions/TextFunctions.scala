@@ -173,6 +173,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<bigint>, got ${other.catalogString}")
+    }
+
   // seed_i = xxhash64 state after hashing the int literal i with seed 42,
   // identical to SQL xxhash64(lit(i), h)'s first fold
   @transient private lazy val seeds: Array[Long] =
@@ -225,6 +234,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects a string column, got ${child.dataType.catalogString}")
 
   def computeRow(s: UTF8String): Long = SimHash64.compute(s)
 
@@ -300,10 +315,35 @@ case class ShingleRows(child: Expression, n: Int = 3)
     }
   }
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_rows expects a string column, got ${child.dataType.catalogString}")
+
   override protected def withNewChildInternal(newChild: Expression): ShingleRows =
     copy(child = newChild)
 
   override def prettyName: String = "shingle_rows"
+}
+
+object ShingleRows {
+
+  /** SQL builder shared by GraftExtensions and the temp-function fallback:
+    * shingle_rows(text[, n]) with n a literal int >= 1 (default 3) —
+    * both registration paths MUST accept the same argument forms.
+    */
+  val fromSql: Seq[Expression] => ShingleRows = { exprs =>
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    require(exprs.nonEmpty && exprs.length <= 2,
+      s"shingle_rows takes 1 or 2 arguments, got ${exprs.length}")
+    val n = if (exprs.length > 1) exprs(1) match {
+      case Literal(i: Int, _) if i >= 1 => i
+      case other => throw new IllegalArgumentException(
+        s"shingle_rows: n must be a literal int >= 1, got $other")
+    } else 3
+    ShingleRows(exprs.head, n)
+  }
 }
 
 object TextFunctions {

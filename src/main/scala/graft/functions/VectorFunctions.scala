@@ -173,31 +173,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash64 takes 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
     // minhash_signature(array<long>, k) — k must be a literal int
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"minhash_signature takes 2 arguments (hashes, k), got ${exprs.length}")
         val k = exprs(1) match {
           case Literal(i: Int, _) if i >= 1 => i
           case other => throw new IllegalArgumentException(
             s"minhash_signature: k must be a literal int >= 1, got $other")
         }
-        MinHashSignature(exprs(0), k)
+        MinHashSignature(exprs.head, k)
       }))
-    // shingle_rows(text[, n]) — custom Generator (UDTF): LATERAL VIEW-able
+    // shingle_rows(text[, n]) — custom Generator (UDTF): LATERAL VIEW-able;
+    // same builder as the temp-function fallback so the two paths can't drift
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_rows"),
       new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
-      (exprs: Seq[Expression]) => {
-        val n = if (exprs.length > 1) exprs(1) match {
-          case Literal(i: Int, _) if i >= 1 => i
-          case other => throw new IllegalArgumentException(
-            s"shingle_rows: n must be a literal int >= 1, got $other")
-        } else 3
-        ShingleRows(exprs(0), n)
-      }))
+      ShingleRows.fromSql))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

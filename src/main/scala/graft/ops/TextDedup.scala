@@ -652,7 +652,7 @@ object TextDedup {
       (s, dir) => {
         s.sessionState.functionRegistry.createOrReplaceTempFunction(
           "shingle_rows",
-          exprs => graft.functions.ShingleRows(exprs.head), "built-in")
+          graft.functions.ShingleRows.fromSql, "built-in")
         t(s, dir, "documents").createOrReplaceTempView("documents_v")
         s.sql("""SELECT doc_id, count(*) AS n_shingles
                  FROM documents_v LATERAL VIEW shingle_rows(text) t AS sh

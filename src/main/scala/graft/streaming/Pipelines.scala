@@ -309,12 +309,17 @@ object Pipelines {
 
   /** Streaming dead-letter variant of the quotes lake write: every raw
     * topic line that fails decode/validation (R2's skip path, which the
-    * plain pipeline drops silently) is APPENDED verbatim to `dlPath`
-    * while valid rows land in the hive-partitioned lake — the
-    * log-and-continue observability of the reference's processor
+    * plain pipeline drops silently) lands verbatim under `dlPath` while
+    * valid rows land in the hive-partitioned lake — the log-and-continue
+    * observability of the reference's processor
     * (processor_stock_quotes.py:56-62) as a side output instead of a log
     * line. foreachBatch because one streaming query cannot feed two
-    * sinks; both writes happen per micro-batch under the one checkpoint.
+    * sinks; REPLAY-CONVERGENT, not blind append: both outputs are keyed
+    * by batch_id (dynamic partition overwrite on the lake, a per-batch
+    * directory overwrite on the dead letters), so re-running a batch
+    * after a failure rewrites exactly its own output instead of
+    * duplicating it — the same idempotence contract as the sibling
+    * partition sinks.
     */
   def quotesLakeWithDeadLetter(raw: DataFrame, lakePath: String,
       dlPath: String, checkpoint: String,
@@ -323,7 +328,7 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val decoded = batch
           .select(col("value").cast(StringType).as("value"),
             from_json(col("value").cast(StringType), Schemas.quoteWire).as("q"))
@@ -332,10 +337,13 @@ object Pipelines {
         try {
           decoded.filter(col("c").isNull || col("t").isNull)
             .select(col("value"))
-            .write.mode("append").text(dlPath)
+            .write.mode("overwrite").text(s"$dlPath/batch_id=$batchId")
           withHivePartitions(quotes(decoded.drop("value")), "event_ts")
-            .write.mode("append")
-            .partitionBy("year", "month", "day", "hour").parquet(lakePath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "month", "day", "hour", "batch_id")
+            .parquet(lakePath)
         } finally decoded.unpersist()
       }
 }

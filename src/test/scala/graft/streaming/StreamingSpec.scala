@@ -343,21 +343,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("AAPL", Some("Apple Inc")), ("NVDA", None)))
   }
 
-  test("streaming dead-letter: corrupt lines land in the side output, main lake unaffected") {
+  test("streaming dead-letter: corrupt lines side-output, lake unaffected, replay converges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dl").toString
-    val in = MemoryStream[String]
-    in.addData(
-      quoteJson("AAPL", 190.5, 1700000000L),
-      """{"symbol":"MSFT","c":null,"t":1700000000}""", // validation failure
-      """not json at all""")                           // decode failure
-    val q = Pipelines.quotesLakeWithDeadLetter(in.toDF().toDF("value"),
-      s"$dir/lake", s"$dir/dead", s"$dir/ckpt").start()
-    q.processAllAvailable()
-    q.stop()
+    def deliver(ckpt: String): Unit = {
+      val in = MemoryStream[String]
+      in.addData(
+        quoteJson("AAPL", 190.5, 1700000000L),
+        """{"symbol":"MSFT","c":null,"t":1700000000}""", // validation failure
+        """not json at all""")                           // decode failure
+      val q = Pipelines.quotesLakeWithDeadLetter(in.toDF().toDF("value"),
+        s"$dir/lake", s"$dir/dead", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    deliver(s"$dir/ckpt")
     val lake = spark.read.parquet(s"$dir/lake")
     assert(lake.count() == 1 && lake.select("symbol").head.getString(0) == "AAPL")
-    val dead = spark.read.text(s"$dir/dead").as[String].collect().toSet
+    val dead = spark.read.text(s"$dir/dead").select("value").as[String].collect().toSet
     assert(dead == Set("""{"symbol":"MSFT","c":null,"t":1700000000}""", "not json at all"))
+    // full redelivery (fresh checkpoint, same data => same batch ids):
+    // batch-keyed overwrites rewrite, never duplicate
+    deliver(s"$dir/ckpt2")
+    assert(spark.read.parquet(s"$dir/lake").count() == 1)
+    assert(spark.read.text(s"$dir/dead").count() == 2)
   }
 
   test("W1 sink: hive-partitioned exactly-once file sink") {
