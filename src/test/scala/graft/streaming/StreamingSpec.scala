@@ -368,6 +368,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.text(s"$dir/dead").count() == 2)
   }
 
+  test("D1 on transformWithState: same watermark semantics, RocksDB state store") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val base = 1700000000L
+      val out = HighWatermarkDedupTws(
+        Pipelines.newsArticles(Pipelines.decodeNews(in.toDF().toDF("value"))).as[NewsArticle])
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      in.addData(newsJson("AAPL", 5L, base), newsJson("AAPL", 3L, base + 1))
+      q.processAllAvailable()
+      // watermark now 5: 4 is late-below-watermark (dropped), 9 is new
+      in.addData(newsJson("AAPL", 4L, base + 2), newsJson("AAPL", 9L, base + 3),
+        newsJson("AAPL", null, base + 4)) // null id bypasses dedup
+      q.processAllAvailable()
+      val got = spark.table("tws_out").select("news_id").collect()
+        .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+      q.stop()
+      // first batch emits 3 and 5 (both above initial 0, sorted order),
+      // second emits 9 and the null-id row (as -1 here)
+      assert(got == Seq(-1L, 3L, 5L, 9L), s"got $got")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
