@@ -172,6 +172,59 @@ object Temporal {
     // >1-day silence gaps (batch analogue of session_window; the streaming
     // form lives in graft.streaming). Two windows over one shuffle on
     // user_id; state per key is a single lag value + running sum.
+    // Session conversion funnel — the composite every product-analytics
+    // stack runs: sessionize (same gap logic as q_sessionize), then per
+    // session count clicks/purchases and test whether the first click
+    // precedes the first purchase (min-ts of each type compared). Still
+    // ONE shuffle on user_id: the session windows and the conditional
+    // aggregates share the partition.
+    Q("q_session_funnel",
+      (s, dir) => {
+        val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("gap", when(
+            lag(col("ts"), 1).over(wo).isNull ||
+              col("ts") - lag(col("ts"), 1).over(wo) > expr("INTERVAL 1 DAY"),
+            1L).otherwise(0L))
+          .withColumn("session_id", sum(col("gap")).over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(when(col("event_type") === "click", 1)).as("n_clicks"),
+            count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+            min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+          .withColumn("converted",
+            col("first_click").isNotNull && col("first_purchase").isNotNull &&
+              col("first_click") <= col("first_purchase"))
+          .filter(col("n_clicks") > 0 || col("n_purchases") > 0)
+          .select(col("user_id"), col("session_id"), col("n_clicks"),
+            col("n_purchases"), col("converted"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS gap
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (
+                SELECT user_id, ts, event_type,
+                       (SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+                FROM g),
+              agg AS (
+                SELECT user_id, session_id,
+                       count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+                       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+                       min(ts) FILTER (WHERE event_type = 'click') AS first_click,
+                       min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+                FROM s GROUP BY user_id, session_id)
+              SELECT user_id, session_id, n_clicks, n_purchases,
+                     (first_click IS NOT NULL AND first_purchase IS NOT NULL
+                      AND first_click <= first_purchase) AS converted
+              FROM agg WHERE n_clicks > 0 OR n_purchases > 0
+              ORDER BY user_id, session_id""")),
+
     Q("q_sessionize",
       (s, dir) => {
         val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
