@@ -457,6 +457,40 @@ object Relational2 {
               GROUP BY bucket, bucket_n
               ORDER BY bucket NULLS FIRST""")),
 
+    // Discrete percentile (completes the family: exact-interpolated
+    // q_percentile, sketch q_approx_percentile, and here the
+    // actual-data-point quantile) — PERCENTILE_DISC picks the smallest
+    // value whose cumulative fraction reaches p, so results are real rows
+    // and exactly comparable across engines with no interpolation math.
+    Q("q_percentile_disc",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql("""SELECT event_type,
+                        PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                        PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+                        count(*) AS n
+                 FROM events_v GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type,
+                     quantile_disc(value, 0.5) AS p50,
+                     quantile_disc(value, 0.9) AS p90,
+                     count(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Bitwise aggregates — the primitive behind compact set signatures
+    // (the CC convergence check xors row hashes the same way).
+    Q("q_bitwise_agg",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(expr("bit_or(event_id)").as("ids_or"),
+            expr("bit_and(event_id)").as("ids_and"),
+            expr("bit_xor(event_id)").as("ids_xor"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, bit_or(event_id) AS ids_or,
+                     bit_and(event_id) AS ids_and, bit_xor(event_id) AS ids_xor
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ANSI-safe arithmetic surface: try_divide returns null on /0 instead
     // of raising (this session runs ANSI mode) — DuckDB mirrors with
     // divide-by-nullif. Null-diff rows prove the null path is exercised.
