@@ -457,6 +457,29 @@ object Relational2 {
               GROUP BY bucket, bucket_n
               ORDER BY bucket NULLS FIRST""")),
 
+    // Higher-order array functions on the gate: transform / filter /
+    // aggregate (fold) over each doc's token array. Note the engine
+    // PERFORMANCE stance: HOF lambdas evaluate interpreted, so hot paths
+    // (shingling, dot products) use custom codegen expressions instead —
+    // this query pins the HOF surface itself.
+    Q("q_hof_fns",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("ws", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(expr("filter(ws, x -> x != '')")).cast(LongType).as("n_words"),
+            expr("aggregate(ws, 0, (acc, x) -> acc + length(x))")
+              .cast(LongType).as("total_chars"),
+            expr("array_max(transform(ws, x -> length(x)))")
+              .cast(LongType).as("max_word_len"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     CAST(len(list_filter(ws, x -> x <> '')) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS total_chars,
+                     CAST(list_max(list_transform(ws, x -> length(x))) AS BIGINT) AS max_word_len
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+              ORDER BY doc_id""")),
+
     // Discrete percentile (completes the family: exact-interpolated
     // q_percentile, sketch q_approx_percentile, and here the
     // actual-data-point quantile) — PERCENTILE_DISC picks the smallest
