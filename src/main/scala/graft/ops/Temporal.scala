@@ -111,6 +111,44 @@ object Temporal {
               lc.i AS last_click_id, lc.v AS last_click_value
        FROM w WHERE kind = 1 ORDER BY purchase_id"""
 
+  private val asofToleranceOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, ts, value,
+              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+       FROM events WHERE event_type IN ('click','purchase')),
+       w AS (SELECT *,
+              last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+             FROM e)
+       SELECT event_id AS purchase_id, user_id,
+              CASE WHEN ts - lc.t <= INTERVAL 2 DAY THEN lc.i END AS last_click_id,
+              CASE WHEN ts - lc.t <= INTERVAL 2 DAY THEN lc.v END AS last_click_value
+       FROM w WHERE kind = 1 ORDER BY purchase_id"""
+
+  private def asofToleranceQuery(native: Boolean)(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val tol = Some(2L * 86400L * 1000000L)
+    val joined =
+      if (native)
+        graft.plans.NativeAsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightValues = Seq("event_id", "value"),
+          rightTieBreak = Some("event_id"), toleranceMicros = tol)
+      else
+        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightValues = Seq("event_id", "value"),
+          rightTieBreak = Some("event_id"), toleranceMicros = tol)
+    joined
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_event_id").as("last_click_id"),
+        col("asof_value").as("last_click_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     // Oracle: DuckDB's arg_min/arg_max take no composite key, so the
     // (ts, event_id)-deterministic open/close are expressed as first_value
@@ -139,34 +177,15 @@ object Temporal {
     // union+window plan; the bound is a per-row post-filter on the
     // carried right timestamp.
     Q("q_asof_tolerance",
-      (s, dir) => {
-        val e = Tables.load(s, dir, "events")
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
-            leftTs = "ts", rightTs = "ts",
-            rightValues = Seq("event_id", "value"),
-            rightTieBreak = Some("event_id"),
-            toleranceMicros = Some(2L * 86400L * 1000000L))
-          .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("asof_event_id").as("last_click_id"),
-            col("asof_value").as("last_click_value"))
-          .orderBy(col("purchase_id"))
-      },
-      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
-                CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-         FROM events WHERE event_type IN ('click','purchase')),
-         w AS (SELECT *,
-                last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
-               FROM e)
-         SELECT event_id AS purchase_id, user_id,
-                CASE WHEN ts - lc.t <= INTERVAL 2 DAY THEN lc.i END AS last_click_id,
-                CASE WHEN ts - lc.t <= INTERVAL 2 DAY THEN lc.v END AS last_click_value
-         FROM w WHERE kind = 1 ORDER BY purchase_id""")),
+      asofToleranceQuery(native = false),
+      Some(asofToleranceOracleSql)),
+
+    // The same bound executed by the native AsOfJoinExec (the merge pass
+    // tracks the matched row's timestamp and drops stale carries) — same
+    // oracle gates both implementations at feature parity.
+    Q("q_asof_tolerance_native",
+      asofToleranceQuery(native = true),
+      Some(asofToleranceOracleSql)),
 
     // Sessionization: split each user's event stream into sessions at
     // >1-day silence gaps (batch analogue of session_window; the streaming

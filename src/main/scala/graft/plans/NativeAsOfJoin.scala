@@ -29,7 +29,8 @@ case class AsOfJoinNode(
     leftTs: Attribute, rightTs: Attribute,
     rightValues: Seq[Attribute],
     outRightAttrs: Seq[Attribute],
-    rightTieBreak: Option[Attribute]) extends BinaryNode {
+    rightTieBreak: Option[Attribute],
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
   // asof_* attrs are synthesized by this operator, not drawn from children
   override def producedAttributes: AttributeSet = AttributeSet(outRightAttrs)
@@ -40,8 +41,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs, tb) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs, tb, tol) :: Nil
     case _ => Nil
   }
 }
@@ -52,7 +53,8 @@ case class AsOfJoinExec(
     leftTs: Expression, rightTs: Expression,
     rightValues: Seq[Expression],
     outRightAttrs: Seq[Attribute],
-    rightTieBreak: Option[Expression]) extends SparkPlan with BinaryExecNode {
+    rightTieBreak: Option[Expression],
+    toleranceMicros: Option[Long] = None) extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
 
@@ -91,6 +93,7 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(output, output)
       val nullRight: InternalRow = new GenericInternalRow(nRightVals)
       val joined = new JoinedRow
+      val tol = toleranceMicros
 
       new Iterator[InternalRow] {
         // single forward pass; all retained rows are copies (sorter reuses
@@ -100,6 +103,7 @@ case class AsOfJoinExec(
         private var rHeadTs: Long = 0L
         private var lastKey: UnsafeRow = _
         private var lastVals: UnsafeRow = _
+        private var lastTs: Long = 0L
 
         private def loadRight(): Boolean = {
           if (rHead == null && rIter.hasNext) {
@@ -123,12 +127,16 @@ case class AsOfJoinExec(
               if (cmp == 0) { // candidate match; remember latest
                 lastKey = rHeadKey
                 lastVals = rValProj(rHead).copy()
+                lastTs = rHeadTs
               }
               rHead = null // consume
             } else advancing = false
           }
+          // tolerance: a carried match older than the bound is as good as
+          // no match (pandas merge_asof semantics, same as ops.AsOfJoin)
           val matched = lastVals != null && lastKey != null &&
-            keyOrd.compare(lastKey, lKey) == 0
+            keyOrd.compare(lastKey, lKey) == 0 &&
+            tol.forall(t => lTs - lastTs <= t)
           outProj(joined(lRow, if (matched) lastVals else nullRight))
         }
       }
@@ -143,7 +151,8 @@ object NativeAsOfJoin {
 
   def join(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -166,7 +175,7 @@ object NativeAsOfJoin {
     val node = AsOfJoinNode(lp, rp,
       keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
       attr(lp, leftTs), attr(rp, s"__r_$rightTs"), rVals, outAttrs,
-      rightTieBreak.map(c => attr(rp, s"__r_$c")))
+      rightTieBreak.map(c => attr(rp, s"__r_$c")), toleranceMicros)
     org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, node)
   }
 }
