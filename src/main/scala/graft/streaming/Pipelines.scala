@@ -75,7 +75,7 @@ object Pipelines {
     * Inverse of decodeQuotes/decodeNews up to column order.
     */
   def encodeForTopic(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** K1 on a keyed broker: (key, value) wire rows — the Kafka sink hashes
     * `key` to a partition, reproducing the reference's
@@ -84,7 +84,7 @@ object Pipelines {
     */
   def encodeForTopicKeyed(df: DataFrame, keyCol: String = "symbol"): DataFrame =
     df.select(col(keyCol).cast(StringType).as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Python's `datetime.isoformat()` for a UTC timestamp:
     * "2024-01-02T03:04:05+00:00", with ".ffffff" microseconds appended
