@@ -54,16 +54,17 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    // 3-decimal values: the driver parses the tail of captured output, and
-    // BENCH_r01/r02 both lost the line to head-truncation — at ~85 queries
-    // full double precision pushes the line past the tail window.
-    def r3(v: Double): BigDecimal = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // 2-decimal values: the driver parses the tail of captured output, and
+    // BENCH_r01/r02 both lost the line to head-truncation — at 109 queries
+    // even 3-decimal precision leaves <100 chars of tail margin; 10 ms
+    // resolution is ample for per-query seconds.
+    def r2(v: Double): BigDecimal = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     // total = sum of the ROUNDED per-query values, so the line is
     // self-consistent for a consumer that recomputes it from `queries`
-    val total = results.collect { case (_, v) if v >= 0 => r3(v) }.sum
+    val total = results.collect { case (_, v) if v >= 0 => r2(v) }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // Durable copy for the driver (BENCH_r01 lost the line to sbt noise):
