@@ -97,5 +97,26 @@ class SourcesSpec extends SparkSpec {
     val expect = e.filter(date_format(col("ts"), "HH") === "01").count()
     assert(pruned.count() == expect)
     assert(new java.io.File(s"$dir/lake/year=2024/month=01/day=01").isDirectory)
+    // ...and the PLAN proves it: the partition predicates land in
+    // PartitionFilters (pruned before I/O), not in PushedFilters/Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("year") && pf.contains("hour"), plan.take(600))
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    // the lake contract at 100 TB: producers add fields over time; readers
+    // must see the union schema with nulls for pre-evolution files
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    import spark.implicits._
+    Seq((1L, "AAPL", 190.5)).toDF("id", "symbol", "price")
+      .write.parquet(s"$dir/lake/gen=1")
+    Seq((2L, "MSFT", 410.0, "nasdaq")).toDF("id", "symbol", "price", "venue")
+      .write.parquet(s"$dir/lake/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/lake")
+    assert(merged.columns.toSet == Set("id", "symbol", "price", "venue", "gen"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("venue"))) // pre-evolution file
+    assert(rows(1).getString(rows(1).fieldIndex("venue")) == "nasdaq")
   }
 }
