@@ -399,6 +399,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("D1 state survives query restart from checkpoint (the reference's restart loss, fixed)") {
+    // The reference loses last_seen_news_ids when the producer restarts
+    // (producer_company_news.py:56, acknowledged). Here the watermark
+    // lives in checkpointed state: stop the query, restart it against the
+    // SAME checkpoint, and an id below the pre-restart watermark is still
+    // dropped — only possible if state was recovered, not rebuilt.
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val in = MemoryStream[String]
+    val base = 1700000000L
+    def start() = HighWatermarkDedup(
+      Pipelines.newsArticles(Pipelines.decodeNews(in.toDF().toDF("value"))))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    in.addData(newsJson("AAPL", 7L, base))
+    q1.processAllAvailable()
+    q1.stop()
+    in.addData(newsJson("AAPL", 3L, base + 10), // below watermark 7: drop
+      newsJson("AAPL", 9L, base + 20))          // above: emit
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(s"$dir/out").select("news_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(7L, 9L), s"got $ids — 3 must be dropped by RECOVERED state")
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
