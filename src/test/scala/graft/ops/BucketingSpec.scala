@@ -82,4 +82,40 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS click_bkt")
     }
   }
+
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The runtime half of the skew story (Skew.saltedJoin is the explicit
+    // half): one hot key dominates the left side; with tiny skew
+    // thresholds AQE's OptimizeSkewedJoin must split that partition —
+    // visible as skew=true on the final plan's shuffle read.
+    import spark.implicits._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val hot = spark.range(50000).select(lit(1L).as("k"),
+        concat(lit("payload-padding-"), col("id").cast("string")).as("pad"))
+        .unionAll(spark.range(100).select((col("id") + 2).as("k"),
+          lit("x").as("pad")))
+      val dim = spark.range(200).select(col("id").as("k2"), lit("d").as("v"))
+      val joined = hot.join(dim, col("k") === col("k2"))
+      // execute THIS frame (count() would plan a different query and leave
+      // joined's AdaptiveSparkPlan non-final)
+      val n = joined.collect().length
+      assert(n == 50100, s"rows $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
