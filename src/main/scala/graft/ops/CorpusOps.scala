@@ -129,6 +129,46 @@ object CorpusOps {
               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'
               ORDER BY doc_id""")),
 
+    // Corpus-health summary: exact-duplicate rate per source — count vs
+    // distinct content hash (md5 so both engines hash identically), the
+    // first metric any corpus intake dashboard shows. One partial+final
+    // aggregate; the division is a single IEEE op (bitwise-portable).
+    Q("q_doc_dup_rate",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_distinct"))
+          .withColumn("dup_rate",
+            lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_docs"))
+          .orderBy(col("source")),
+      Some("""SELECT source, count(*) AS n_docs,
+                     count(DISTINCT md5(text)) AS n_distinct,
+                     1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*) AS dup_rate
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // Doc-length distribution per source via discrete percentiles —
+    // actual data points, so cross-engine exact (no interpolation).
+    Q("q_length_percentiles",
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("documents_v")
+        // Spark's PERCENTILE_DISC returns DOUBLE even for integer input;
+        // the picked values are actual data points, so the BIGINT cast is
+        // lossless and matches DuckDB's input-typed quantile_disc
+        s.sql("""SELECT source,
+                        CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p10,
+                        CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+                        CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+                        count(*) AS n
+                 FROM documents_v GROUP BY source ORDER BY source""")
+      },
+      Some("""SELECT source,
+                     quantile_disc(n_chars, 0.1) AS p10,
+                     quantile_disc(n_chars, 0.5) AS p50,
+                     quantile_disc(n_chars, 0.9) AS p90,
+                     count(*) AS n
+              FROM documents GROUP BY source ORDER BY source""")),
+
     // Deterministic train/val/test assignment (~80/10/10 by md5 prefix):
     // the split is a pure function of the key — stable across reruns,
     // machines, and engine versions, with no global shuffle or count.
