@@ -346,6 +346,170 @@ object ShingleRows {
   }
 }
 
+/** Rolling Karp-Rabin polynomial fingerprint of the codepoint stream:
+  * acc = (acc * 31 + codepoint) mod 1e9+7, acc0 = 0 — one codegen pass
+  * over the UTF-8 bytes decoding codepoints in place.
+  *
+  * Value-equal to the declarative fold
+  * `aggregate(transform(split(text, ''), c -> ascii(c)), 0L,
+  *            (acc, x) -> (acc * 31 + x) % 1000000007)`
+  * (split('') yields one string per codepoint and `ascii` returns its
+  * codepoint), and to DuckDB's list_reduce form of the same recurrence —
+  * but the HOF form evaluates its lambdas interpreted PER CHARACTER,
+  * which round 3's bench measured at 6.09 s for sf0.1 (the worst line of
+  * the suite). acc stays < 1e9 so acc*31 + cp never overflows a long —
+  * ANSI-safe without widening.
+  */
+case class KarpRabinFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"karp_rabin_fingerprint expects a string column, got ${child.dataType.catalogString}")
+
+  def computeRow(s: UTF8String): Long = KarpRabinFingerprint.compute(s)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("krFingerprinter", this, classOf[KarpRabinFingerprint].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): KarpRabinFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "karp_rabin_fingerprint"
+}
+
+object KarpRabinFingerprint {
+
+  private val Mod = 1000000007L
+
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val b0 = Platform.getByte(base, off + i) & 0xFF
+      var cp = 0
+      var nb = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; nb = 2 }
+      else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; nb = 3 }
+      else { cp = b0 & 0x07; nb = 4 }
+      var j = 1
+      while (j < nb && i + j < len) {
+        cp = (cp << 6) | (Platform.getByte(base, off + i + j) & 0x3F)
+        j += 1
+      }
+      acc = (acc * 31L + cp) % Mod
+      i += nb
+    }
+    acc
+  }
+}
+
+/** Per-document word statistics in one pass over the UTF-8 bytes:
+  * struct<n_tokens, n_uniq, sum_len, stop_hits> (all long) where words
+  * are the `split(text, " ")` segments (every 0x20 byte is a separator,
+  * empty segments kept — same convention as [[WordShingleHashes]]),
+  * lengths count codepoints (= what `length(w)` returns), uniqueness is
+  * exact (byte-wise HashSet of zero-copy slices, no hashing shortcut),
+  * and stop_hits counts tokens equal to any of the `stopwords` (with
+  * multiplicity — the `size(filter(ws, w -> array_contains(...)))`
+  * convention).
+  *
+  * Field-equal to the interpreted-lambda formulation quality scoring and
+  * language-ID previously used (size/array_distinct/aggregate/filter over
+  * split) — those queries spent ~0.5 s each at sf0.1 evaluating per-token
+  * interpreted lambdas; this is the [[SimHash64]]/[[MinHashSignature]]
+  * treatment applied to the corpus-quality family.
+  */
+case class WordStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = WordStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_stats expects a string column, got ${child.dataType.catalogString}")
+
+  @transient private lazy val stopU: Array[UTF8String] =
+    stopwords.map(UTF8String.fromString).toArray
+
+  def computeRow(s: UTF8String): InternalRow = WordStats.compute(s, stopU)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("wordStats", this, classOf[WordStats].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_stats"
+}
+
+object WordStats {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_uniq", LongType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+
+  def compute(s: UTF8String, stopwords: Array[UTF8String]): InternalRow = {
+    val bytes = s.getBytes // one copy; word slices wrap regions of it
+    val len = bytes.length
+    var spaces = 0
+    var codepoints = 0L
+    var i = 0
+    while (i < len) {
+      val b = bytes(i)
+      if (b == 0x20) spaces += 1
+      if ((b & 0xC0) != 0x80) codepoints += 1 // count non-continuation bytes
+      i += 1
+    }
+    val nTokens = spaces + 1L
+    val sumLen = codepoints - spaces // every word codepoint except the separators
+    val seen = new java.util.HashSet[UTF8String](spaces * 2 + 2)
+    var stopHits = 0L
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        val w = UTF8String.fromBytes(bytes, start, i - start)
+        seen.add(w)
+        var k = 0
+        while (k < stopwords.length) {
+          if (stopwords(k).equals(w)) { stopHits += 1; k = stopwords.length }
+          else k += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, seen.size.toLong, sumLen, stopHits))
+  }
+}
+
 object TextFunctions {
 
   /** Distinct seed-42 xxhash64 of all n-word shingles of a string column. */
@@ -367,4 +531,14 @@ object TextFunctions {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       SimHash64(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Karp-Rabin rolling polynomial fingerprint of a string column. */
+  def karpRabinFingerprint(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      KarpRabinFingerprint(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** One-pass word stats struct (n_tokens, n_uniq, sum_len, stop_hits). */
+  def wordStats(c: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      WordStats(org.apache.spark.sql.graft.GraftSqlShims.expression(c), stopwords))
 }

@@ -191,6 +191,31 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         }
         MinHashSignature(exprs.head, k)
       }))
+    // karp_rabin_fingerprint(text) — rolling polynomial fingerprint mod 1e9+7
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("karp_rabin_fingerprint"),
+      new ExpressionInfo(classOf[KarpRabinFingerprint].getName, "karp_rabin_fingerprint"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"karp_rabin_fingerprint takes 1 argument, got ${exprs.length}")
+        KarpRabinFingerprint(exprs.head)
+      }))
+    // word_stats(text, 'stop,words') — one-pass token statistics struct;
+    // the stopword list is a literal comma-separated string
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_stats"),
+      new ExpressionInfo(classOf[WordStats].getName, "word_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"word_stats takes 2 arguments (text, stopwordsCsv), got ${exprs.length}")
+        val stops = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString.split(',').toSeq.filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"word_stats: stopwords must be a literal string, got $other")
+        }
+        WordStats(exprs.head, stops)
+      }))
     // shingle_rows(text[, n]) — custom Generator (UDTF): LATERAL VIEW-able;
     // same builder as the temp-function fallback so the two paths can't drift
     e.injectFunction((

@@ -90,21 +90,23 @@ object TextOps {
     // stopword ratio — the heuristics a pretraining filter computes per
     // document.
     Q("q_text_quality",
-      (s, dir) => {
-        val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+      (s, dir) =>
+        // one codegen byte pass per document (graft.functions.WordStats)
+        // replacing four interpreted HOF lambdas — field-equal by the
+        // WordStatsSpec property, same oracle
         t(s, dir, "documents")
-          .withColumn("ws", split(col("text"), " "))
+          .withColumn("st",
+            graft.functions.TextFunctions.wordStats(col("text"), stopwords))
           .select(col("doc_id"),
-            size(col("ws")).cast(LongType).as("n_tokens"),
-            size(array_distinct(col("ws"))).cast(LongType).as("n_uniq"),
-            (expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").cast(DoubleType) /
-              size(col("ws"))).as("avg_token_len"),
-            (expr(s"size(filter(ws, w -> array_contains($stopArr, w)))").cast(DoubleType) /
-              size(col("ws"))).as("stop_ratio"),
-            (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
+            col("st.n_tokens").as("n_tokens"),
+            col("st.n_uniq").as("n_uniq"),
+            (col("st.sum_len").cast(DoubleType) / col("st.n_tokens"))
+              .as("avg_token_len"),
+            (col("st.stop_hits").cast(DoubleType) / col("st.n_tokens"))
+              .as("stop_ratio"),
+            (col("st.n_uniq").cast(DoubleType) / col("st.n_tokens"))
               .as("uniq_ratio"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                      len(ws) AS n_tokens,
                      len(list_distinct(ws)) AS n_uniq,
@@ -141,14 +143,16 @@ object TextOps {
           "es" -> Seq("el", "la", "slow"),
           "fr" -> Seq("le", "les", "small"),
           "zh" -> Seq("big", "key", "hash"))
+        // per-language marker hits via the codegen WordStats pass (its
+        // stop_hits field counts tokens in the marker list, with
+        // multiplicity — the size(filter(...)) convention)
         val scoreCols = profiles.map { case (lang, words) =>
-          val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-          expr(s"size(filter(ws, w -> array_contains($arr, w)))").as(s"s_$lang")
+          graft.functions.TextFunctions.wordStats(col("text"), words)
+            .getField("stop_hits").as(s"s_$lang")
         }
         // argmax with alphabetical tie-break: foldRight below makes the
         // first (alphabetical) language hitting the max win.
         val d = t(s, dir, "documents")
-          .withColumn("ws", split(col("text"), " "))
           .select(col("doc_id") +: col("lang").as("declared_lang") +: scoreCols: _*)
         val langs = profiles.map(_._1)
         val bestScore = greatest(langs.map(l => col(s"s_$l")): _*)
@@ -222,10 +226,13 @@ object TextOps {
     // computed as a sequential fold in BOTH engines so values agree.
     Q("q_fingerprint",
       (s, dir) =>
+        // codegen single byte pass (graft.functions.KarpRabinFingerprint);
+        // the interpreted per-char HOF fold it replaces benched at 6.09 s
+        // for sf0.1 — the same recurrence, same oracle
         t(s, dir, "documents")
           .select(col("doc_id"),
-            expr("""aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                              0L, (acc, x) -> (acc * 31 + x) % 1000000007)""").as("fingerprint"))
+            graft.functions.TextFunctions.karpRabinFingerprint(col("text"))
+              .as("fingerprint"))
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                      list_reduce(list_prepend(0::BIGINT,

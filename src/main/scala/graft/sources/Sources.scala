@@ -82,6 +82,14 @@ object Sources {
         }
         spark.readStream.format("kafka").options(opts).load()
           .select(col("value").cast(StringType).as("value"))
+      case "kinesis" =>
+        // the reference's actual transport (terraform/kinesis.tf:4-40);
+        // requires the spark-sql-kinesis connector jar on the cluster
+        // classpath (not present in this offline sandbox — the option
+        // translation is the spec'd seam). Kinesis records arrive as a
+        // binary `data` column; normalize to the one `value` column.
+        spark.readStream.format("kinesis").options(kinesisOptions(conf)).load()
+          .select(col("data").cast(StringType).as("value"))
       case "file" =>
         val reader = spark.readStream
         conf.get("maxFilesPerTrigger").foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -93,6 +101,32 @@ object Sources {
       case other =>
         throw new IllegalArgumentException(s"unknown topic format: $other")
     }
+
+  /** Topic conf -> spark-sql-kinesis reader options. `streamName` is
+    * required; `endpointUrl` defaults from `regionName` (and vice versa —
+    * a region is parsed out of a standard kinesis.<region>.amazonaws.com
+    * endpoint); the starting position defaults to TRIM_HORIZON (read the
+    * whole retained stream — the reference Lambda's event-source mapping
+    * reads from the stream head the same way, terraform/lambda.tf:46-54).
+    * All `kinesis.`-prefixed options pass through with the prefix
+    * stripped (credentials, VPC endpoint overrides, ...).
+    */
+  def kinesisOptions(conf: Map[String, String]): Map[String, String] = {
+    val stream = conf.getOrElse("streamName",
+      throw new IllegalArgumentException("kinesis source requires streamName"))
+    val regionFromEndpoint = conf.get("endpointUrl").flatMap(
+      "kinesis\\.([a-z0-9-]+)\\.amazonaws\\.com".r.findFirstMatchIn(_).map(_.group(1)))
+    val region = conf.get("regionName").orElse(regionFromEndpoint)
+    val endpoint = conf.get("endpointUrl").orElse(
+      region.map(r => s"https://kinesis.$r.amazonaws.com"))
+    Map("streamName" -> stream,
+      "startingposition" -> conf.getOrElse("startingposition", "TRIM_HORIZON")) ++
+      endpoint.map("endpointUrl" -> _) ++
+      region.map("regionName" -> _) ++
+      conf.collect { case (k, v) if k.startsWith("kinesis.") =>
+        k.stripPrefix("kinesis.") -> v
+      }
+  }
 
   /** Batch form of the W1/W2 lake write: year=/month=/day=/hour= from the
     * given timestamp column (event time by default; the reference used

@@ -42,7 +42,9 @@ object LakeJobs {
   /** Topic config from the CLI source arg — the config-only transport
     * switch (parity with the reference's broker stage,
     * terraform/kinesis.tf:4-40): "kafka:<bootstrap-servers>/<topic>"
-    * selects the Kafka connector; anything else is a JSONL drop directory.
+    * selects the Kafka connector, "kinesis:<endpoint-url>/<streamName>"
+    * the Kinesis connector (Sources.kinesisOptions derives the region
+    * from a standard endpoint); anything else is a JSONL drop directory.
     */
   def topicConf(src: String): Map[String, String] =
     if (src.startsWith("kafka:")) {
@@ -52,6 +54,13 @@ object LakeJobs {
       Map("format" -> "kafka",
         "kafka.bootstrap.servers" -> rest.substring(0, idx),
         "subscribe" -> rest.substring(idx + 1))
+    } else if (src.startsWith("kinesis:")) {
+      val rest = src.stripPrefix("kinesis:")
+      val idx = rest.lastIndexOf('/')
+      require(idx > 0, "kinesis source must be kinesis:<endpoint-url>/<streamName>")
+      Map("format" -> "kinesis",
+        "endpointUrl" -> rest.substring(0, idx),
+        "streamName" -> rest.substring(idx + 1))
     } else Map("format" -> "file", "path" -> src)
 
   def run(args: Array[String], kind: String, cadence: String): Unit = {

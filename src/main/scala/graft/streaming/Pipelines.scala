@@ -346,4 +346,43 @@ object Pipelines {
             .parquet(lakePath)
         } finally decoded.unpersist()
       }
+
+  /** News-side dead-letter lake write — the same R2 log-and-continue side
+    * output as [[quotesLakeWithDeadLetter]] for the second record type
+    * (the reference logs skips in BOTH processors:
+    * processor_company_news.py:37-45). A line is dead-lettered when its
+    * decoded `symbol` is null — failed JSON decode (whole struct nulls
+    * out) or a record missing the one required key; a null `id` or
+    * `datetime` stays VALID (null news_id legitimately bypasses dedup,
+    * null published_ts is the producer's None handling — ref :144-150).
+    * Replay-convergent like the sibling: both outputs keyed by batch_id,
+    * lake partitions by event time (published_ts; null lands in the
+    * default partition) so redelivery rewrites its own output.
+    */
+  def newsLakeWithDeadLetter(raw: DataFrame, lakePath: String,
+      dlPath: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        implicit val spark: SparkSession = batch.sparkSession
+        val decoded = batch
+          .select(col("value").cast(StringType).as("value"),
+            from_json(col("value").cast(StringType), Schemas.newsWire).as("a"))
+          .select(col("value"), col("a.*"))
+          .persist()
+        try {
+          decoded.filter(col("symbol").isNull)
+            .select(col("value"))
+            .write.mode("overwrite").text(s"$dlPath/batch_id=$batchId")
+          withHivePartitions(newsArticles(decoded.drop("value")).toDF(), "published_ts")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("year", "month", "day", "hour", "batch_id")
+            .parquet(lakePath)
+        } finally decoded.unpersist()
+      }
 }

@@ -87,4 +87,26 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       }.toSeq
       codes == expect
     }
+
+  property("KarpRabinFingerprint == codepoint fold (acc*31+cp mod 1e9+7) reference") =
+    forAll(text) { t =>
+      // the reference is the interpreted-HOF recurrence it replaced:
+      // aggregate(transform(split(text,''), c -> ascii(c)), 0, fold) —
+      // split('') yields one element per codepoint, ascii() its value
+      val expect = t.codePoints().toArray.foldLeft(0L) { (acc, cp) =>
+        (acc * 31L + cp) % 1000000007L
+      }
+      KarpRabinFingerprint.compute(UTF8String.fromString(t)) == expect
+    }
+
+  property("WordStats == split/distinct/codepoint-length/contains reference") =
+    forAll(text, Gen.someOf("the", "a", "héllo", "日本", "").map(_.toSeq)) { (t, stops) =>
+      val ws = t.split(" ", -1).toSeq
+      val got = WordStats.compute(UTF8String.fromString(t),
+        stops.map(UTF8String.fromString).toArray)
+      got.getLong(0) == ws.length.toLong &&
+        got.getLong(1) == ws.distinct.length.toLong &&
+        got.getLong(2) == ws.map(w => w.codePointCount(0, w.length).toLong).sum &&
+        got.getLong(3) == ws.count(stops.contains).toLong
+    }
 }

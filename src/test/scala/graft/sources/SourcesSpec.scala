@@ -74,6 +74,31 @@ class SourcesSpec extends SparkSpec {
     assert(rate.isStreaming && rate.schema("value").dataType.typeName == "string")
   }
 
+  test("kinesis: URI parses into the spark-sql-kinesis option set (transport parity)") {
+    // the connector jar can't run offline; the seam under test is the
+    // URI -> reader-options translation a deployer needs
+    val conf = graft.streaming.LakeJobs.topicConf(
+      "kinesis:https://kinesis.us-east-1.amazonaws.com/stock_quotes")
+    assert(conf("format") == "kinesis" &&
+      conf("streamName") == "stock_quotes" &&
+      conf("endpointUrl") == "https://kinesis.us-east-1.amazonaws.com")
+    val opts = Sources.kinesisOptions(conf)
+    assert(opts("streamName") == "stock_quotes")
+    assert(opts("endpointUrl") == "https://kinesis.us-east-1.amazonaws.com")
+    assert(opts("regionName") == "us-east-1") // derived from the endpoint
+    assert(opts("startingposition") == "TRIM_HORIZON") // whole retained stream
+    // region-only conf synthesizes the standard endpoint; kinesis.* options
+    // pass through with the prefix stripped (credentials etc.)
+    val opts2 = Sources.kinesisOptions(Map("streamName" -> "s",
+      "regionName" -> "eu-west-1", "kinesis.awsAccessKeyId" -> "AKIA",
+      "startingposition" -> "LATEST"))
+    assert(opts2("endpointUrl") == "https://kinesis.eu-west-1.amazonaws.com")
+    assert(opts2("awsAccessKeyId") == "AKIA")
+    assert(opts2("startingposition") == "LATEST")
+    // missing streamName is a config error, not a silent default
+    intercept[IllegalArgumentException](Sources.kinesisOptions(Map.empty))
+  }
+
   test("CSV scan with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val e = Tables.load(spark, sf0001, "events")

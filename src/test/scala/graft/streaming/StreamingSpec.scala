@@ -368,6 +368,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.text(s"$dir/dead").count() == 2)
   }
 
+  test("news dead-letter: decode failures side-output, null id/datetime stay valid, replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndl").toString
+    def deliver(ckpt: String): Unit = {
+      val in = MemoryStream[String]
+      in.addData(
+        newsJson("AAPL", 7L, 1700000000L),
+        newsJson("MSFT", null, 1700000000L),      // null id: valid, bypasses dedup
+        """{"id":3,"datetime":1700000000}""",     // missing symbol: dead-letter
+        """totally not json""")                   // decode failure: dead-letter
+      val q = Pipelines.newsLakeWithDeadLetter(in.toDF().toDF("value"),
+        s"$dir/lake", s"$dir/dead", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    deliver(s"$dir/ckpt")
+    val lake = spark.read.parquet(s"$dir/lake")
+    assert(lake.count() == 2 &&
+      lake.select("symbol").as[String].collect().toSet == Set("AAPL", "MSFT"))
+    val dead = spark.read.text(s"$dir/dead").select("value").as[String].collect().toSet
+    assert(dead == Set("""{"id":3,"datetime":1700000000}""", "totally not json"))
+    // redelivery with a fresh checkpoint converges (batch-keyed overwrites)
+    deliver(s"$dir/ckpt2")
+    assert(spark.read.parquet(s"$dir/lake").count() == 2)
+    assert(spark.read.text(s"$dir/dead").count() == 2)
+  }
+
   test("D1 on transformWithState: same watermark semantics, RocksDB state store") {
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
