@@ -510,6 +510,77 @@ object WordStats {
   }
 }
 
+/** Token hits against SEVERAL marker-word lists in one pass:
+  * array<long> with one slot per profile, slot i counting the tokens
+  * (split(text, " ") segments, with multiplicity) equal to any word of
+  * `profiles(i)` — the language-ID vote, where calling [[WordStats]] once
+  * per language would re-scan the text per profile. Lists are tiny (a few
+  * marker words each), so per-token matching is a linear probe over all
+  * profiles' words.
+  */
+case class MarkerHits(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(profiles.nonEmpty, "MarkerHits needs at least one profile")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"marker_hits expects a string column, got ${child.dataType.catalogString}")
+
+  // flattened (profileIndex, word) pairs, converted once
+  @transient private lazy val flatWords: Array[UTF8String] =
+    profiles.flatten.map(UTF8String.fromString).toArray
+  @transient private lazy val flatSlot: Array[Int] =
+    profiles.zipWithIndex.flatMap { case (ws, i) => ws.map(_ => i) }.toArray
+
+  def computeRow(s: UTF8String): ArrayData =
+    MarkerHits.compute(s, profiles.length, flatWords, flatSlot)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("markerHits", this, classOf[MarkerHits].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+    copy(child = newChild)
+
+  override def prettyName: String = "marker_hits"
+}
+
+object MarkerHits {
+
+  def compute(s: UTF8String, nProfiles: Int,
+      flatWords: Array[UTF8String], flatSlot: Array[Int]): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val hits = new Array[Long](nProfiles)
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        val w = UTF8String.fromBytes(bytes, start, i - start)
+        var k = 0
+        while (k < flatWords.length) {
+          if (flatWords(k).equals(w)) hits(flatSlot(k)) += 1
+          k += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits)
+  }
+}
+
 object TextFunctions {
 
   /** Distinct seed-42 xxhash64 of all n-word shingles of a string column. */
@@ -541,4 +612,9 @@ object TextFunctions {
   def wordStats(c: Column, stopwords: Seq[String]): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       WordStats(org.apache.spark.sql.graft.GraftSqlShims.expression(c), stopwords))
+
+  /** Per-profile marker-token hit counts (array<long>) in one pass. */
+  def markerHits(c: Column, profiles: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      MarkerHits(org.apache.spark.sql.graft.GraftSqlShims.expression(c), profiles))
 }

@@ -216,6 +216,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         }
         WordStats(exprs.head, stops)
       }))
+    // marker_hits(text, 'the,a'[, 'le,les', ...]) — one profile per
+    // literal comma-separated string; returns array<long> of hit counts
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("marker_hits"),
+      new ExpressionInfo(classOf[MarkerHits].getName, "marker_hits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2,
+          s"marker_hits takes (text, profileCsv...), got ${exprs.length} args")
+        val profiles = exprs.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            s.toString.split(',').toSeq.filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"marker_hits: profiles must be literal strings, got $other")
+        }
+        MarkerHits(exprs.head, profiles)
+      }))
     // shingle_rows(text[, n]) — custom Generator (UDTF): LATERAL VIEW-able;
     // same builder as the temp-function fallback so the two paths can't drift
     e.injectFunction((

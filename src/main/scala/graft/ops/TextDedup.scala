@@ -485,7 +485,69 @@ object TextDedup {
        SELECT doc_id, keeper_id FROM comp
        WHERE doc_id != keeper_id ORDER BY doc_id"""
 
+  /** Incremental ingest dedup: the new batch's documents whose text does
+    * NOT already exist in the corpus — the standing question of every
+    * ingestion pipeline ("which of today's crawl is actually new?"),
+    * answered without joining the full corpus against the full batch.
+    *
+    * A bloom filter built over the corpus's hashed texts (one corpus
+    * aggregation) rides a scalar subquery to the batch scan — the same
+    * vehicle Spark's own InjectRuntimeFilter uses, so the sketch ships
+    * like a broadcast. Blooms have no false negatives: a bloom-negative
+    * batch row is PROVABLY novel and bypasses the join entirely; only
+    * bloom-positives (true dups + the configured false-positive sliver)
+    * pay the exact text-equality anti-join, whose corpus build side the
+    * planner prunes the same way. The bloom probe appears once per
+    * branch but is the SAME subquery instance (one exprId), so the
+    * adaptive planner executes the corpus aggregation once — verified by
+    * job-count instrumentation: a two-branch union costs exactly the
+    * same jobs as a single probe. At 100 TB: one pass over the corpus to
+    * build the sketch (size it via `expectedItems`; past ~100M items cap
+    * the bits and let the higher false-positive rate send a few more
+    * rows to the exact join — correctness never depends on the sketch),
+    * and the shuffled anti-join sees only the suspicious fraction of the
+    * batch.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims
+    val bloomPlan = corpus
+      .agg(BloomJoin.bloomAgg(col(textCol), expectedItems).as("__bf"))
+      .queryExecution.analyzed
+    // ONE ScalarSubquery instance (one exprId) shared by both branches ->
+    // the adaptive subquery planner runs the aggregation once
+    val probe = GraftSqlShims.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
+        GraftSqlShims.expression(xxhash64(col(textCol)))))
+    val novel = batch.filter(!probe) // bloom-negative: provably not in corpus
+    val verified = batch.filter(probe) // suspicious: exact anti-join decides
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    novel.select(batch.columns.map(col): _*)
+      .unionByName(verified.select(batch.columns.map(col): _*))
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // Incremental ingest dedup on the gate: the bloom fast-path must be
+    // invisible — the oracle is the plain NOT EXISTS over text equality.
+    // "New batch" = every 10th doc_id (deterministic, sf-agnostic, and at
+    // sf0.1 a few batch texts genuinely exist in the corpus, so both the
+    // novel fast path and the dup-drop path carry rows).
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        incrementalDedup(
+          docs.filter(col("doc_id") % 10 === 9),
+          docs.filter(col("doc_id") % 10 =!= 9))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, source, n_chars FROM documents d
+              WHERE d.doc_id % 10 = 9
+                AND NOT EXISTS (SELECT 1 FROM documents c
+                                WHERE c.doc_id % 10 <> 9 AND c.text = d.text)
+              ORDER BY doc_id""")),
 
     // Exact dedup: one keeper (min doc_id) per distinct text. Hash
     // aggregate; at 100 TB you'd pre-hash the text to shuffle 8 bytes per

@@ -143,12 +143,14 @@ object TextOps {
           "es" -> Seq("el", "la", "slow"),
           "fr" -> Seq("le", "les", "small"),
           "zh" -> Seq("big", "key", "hash"))
-        // per-language marker hits via the codegen WordStats pass (its
-        // stop_hits field counts tokens in the marker list, with
-        // multiplicity — the size(filter(...)) convention)
-        val scoreCols = profiles.map { case (lang, words) =>
-          graft.functions.TextFunctions.wordStats(col("text"), words)
-            .getField("stop_hits").as(s"s_$lang")
+        // ALL per-language marker hits from ONE codegen byte pass
+        // (graft.functions.MarkerHits) — slot i counts tokens in
+        // profile i's list, with multiplicity (the size(filter(...))
+        // convention the oracle uses)
+        val hits = graft.functions.TextFunctions
+          .markerHits(col("text"), profiles.map(_._2))
+        val scoreCols = profiles.zipWithIndex.map { case ((lang, _), i) =>
+          element_at(hits, i + 1).as(s"s_$lang")
         }
         // argmax with alphabetical tie-break: foldRight below makes the
         // first (alphabetical) language hitting the max win.

@@ -109,4 +109,18 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
         got.getLong(2) == ws.map(w => w.codePointCount(0, w.length).toLong).sum &&
         got.getLong(3) == ws.count(stops.contains).toLong
     }
+
+  property("MarkerHits == per-profile split/count reference, one pass") =
+    forAll(text) { t =>
+      val profiles = Seq(Seq("the", "a"), Seq("héllo", "日本"), Seq("a", ""))
+      val ws = t.split(" ", -1).toSeq
+      val expect = profiles.map(p => ws.count(p.contains).toLong)
+      val got = MarkerHits(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          t, org.apache.spark.sql.types.StringType),
+        profiles).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == expect
+    }
 }

@@ -58,6 +58,26 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT explode(word_shingle_hashes('a b c d')) AS sh")
         .collect().map(_.getLong(0)).toSeq
       assert(gen == viaArr && gen.length == 2)
+      // karp_rabin_fingerprint: SQL-callable, equals the HOF recurrence
+      val kr = spark.sql("SELECT karp_rabin_fingerprint('hash me 123') AS f")
+        .head.getLong(0)
+      val krRef = spark.sql(
+        """SELECT aggregate(transform(split('hash me 123', ''),
+                            c -> CAST(ascii(c) AS BIGINT)),
+                  0L, (acc, x) -> (acc * 31 + x) % 1000000007) AS f""")
+        .head.getLong(0)
+      assert(kr == krRef)
+      // word_stats: struct fields match the interpreted formulation
+      val wsRow = spark.sql(
+        "SELECT word_stats('the big the cat', 'the,a') AS s").selectExpr(
+        "s.n_tokens", "s.n_uniq", "s.sum_len", "s.stop_hits").head
+      assert(wsRow.getLong(0) == 4 && wsRow.getLong(1) == 3 &&
+        wsRow.getLong(2) == 12 && wsRow.getLong(3) == 2)
+      // marker_hits: one slot per literal CSV profile, multiplicity counts
+      val mh = spark.sql(
+        "SELECT marker_hits('the a le the', 'the,a', 'le,les') AS h")
+        .head.getSeq[Long](0)
+      assert(mh == Seq(3L, 1L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpec {
     assert(rel.forall(_ <= 0.02), rel.toSeq.toString)
   }
 
+  test("incrementalDedup: bloom fast-path invisible (exact vs plain anti-join)") {
+    // batch/corpus split must be NON-empty on both sides and, on synthetic
+    // dup structure, actually exercise both branches (novel + suspicious)
+    val batch = docs.filter(col("doc_id") % 10 === 9)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    assert(batch.count() > 0 && corpus.count() > 0)
+    val out = TextDedup.incrementalDedup(batch, corpus)
+    val plain = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("approx_count_distinct is within 5% of exact") {
     val e = Tables.load(spark, sf001, "events")
     val exactCounts = e.groupBy("event_type").agg(countDistinct("user_id").as("x"))

@@ -454,6 +454,53 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(7L, 9L), s"got $ids — 3 must be dropped by RECOVERED state")
   }
 
+  test("D1 on transformWithState: monotone-max contract holds across TWO RocksDB restarts") {
+    // Hardens the one operator whose semantics the oracle can never see:
+    // the recovered RocksDB value state must keep enforcing the monotone
+    // maximum across repeated process lifetimes, with out-of-order ids
+    // arriving below the recovered watermark in every epoch (the exact
+    // divergence DedupDivergenceSpec shows for dropDuplicates).
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tws2").toString
+      val in = MemoryStream[String]
+      val base = 1700000000L
+      def start() = HighWatermarkDedupTws(
+        Pipelines.newsArticles(Pipelines.decodeNews(in.toDF().toDF("value"))).as[NewsArticle])
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+      // lifetime 1: {7, 2} both clear the initial watermark -> emit; max 7
+      val q1 = start()
+      in.addData(newsJson("AAPL", 7L, base), newsJson("AAPL", 2L, base + 1))
+      q1.processAllAvailable(); q1.stop()
+      // lifetime 2: 5 is below the RECOVERED watermark 7 (drop); 9 and 11
+      // advance it to 11
+      in.addData(newsJson("AAPL", 5L, base + 10), newsJson("AAPL", 11L, base + 11),
+        newsJson("AAPL", 9L, base + 12))
+      val q2 = start()
+      q2.processAllAvailable(); q2.stop()
+      // lifetime 3: a REPLAYED 11 (at-the-watermark) and a 6 both drop
+      // against the twice-recovered state; only 12 emits
+      in.addData(newsJson("AAPL", 11L, base + 20), newsJson("AAPL", 6L, base + 21),
+        newsJson("AAPL", 12L, base + 22))
+      val q3 = start()
+      q3.processAllAvailable(); q3.stop()
+      val ids = spark.read.parquet(s"$dir/out").select("news_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 7L, 9L, 11L, 12L),
+        s"got $ids — 5, 6 and the replayed 11 must drop against recovered state")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
