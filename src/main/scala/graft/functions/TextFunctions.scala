@@ -346,6 +346,79 @@ object ShingleRows {
   }
 }
 
+/** Overlapping k-word windows at a fixed stride — the training-data
+  * CHUNKING primitive (context-length windows with overlap k − stride),
+  * as array<string> of contiguous byte slices in one pass. Window j
+  * starts at word j·stride; the window count is 1 for texts of at most k
+  * words, else ceil((nWords − k) / stride) + 1 — the last window covers
+  * the tail (and may be shorter than k). [[WordSegments]] is the
+  * stride = k special case. Byte-equal to
+  * `transform(sequence(0, nWin−1), j -> array_join(slice(ws, j*stride+1, k), ' '))`
+  * over `ws = split(text, " ")`, but codegen instead of interpreted
+  * lambdas.
+  */
+case class WordWindows(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window width must be >= 1, got $k")
+  require(stride >= 1 && stride <= k,
+    s"stride must be in [1, k], got $stride (k = $k)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_windows expects a string column, got ${child.dataType.catalogString}")
+
+  def computeRow(s: UTF8String): ArrayData = WordWindows.compute(s, k, stride)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("windower", this, classOf[WordWindows].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordWindows =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_windows"
+}
+
+object WordWindows {
+
+  def compute(s: UTF8String, k: Int, stride: Int): ArrayData = {
+    val bytes = s.getBytes // one copy; windows wrap regions of it
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) { if (bytes(i) == 0x20) { starts(w) = i + 1; w += 1 }; i += 1 }
+    val nWin =
+      if (nWords <= k) 1
+      else (nWords - k + stride - 1) / stride + 1 // ceil((n-k)/stride) + 1
+    val out = new Array[AnyRef](nWin)
+    var j = 0
+    while (j < nWin) {
+      val first = j * stride
+      val start = starts(first)
+      val end = if (first + k < nWords) starts(first + k) - 1 else len // exclusive
+      out(j) = UTF8String.fromBytes(bytes, start, end - start)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Rolling Karp-Rabin polynomial fingerprint of the codepoint stream:
   * acc = (acc * 31 + codepoint) mod 1e9+7, acc0 = 0 — one codegen pass
   * over the UTF-8 bytes decoding codepoints in place.
@@ -617,4 +690,9 @@ object TextFunctions {
   def markerHits(c: Column, profiles: Seq[Seq[String]]): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       MarkerHits(org.apache.spark.sql.graft.GraftSqlShims.expression(c), profiles))
+
+  /** Overlapping k-word windows at `stride` (chunking), as strings. */
+  def wordWindows(c: Column, k: Int, stride: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      WordWindows(org.apache.spark.sql.graft.GraftSqlShims.expression(c), k, stride))
 }

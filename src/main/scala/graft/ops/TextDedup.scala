@@ -76,6 +76,38 @@ object TextDedup {
     out
   }
 
+  /** Directed near-CONTAINMENT pairs: (contained, container) where
+    * |S(contained) ∩ S(container)| / |S(contained)| >= minContainment over
+    * 3-word shingles — the C4/RealNews-style "document swallowed by a
+    * longer one" measure that symmetric Jaccard structurally misses (a
+    * 10×-longer superset has jaccard ≈ 0.1 but containment ≈ 1.0, so a
+    * Jaccard gate keeps both copies). Same inverted-index shape as
+    * [[ngramJaccardPairs]] and the same Σ df² cost, but deliberately NO
+    * length filter: containment must cross size ratios — that asymmetry
+    * is the point. Intersections count once per unordered pair; both
+    * directed thresholds read the one materialized count.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double): DataFrame = {
+    val ex = shingled(docs)
+      .select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
+      .persist() // both join sides reference it; avoids re-shingling
+    val a = ex.select(col("doc_id").as("a_id"), col("n_sh").as("na"), col("sh"))
+    val b = ex.select(col("doc_id").as("b_id"), col("n_sh").as("nb"), col("sh"))
+    // one count per unordered pair, materialized BEFORE the two directed
+    // projections read it (plans referenced twice re-execute — no CSE)
+    val und = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    ex.unpersist()
+    und.select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        (col("c").cast(DoubleType) / col("na")).as("containment"))
+      .unionAll(und.select(col("b_id").as("contained_id"),
+        col("a_id").as("container_id"),
+        (col("c").cast(DoubleType) / col("nb")).as("containment")))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
     * Xiao et al.): under any global token ordering (here: hash order), two
     * sets with Jaccard >= j MUST share a token among each one's smallest
@@ -566,6 +598,32 @@ object TextDedup {
       (s, dir) => ngramJaccardPairs(t(s, dir, "documents"), 0.6)
         .orderBy(col("a_id"), col("b_id")),
       Some(ngramOracleSql)),
+
+    // Directed containment (asymmetric near-dup): each (contained,
+    // container) direction gated independently on the SAME per-pair
+    // intersection count. Oracle = the all-pairs list_intersect form.
+    Q("q_dedup_containment",
+      (s, dir) => containmentPairs(t(s, dir, "documents"), 0.9)
+        .orderBy(col("contained_id"), col("container_id")),
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+                FROM d a JOIN d b ON a.doc_id < b.doc_id),
+              dir AS (
+                SELECT a_id AS contained_id, b_id AS container_id,
+                       CAST(c AS DOUBLE) / na AS containment FROM p
+                UNION ALL
+                SELECT b_id, a_id, CAST(c AS DOUBLE) / nb FROM p)
+              SELECT contained_id, container_id, containment FROM dir
+              WHERE containment >= 0.9
+              ORDER BY contained_id, container_id""")),
 
     // Same exact semantics through prefix-filtered candidate generation —
     // the shared oracle proves the prefix bound loses no pairs.

@@ -72,6 +72,27 @@ object TextOps {
               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
               ORDER BY doc_id""")),
 
+    // Training-data chunking: overlapping 32-token windows at stride 16
+    // (context-length packing with overlap). One codegen pass builds the
+    // window slices per document (graft.functions.WordWindows); posexplode
+    // flattens — per-row work, no shuffle before the declared sort.
+    Q("q_chunk_windows",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.wordWindows(col("text"), 32, 16)))
+          .select(col("doc_id"), col("pos").cast(LongType).as("win"),
+            col("col").as("chunk"))
+          .orderBy(col("doc_id"), col("win")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                   x AS (SELECT doc_id, ws, len(ws) AS n FROM w)
+              SELECT doc_id, j AS win,
+                     array_to_string(ws[j*16+1 : j*16+32], ' ') AS chunk
+              FROM x, LATERAL (SELECT unnest(range(0,
+                CASE WHEN n <= 32 THEN 1
+                     ELSE CAST(ceil((n - 32) / 16.0) AS BIGINT) + 1 END)) AS j)
+              ORDER BY doc_id, win""")),
+
     // Scalar string functions (P1/P2 analogues + LIKE search surface).
     Q("q_string_fns",
       (s, dir) =>

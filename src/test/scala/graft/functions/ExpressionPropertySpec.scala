@@ -110,6 +110,19 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
         got.getLong(3) == ws.count(stops.contains).toLong
     }
 
+  property("WordWindows == split/strided-slice/mkString reference") =
+    forAll(text, Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) { (t, k0, s0) =>
+      val k = math.max(k0, s0); val st = math.min(k0, s0) // stride <= k
+      val ws = t.split(" ", -1).toSeq
+      val n = ws.length
+      val nWin = if (n <= k) 1 else (n - k + st - 1) / st + 1
+      val expect = (0 until nWin).map(j => ws.slice(j * st, j * st + k).mkString(" "))
+      val got = WordWindows.compute(UTF8String.fromString(t), k, st)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).toSeq
+        .map(_.toString)
+      got == expect
+    }
+
   property("MarkerHits == per-profile split/count reference, one pass") =
     forAll(text) { t =>
       val profiles = Seq(Seq("the", "a"), Seq("héllo", "日本"), Seq("a", ""))

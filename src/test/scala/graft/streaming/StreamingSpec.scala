@@ -501,6 +501,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact dedup: first occurrence wins across batches AND restarts") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sed").toString
+      val in = MemoryStream[String]
+      def key(s: String): Long =
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      def start() = StreamingExactDedup(in.toDS(), key)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      in.addData("doc a", "doc b", "doc a") // intra-batch dup
+      q1.processAllAvailable()
+      in.addData("doc b", "doc c")          // cross-batch dup
+      q1.processAllAvailable()
+      q1.stop()
+      in.addData("doc a", "doc d")          // dup across RESTART
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(s"$dir/out").as[String].collect().sorted.toSeq
+      assert(got == Seq("doc a", "doc b", "doc c", "doc d"), s"got $got")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("W1 sink: hive-partitioned exactly-once file sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val in = MemoryStream[String]
