@@ -137,6 +137,76 @@ object TextOps {
               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
               ORDER BY doc_id""")),
 
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1 shape): per-doc
+    // rule flags + composite keep, everything from ONE WordStats byte
+    // pass. Thresholds tuned so the synthetic corpus genuinely splits
+    // (not all-keep / all-drop).
+    Q("q_gopher_rules",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("st",
+            graft.functions.TextFunctions.wordStats(col("text"), stopwords))
+          .select(col("doc_id"),
+            col("st.n_tokens").as("nt"),
+            col("st.n_uniq").as("nu"),
+            (col("st.sum_len").cast(DoubleType) / col("st.n_tokens")).as("mwl"),
+            col("st.stop_hits").as("sh"))
+          .select(col("doc_id"),
+            when(col("nt").between(40, 100000), 1L).otherwise(0L).as("r_wordcount"),
+            when(col("mwl").between(3.0, 6.0), 1L).otherwise(0L).as("r_meanlen"),
+            when(col("sh") >= 1, 1L).otherwise(0L).as("r_stopword"),
+            when(col("nu").cast(DoubleType) / col("nt") >= 0.5, 1L).otherwise(0L)
+              .as("r_uniq"))
+          .withColumn("keep",
+            col("r_wordcount") * col("r_meanlen") * col("r_stopword") * col("r_uniq"))
+          .orderBy(col("doc_id")),
+      Some("""WITH s AS (
+                SELECT doc_id, len(ws) AS nt, len(list_distinct(ws)) AS nu,
+                       CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mwl,
+                       len(list_filter(ws, w -> list_contains(['the', 'a'], w))) AS sh
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              SELECT doc_id,
+                     CAST(CASE WHEN nt BETWEEN 40 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+                     CAST(CASE WHEN mwl BETWEEN 3.0 AND 6.0 THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+                     CAST(CASE WHEN sh >= 1 THEN 1 ELSE 0 END AS BIGINT) AS r_stopword,
+                     CAST(CASE WHEN CAST(nu AS DOUBLE) / nt >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS r_uniq,
+                     CAST(CASE WHEN nt BETWEEN 40 AND 100000 THEN 1 ELSE 0 END
+                        * CASE WHEN mwl BETWEEN 3.0 AND 6.0 THEN 1 ELSE 0 END
+                        * CASE WHEN sh >= 1 THEN 1 ELSE 0 END
+                        * CASE WHEN CAST(nu AS DOUBLE) / nt >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+              FROM s ORDER BY doc_id""")),
+
+    // Within-document repetition (the Gopher duplicate-n-gram signal): the
+    // fraction of a doc's 3-word shingles that are repeats of an earlier
+    // one. Distinct count comes from the codegen shingling pass; short
+    // texts (< 3 words) are one whole-text shingle, ratio 0.
+    Q("q_repetition",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.wordStats(col("text"), Nil)
+              .getField("n_tokens").as("nt"),
+            size(graft.functions.TextFunctions.shingleHashes(col("text")))
+              .cast(LongType).as("n_uniq"))
+          .withColumn("n_total",
+            when(col("nt") >= 3, col("nt") - 2).otherwise(lit(1L)))
+          .select(col("doc_id"), col("n_total"), col("n_uniq"),
+            ((col("n_total") - col("n_uniq")).cast(DoubleType) / col("n_total"))
+              .as("dup_shingle_ratio"))
+          .orderBy(col("doc_id")),
+      Some("""WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 1 END AS n_total,
+                       CASE WHEN len(ws) >= 3
+                            THEN len(list_distinct(list_transform(range(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+                            ELSE 1 END AS n_uniq
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+              SELECT doc_id, CAST(n_total AS BIGINT) AS n_total,
+                     CAST(n_uniq AS BIGINT) AS n_uniq,
+                     CAST(n_total - n_uniq AS DOUBLE) / n_total AS dup_shingle_ratio
+              FROM s ORDER BY doc_id""")),
+
     // Token counting with a BPE-ish regex (word pieces | digits | other
     // symbol), the cheap proxy for tokenizer cost estimation.
     Q("q_token_count",

@@ -65,4 +65,30 @@ class PlanShapeSpec extends SparkSpec {
       .filter(_.contains("ReadSchema")).mkString("\n")
     assert(line.contains("doc_id") && !line.contains("text"), line)
   }
+
+  test("q_chunk_windows: codegen Generate over the scan, only doc_id+text read") {
+    val p = plan("q_chunk_windows")
+    assert(p.contains("Generate posexplode"), p.take(800))
+    val line = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(line.contains("doc_id") && line.contains("text") &&
+      !line.contains("n_chars") && !line.contains("source"), line)
+  }
+
+  test("q_dedup_incremental: bloom probes at both scans, no cartesian anywhere") {
+    val p = plan("q_dedup_incremental")
+    assert("might_contain".r.findAllIn(p).size >= 2,
+      "both union branches must carry the bloom probe:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("LeftAnti"), "exact verification must plan as anti join")
+  }
+
+  test("q_gopher_rules / q_repetition: single codegen pass, no shuffle before sort") {
+    // per-row quality scoring must not aggregate or join anything: the
+    // only Exchange allowed is the final declared orderBy's range partition
+    Seq("q_gopher_rules", "q_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free:\n" + p.take(600))
+      assert(!p.contains("HashAggregate"), s"$q must be aggregation-free")
+    }
+  }
 }
