@@ -108,6 +108,49 @@ object TextDedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** [[containmentPairs]] via PREFIX FILTERING — the exact-containment
+    * scale path. For containment |A∩B|/|A| >= c the overlap threshold is
+    * alpha = ceil(c·|A|), so if NO token of A's prefix (its
+    * |A| − alpha + 1 smallest hashes under the global order) appears in
+    * B, the overlap is confined to A's remaining alpha − 1 tokens —
+    * below alpha. Hence candidates = (contained-side PREFIX) ⋈ (container
+    * side FULL postings); at c = 0.9 the prefix is ~10% of each doc, so
+    * the candidate join costs Σ df_prefix·df_full instead of Σ df² —
+    * and because the prefix table holds EVERY doc's prefix, one join
+    * covers both directions of every pair. Candidates are exactly
+    * verified (same intersection count as the unfiltered form); the
+    * shared oracle with q_dedup_containment proves the prune lossless.
+    */
+  def containmentPairsPrefix(docs: DataFrame, minContainment: Double): DataFrame = {
+    val sh = shingled(docs).persist()
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
+    val prefix = sh.select(col("doc_id"), col("n_sh"),
+      explode(expr(
+        s"slice(array_sort(hs), 1, int(n_sh - ceil(n_sh * $minContainment) + 1))"))
+        .as("sh"))
+    // directed candidates: contained's prefix token hits container's postings
+    val cand = prefix.select(col("doc_id").as("contained_id"),
+        col("n_sh").as("na"), col("sh"))
+      .join(ex.select(col("doc_id").as("container_id"), col("sh")), Seq("sh"))
+      .filter(col("contained_id") =!= col("container_id"))
+      .select(col("contained_id"), col("container_id"), col("na"))
+      .distinct()
+    // exact verification: intersection count via the full inverted index
+    val verified = cand
+      .join(ex.select(col("doc_id").as("contained_id"), col("sh").as("h")),
+        Seq("contained_id"))
+      .join(ex.select(col("doc_id").as("container_id"), col("sh").as("h")),
+        Seq("container_id", "h"))
+      .groupBy(col("contained_id"), col("container_id"), col("na"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("containment", col("c").cast(DoubleType) / col("na"))
+      .filter(col("containment") >= minContainment)
+      .select(col("contained_id"), col("container_id"), col("containment"))
+    val out = verified.localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
     * Xiao et al.): under any global token ordering (here: hash order), two
     * sets with Jaccard >= j MUST share a token among each one's smallest
@@ -559,6 +602,31 @@ object TextDedup {
       .unionByName(verified.select(batch.columns.map(col): _*))
   }
 
+  /** Shared by q_dedup_containment (full index) and
+    * q_dedup_containment_prefix (prefix-filtered candidates): both must
+    * produce the identical directed pair set.
+    */
+  private val containmentOracleSql: String =
+    """WITH d AS (
+         SELECT doc_id,
+                CASE WHEN len(string_split(text, ' ')) >= 3
+                     THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                     ELSE [text] END AS sh
+         FROM documents),
+       p AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
+         FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       dir AS (
+         SELECT a_id AS contained_id, b_id AS container_id,
+                CAST(c AS DOUBLE) / na AS containment FROM p
+         UNION ALL
+         SELECT b_id, a_id, CAST(c AS DOUBLE) / nb FROM p)
+       SELECT contained_id, container_id, containment FROM dir
+       WHERE containment >= 0.9
+       ORDER BY contained_id, container_id"""
+
   val queries: Seq[Q] = Seq(
 
     // Incremental ingest dedup on the gate: the bloom fast-path must be
@@ -605,25 +673,14 @@ object TextDedup {
     Q("q_dedup_containment",
       (s, dir) => containmentPairs(t(s, dir, "documents"), 0.9)
         .orderBy(col("contained_id"), col("container_id")),
-      Some("""WITH d AS (
-                SELECT doc_id,
-                       CASE WHEN len(string_split(text, ' ')) >= 3
-                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
-                            ELSE [text] END AS sh
-                FROM documents),
-              p AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                       len(list_intersect(a.sh, b.sh)) AS c, len(a.sh) AS na, len(b.sh) AS nb
-                FROM d a JOIN d b ON a.doc_id < b.doc_id),
-              dir AS (
-                SELECT a_id AS contained_id, b_id AS container_id,
-                       CAST(c AS DOUBLE) / na AS containment FROM p
-                UNION ALL
-                SELECT b_id, a_id, CAST(c AS DOUBLE) / nb FROM p)
-              SELECT contained_id, container_id, containment FROM dir
-              WHERE containment >= 0.9
-              ORDER BY contained_id, container_id""")),
+      Some(containmentOracleSql)),
+
+    // The prefix-filtered exact-containment scale path — shared oracle
+    // proves the directional prefix bound loses no pairs.
+    Q("q_dedup_containment_prefix",
+      (s, dir) => containmentPairsPrefix(t(s, dir, "documents"), 0.9)
+        .orderBy(col("contained_id"), col("container_id")),
+      Some(containmentOracleSql)),
 
     // Same exact semantics through prefix-filtered candidate generation —
     // the shared oracle proves the prefix bound loses no pairs.
