@@ -595,8 +595,12 @@ object TextDedup {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan),
         GraftSqlShims.expression(xxhash64(col(textCol)))))
-    val novel = batch.filter(!probe) // bloom-negative: provably not in corpus
-    val verified = batch.filter(probe) // suspicious: exact anti-join decides
+    // A null text hashes to null, so the probe is null and BOTH filters
+    // would silently drop the row; NOT-EXISTS semantics keep it (null
+    // never equals anything in the corpus) — route nulls to the novel
+    // branch explicitly.
+    val novel = batch.filter(col(textCol).isNull || !probe) // provably not in corpus
+    val verified = batch.filter(col(textCol).isNotNull && probe) // exact anti-join decides
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
     novel.select(batch.columns.map(col): _*)
       .unionByName(verified.select(batch.columns.map(col): _*))

@@ -72,6 +72,13 @@ class DedupSpec extends SparkSpec {
     val plain = batch.join(corpus.select("text").distinct(), Seq("text"), "left_anti")
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // null text must surface as novel (NOT-EXISTS semantics: null never
+    // equals a corpus row), not vanish into a null bloom probe
+    val withNull = batch.select(col("doc_id"), col("source"), col("n_chars"),
+      when(col("doc_id") === 9L, lit(null)).otherwise(col("text")).as("text"))
+    val outN = TextDedup.incrementalDedup(withNull, corpus)
+    assert(outN.filter(col("doc_id") === 9L).count() == 1,
+      "null-text batch row must be kept as novel")
   }
 
   test("approx_count_distinct is within 5% of exact") {
