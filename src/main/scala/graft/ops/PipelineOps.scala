@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-curation operators a pretraining data pipeline runs between raw
+  * crawl and tokenizer: per-domain caps, per-source mixing rates, eval-set
+  * decontamination, and unigram-LM quality scoring (builder brief "text
+  * analysis" / dedup extensions; complements ops.TextDedup and
+  * ops.CorpusOps). All deterministic — hash-based sampling, no rand() —
+  * so replays and retries converge at any scale.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Cap the corpus at `cap` documents per source/domain (kept in doc_id
+    * order) — the Common-Crawl-style guard against a single domain
+    * dominating the mix. One shuffle on the domain key; the per-partition
+    * rank is sort-based, so a mega-domain costs spilled I/O, not memory,
+    * and everything past the cap short-circuits at the filter.
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= cap)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
+  /** Deterministic per-source sampling rates (source mixing): each source
+    * keeps the fraction of docs whose md5(doc_id) prefix falls under its
+    * threshold — the "wiki ×1.0, web ×0.5, junk ×0.1" reweighting every
+    * pretraining mix applies. Pure per-row filter: no shuffle, no count,
+    * replay-stable under retries (same md5 convention as q_hash_sample /
+    * q_train_split).
+    */
+  def sourceMix(docs: DataFrame, rates: Seq[(String, String)],
+      defaultThreshold: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+    val threshold = rates.foldRight(lit(defaultThreshold)) {
+      case ((src, thr), acc) => when(col("source") === src, lit(thr)).otherwise(acc)
+    }
+    docs.filter(h <= threshold).select(col("source"), col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing >= `minOverlap`
+    * distinct 3-word shingles with ANY doc of the (tiny) eval set — the
+    * n-gram-overlap test-set-leak check run before every training run.
+    * The eval side is shingled once and BROADCAST, so the corpus streams
+    * through map-side: no shuffle of the 100 TB side at all; the only
+    * aggregation is over matched (train, eval) candidate rows (rare by
+    * construction — eval sets are small and leaks are the exception).
+    * Shingles come from the one codegen WordShingleHashes pass (same
+    * 8-byte-key convention as ngramJaccardPairs).
+    */
+  def decontaminate(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+      minOverlap: Int): DataFrame = {
+    val sh = TextDedup.shingled(docs).withColumn("is_eval", isEval)
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("sh"))
+    val trainSh = sh.filter(!col("is_eval"))
+      .select(col("doc_id"), explode(col("hs")).as("sh"))
+    trainSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_overlap"),
+        count(lit(1)).as("n_eval_hits"))
+      .filter(col("max_overlap") >= minOverlap)
+  }
+
+  /** Unigram-LM surprisal score per document — the cheap proxy for the
+    * CCNet/KenLM perplexity filter: avg over token instances of
+    * -ln p(token), with p from the corpus's own unigram counts. Two
+    * aggregations (vocab counts; per-doc score); the vocab table is
+    * vocab-sized, not corpus-sized, so it broadcasts and the corpus
+    * streams through the scoring join map-side. Per-token surprisal is
+    * rounded to DECIMAL(24,9) before the per-doc sum, making the
+    * aggregation exact and order-independent (a double sum would drift
+    * with partial-aggregation order across engines and runs).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val freq = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val scored = freq.crossJoin(broadcast(total))
+      .withColumn("nll",
+        (-log(col("cnt").cast(DoubleType) / col("total")))
+          .cast(DecimalType(24, 9)))
+      .select(col("token"), col("nll"))
+    tokens.join(broadcast(scored), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Per-domain cap: at most 10 docs per source, in doc_id order.
+    Q("q_domain_cap",
+      (s, dir) => domainCap(t(s, dir, "documents"), 10)
+        .orderBy(col("source"), col("rn")),
+      Some("""SELECT source, doc_id, rn FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents)
+              WHERE rn <= 10 ORDER BY source, rn""")),
+
+    // Source mixing: src0/src1 keep ~100%, src2 ~50%, everything else ~10%.
+    Q("q_source_mix",
+      (s, dir) => sourceMix(t(s, dir, "documents"),
+          Seq("src0" -> "ff", "src1" -> "ff", "src2" -> "7f"), "19")
+        .orderBy(col("source"), col("doc_id")),
+      Some("""SELECT source, doc_id FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+                    CASE WHEN source = 'src0' THEN 'ff'
+                         WHEN source = 'src1' THEN 'ff'
+                         WHEN source = 'src2' THEN '7f'
+                         ELSE '19' END
+              ORDER BY source, doc_id""")),
+
+    // Decontamination vs the doc_id % 97 == 0 eval subset: training docs
+    // sharing >= 2 distinct shingles with any eval doc. The oracle builds
+    // the same distinct-3-shingle sets from strings (hash-collision odds
+    // across a corpus vocabulary are ~1e-7 per TextDedup's convention and
+    // the sf0.01 compare would catch one).
+    Q("q_decontaminate",
+      (s, dir) => decontaminate(t(s, dir, "documents"),
+          col("doc_id") % 97 === 0, minOverlap = 2)
+        .orderBy(col("doc_id")),
+      Some("""WITH sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                         range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END),
+                         i -> CASE WHEN len(ws) >= 3
+                                   THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                   ELSE text END))) AS s
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+              ov AS (
+                SELECT a.doc_id, b.doc_id AS eval_id, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s
+                WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+                GROUP BY 1, 2)
+              SELECT doc_id, max(c) AS max_overlap, count(*) AS n_eval_hits
+              FROM ov GROUP BY doc_id HAVING max(c) >= 2 ORDER BY doc_id""")),
+
+    // Unigram surprisal per doc (perplexity-filter proxy).
+    Q("q_unigram_logprob",
+      (s, dir) => unigramLogprob(t(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              freq AS (
+                SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+              scored AS (
+                SELECT token,
+                       CAST(-ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM freq))
+                            AS DECIMAL(24,9)) AS nll
+                FROM freq)
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+              FROM tok JOIN scored USING (token)
+              GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

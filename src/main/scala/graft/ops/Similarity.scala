@@ -153,47 +153,72 @@ object Similarity {
     * driver-side structure an IVF index legitimately keeps — and shipped
     * back as literal arrays through the codegen'd dot product.
     */
-  def ivfTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // same null-embedding contract as the LSH paths: a vector that
-    // doesn't exist is neither a seed, a corpus candidate, nor a query
-    val emb = embRaw.filter(col("embedding").isNotNull)
-    def nearestCells(df: DataFrame, cents: Seq[(Int, Seq[Float])], n: Int): DataFrame = {
-      // scores per centroid via literal-array dots, then top-n cell ids
-      val scored = cents.foldLeft(df) { case (d, (cid, v)) =>
-        d.withColumn(s"c$cid", VectorFunctions.floatDot(s, col("embedding"), typedLit(v)))
-      }
-      val cellArr = array(cents.map { case (cid, _) =>
-        struct(col(s"c$cid").as("score"), lit(cid).as("cid"))
-      }: _*)
-      // struct natural order sorts by score first; reverse => best cells
-      scored.withColumn("cells",
-          transform(slice(reverse(array_sort(cellArr)), 1, n), x => x.getField("cid")))
-        .drop(cents.map(c => s"c${c._1}"): _*)
+  /** Top-n nearest centroids per row by dot score (ties -> larger cell id,
+    * mirrored by every oracle's ORDER BY score DESC, cell DESC). Centroids
+    * ride along as literal arrays through the codegen'd dot — no join.
+    */
+  private def nearestCells(s: SparkSession, df: DataFrame,
+      cents: Seq[(Int, Seq[Float])], n: Int): DataFrame = {
+    // scores per centroid via literal-array dots, then top-n cell ids
+    val scored = cents.foldLeft(df) { case (d, (cid, v)) =>
+      d.withColumn(s"c$cid", VectorFunctions.floatDot(s, col("embedding"), typedLit(v)))
     }
-    // seed centroids, one refinement pass (mean of assigned vectors)
-    val seed = emb.filter(col("vec_id") < nlist).select(col("vec_id"), col("embedding"))
+    val cellArr = array(cents.map { case (cid, _) =>
+      struct(col(s"c$cid").as("score"), lit(cid).as("cid"))
+    }: _*)
+    // struct natural order sorts by score first; reverse => best cells
+    scored.withColumn("cells",
+        transform(slice(reverse(array_sort(cellArr)), 1, n), x => x.getField("cid")))
+      .drop(cents.map(c => s"c${c._1}"): _*)
+  }
+
+  /** Deterministic k-means: seed centroids = the first `k` vectors by id,
+    * one Lloyd refinement with decimal-exact per-dimension means (a plain
+    * avg(float) varies in the last bits with partial-agg order, which can
+    * flip assignments near cell boundaries). Returns the refined
+    * centroids — collect()ed, bounded at k x dim, the one driver-side
+    * structure a clustering index legitimately keeps.
+    */
+  def refinedCentroids(s: SparkSession, emb: DataFrame, k: Int): Seq[(Int, Seq[Float])] = {
+    val seed = emb.filter(col("vec_id") < k).select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toIndexedSeq))
-    val assigned0 = nearestCells(emb, seed.toIndexedSeq, 1)
+    val assigned0 = nearestCells(s, emb, seed.toIndexedSeq, 1)
       .withColumn("cell", col("cells")(0)).drop("cells")
-    val centroids = assigned0
+    assigned0
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       // decimal-exact mean (float widened to double, rounded to 7
       // decimals in decimal, then summed exactly): independent of
-      // partial-aggregation order — a plain avg(float) varies run to run
-      // in the last bits, which can flip assignments near cell boundaries
+      // partial-aggregation order
       .agg((sum(col("v").cast(DoubleType).cast(DecimalType(18, 7)))
         .cast(DoubleType) / count(lit(1))).as("m"))
       .groupBy(col("cell")).agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .withColumn("centroid", expr("transform(ps, x -> CAST(x.m AS FLOAT))"))
       .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toIndexedSeq)).toIndexedSeq
+  }
+
+  /** (vec_id, cell): every vector's refined-centroid assignment — the
+    * clustering stage SemDeDup and IVF share. Null embeddings excluded.
+    */
+  def kmeansAssign(s: SparkSession, embRaw: DataFrame, k: Int): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val cents = refinedCentroids(s, emb, k)
+    nearestCells(s, emb, cents, 1)
+      .select(col("vec_id"), col("cells")(0).cast(LongType).as("cell"))
+  }
+
+  def ivfTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // same null-embedding contract as the LSH paths: a vector that
+    // doesn't exist is neither a seed, a corpus candidate, nor a query
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val centroids = refinedCentroids(s, emb, nlist)
     val e = withNorm(s, emb)
-    val corpus = nearestCells(e, centroids.toIndexedSeq, 1)
+    val corpus = nearestCells(s, e, centroids, 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm"), col("cells")(0).as("cell"))
-    val queries = nearestCells(e.filter(col("vec_id") < nQueries), centroids.toIndexedSeq, nprobe)
+    val queries = nearestCells(s, e.filter(col("vec_id") < nQueries), centroids, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm"), explode(col("cells")).as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
@@ -203,6 +228,62 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embeddings,
+    * then WITHIN each cluster drop every vector that has a lower-id
+    * near-duplicate (cosine >= minCos) in the same cluster. The cluster
+    * stage confines the quadratic compare to cell-local candidates — the
+    * semantic-dedup scale path where LSH recall is not acceptable; at
+    * 100 TB, k grows with the corpus so cells stay bounded (k ~ n/cell
+    * budget), keeping each cell's all-pairs a single-task-sized job.
+    */
+  def semDedup(s: SparkSession, embRaw: DataFrame, k: Int, minCos: Double): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    // assignments feed both the pair generation and the final anti-join;
+    // persist -> materialize -> unpersist (re-execution would recluster)
+    val asg = kmeansAssign(s, emb, k).persist()
+    asg.count()
+    val e = withNorm(s, emb).join(asg, Seq("vec_id"))
+    val a = e.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val dropped = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= minCos)
+      .select(col("b_id").as("vec_id")).distinct()
+    val out = asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell")).localCheckpoint()
+    asg.unpersist()
+    out
+  }
+
+  // DuckDB mirror of the deterministic k-means assignment: seed = first k
+  // vectors, argmax-dot assign (ties -> larger cell, mirroring the
+  // reversed struct sort), decimal-exact refined means cast to FLOAT,
+  // then the final argmax-dot assignment.
+  private def sqlKmeansCtes(k: Int): String = {
+    def d(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+        seed AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS c FROM e WHERE vec_id < $k),
+        s0 AS (SELECT vec_id, cell FROM (
+                 SELECT a.vec_id, s.cell,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${d("a.embedding", "s.c")} DESC, s.cell DESC) AS rn
+                 FROM e a CROSS JOIN seed s) WHERE rn = 1),
+        cm AS (SELECT s0.cell, t.i,
+                      CAST(CAST(SUM(CAST(CAST(e.embedding[t.i] AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+                           / COUNT(*) AS FLOAT) AS m
+               FROM s0 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+               GROUP BY s0.cell, t.i),
+        cent AS (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+        asg AS (SELECT vec_id, cell FROM (
+                  SELECT a.vec_id, c.cell,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${d("a.embedding", "c.c")} DESC, c.cell DESC) AS rn
+                  FROM e a CROSS JOIN cent c) WHERE rn = 1)"""
   }
 
   // DuckDB mirror of the double-promoted, index-ordered fold.
@@ -250,6 +331,31 @@ object Similarity {
       (s, dir) => embedNearDupLsh(s, t(s, dir, "embeddings"), 0.5)
         .orderBy(col("a_id"), col("b_id")),
       None),
+
+    // Deterministic k-means assignment (seed = first 8 ids, one
+    // decimal-exact Lloyd refinement) — the clustering stage SemDeDup and
+    // IVF share, oracled end-to-end (seed assign -> refined means ->
+    // final assign all mirrored in SQL).
+    Q("q_kmeans",
+      (s, dir) => kmeansAssign(s, t(s, dir, "embeddings"), 8)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${sqlKmeansCtes(8)}
+               SELECT vec_id, cell FROM asg ORDER BY vec_id""")),
+
+    // SemDeDup: within-cluster cosine dedup — keep a vector unless a
+    // lower-id same-cell vector matches it at cosine >= 0.4.
+    Q("q_semdedup",
+      (s, dir) => semDedup(s, t(s, dir, "embeddings"), 8, 0.4)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH ${sqlKmeansCtes(8)}
+               SELECT v.vec_id, v.cell FROM asg v
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM asg a
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = v.vec_id
+                 WHERE a.cell = v.cell AND a.vec_id < v.vec_id
+                   AND ${sqlDot("ea", "eb")} / (${sqlNorm("ea")} * ${sqlNorm("eb")}) >= 0.4)
+               ORDER BY vec_id""")),
 
     // Per-label centroid, one row per (label, dimension) — grouped vector
     // arithmetic with decimal-exact means so both engines agree bitwise.

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Invariants of the corpus-curation operators (PipelineOps) and the
+  * clustering/SemDeDup stage (Similarity) that the SQL oracles can't
+  * express directly — cap bounds, sampling monotonicity, and the kept-set
+  * contract of semantic dedup.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf001, "documents")
+  private lazy val emb = Tables.load(spark, sf001, "embeddings")
+
+  test("domainCap keeps at most N per source, the N smallest doc_ids") {
+    val out = PipelineOps.domainCap(docs, 10)
+    val bySrc = out.groupBy("source").count().collect()
+    assert(bySrc.forall(_.getLong(1) <= 10))
+    // kept ids per source are exactly the 10 smallest
+    val smallest = docs.groupBy("source")
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+    assert(out.select("source", "doc_id").exceptAll(smallest).isEmpty)
+    assert(smallest.exceptAll(out.select("source", "doc_id")).isEmpty)
+  }
+
+  test("sourceMix is a deterministic subset with per-source rates ordered") {
+    val out = PipelineOps.sourceMix(docs,
+      Seq("src0" -> "ff", "src1" -> "ff", "src2" -> "7f"), "19")
+    // 'ff' threshold keeps every md5 prefix -> src0 keeps all its docs
+    val n0 = out.filter(col("source") === "src0").count()
+    assert(n0 == docs.filter(col("source") === "src0").count())
+    // rate monotonicity: the 7f source keeps a larger fraction than a 19 one
+    val n2 = out.filter(col("source") === "src2").count().toDouble /
+      docs.filter(col("source") === "src2").count()
+    val nRest = out.filter(!col("source").isin("src0", "src1", "src2")).count().toDouble /
+      docs.filter(!col("source").isin("src0", "src1", "src2")).count()
+    assert(n2 > nRest, s"rate(src2)=$n2 rate(rest)=$nRest")
+    // replay-stable: a second evaluation returns the identical set
+    assert(out.exceptAll(PipelineOps.sourceMix(docs,
+      Seq("src0" -> "ff", "src1" -> "ff", "src2" -> "7f"), "19")).isEmpty)
+  }
+
+  test("decontaminate flags only non-eval docs and honors the overlap floor") {
+    val out = PipelineOps.decontaminate(docs, col("doc_id") % 97 === 0, 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) % 97 != 0), "an eval doc flagged itself")
+    assert(out.forall(_.getLong(1) >= 2))
+  }
+
+  test("decontaminate broadcasts the eval side (corpus never shuffles for the join)") {
+    val plan = PipelineOps.decontaminate(docs, col("doc_id") % 97 === 0, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("unigramLogprob: token counts survive the scoring join; scores positive") {
+    val out = PipelineOps.unigramLogprob(docs)
+    val n = out.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val expected = docs.select(size(split(col("text"), " ")).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(n == expected, s"token instances $n != $expected")
+    // every doc scored, -ln p of a proper distribution is positive
+    assert(out.count() == docs.count())
+    assert(out.filter(col("avg_nll") <= 0).isEmpty)
+  }
+
+  test("kmeansAssign covers every vector with a seed-range cell") {
+    val asg = Similarity.kmeansAssign(spark, emb, 8)
+    assert(asg.count() == emb.filter(col("embedding").isNotNull).count())
+    val cells = asg.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((0L until 8L).toSet), s"cells $cells")
+  }
+
+  test("semDedup kept set has no same-cell pair at or above the threshold") {
+    val kept = Similarity.semDedup(spark, emb, 8, 0.4)
+    assert(kept.count() < emb.count(), "nothing was deduped at tau=0.4")
+    // join the kept assignments against the exact cosine pairs: no
+    // surviving pair may share a cell
+    val pairs = Similarity.cosinePairs(spark, emb, 0.4)
+    val ka = kept.select(col("vec_id").as("a_id"), col("cell").as("a_cell"))
+    val kb = kept.select(col("vec_id").as("b_id"), col("cell").as("b_cell"))
+    val violations = pairs.join(ka, "a_id").join(kb, "b_id")
+      .filter(col("a_cell") === col("b_cell"))
+    assert(violations.isEmpty, violations.collect().mkString(", "))
+  }
+}
