@@ -145,6 +145,97 @@ case class MultiPlaneCode(child: Expression, planes: Seq[Seq[Float]],
   override def prettyName: String = "multi_plane_code"
 }
 
+/** Product-quantization codes of an embedding in ONE pass: the vector is
+  * split into `nSub` contiguous subvectors and each is assigned the id of
+  * its nearest codebook centroid by squared-L2 (double accumulation in
+  * index order, ties -> smaller centroid id, mirroring the oracle's
+  * ORDER BY dist ASC, cid ASC). Returns array<int> of nSub codes.
+  *
+  * The codebook lives in one flat float[] reference object
+  * ([subspace][centroid][dim] layout), so the generated loop is a dense
+  * distance scan inside whole-stage codegen — the same single-pass design
+  * as [[MultiPlaneCode]]. At 100 TB this is the compression step that
+  * lets candidate generation ship 4-bit codes instead of 256-byte
+  * vectors.
+  */
+case class PqCodes(child: Expression, codebook: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  private lazy val nSub = codebook.length
+  private lazy val nCent = codebook.head.length
+  private lazy val subDim = codebook.head.head.length
+  private lazy val flat: Array[Float] =
+    codebook.flatten.flatten.toArray // [s][c][d]
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    val codes = new Array[Int](nSub)
+    var s = 0
+    while (s < nSub) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCent) {
+        val base = (s * nCent + c) * subDim
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val d = v(s * subDim + i).toDouble - flat(base + i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cbRef = ctx.addReferenceObj("codebook", flat, "float[]")
+      val v = ctx.freshName("v")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |float[] $v = $a.toFloatArray();
+         |int[] $codes = new int[$nSub];
+         |for (int $s = 0; $s < $nSub; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $nCent; $c++) {
+         |    int $base = ($s * $nCent + $c) * $subDim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $d = ((double) $v[$s * $subDim + $i]) - $cbRef[$base + $i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_codes"
+}
+
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions first-class SQL functions in any session built with
   * `.withExtensions(new GraftExtensions)` or
@@ -264,4 +355,9 @@ object VectorFunctions {
     org.apache.spark.sql.graft.GraftSqlShims.column(
       MultiPlaneCode(org.apache.spark.sql.graft.GraftSqlShims.expression(emb),
         planes, planesPerTable))
+
+  /** All product-quantization subspace codes in one fused pass. */
+  def pqCodes(emb: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      PqCodes(org.apache.spark.sql.graft.GraftSqlShims.expression(emb), codebook))
 }

@@ -259,6 +259,85 @@ object Similarity {
     out
   }
 
+  /** Deterministic PQ codebook: per contiguous subspace, the subvectors of
+    * the first `nCent` vectors by id (the same seed convention as
+    * [[refinedCentroids]]). Driver-side and bounded at nSub x nCent x
+    * subDim — the structure a PQ index ships to every executor.
+    */
+  def pqCodebook(emb: DataFrame, nSub: Int, nCent: Int): Seq[Seq[Seq[Float]]] = {
+    val seeds = emb.filter(col("embedding").isNotNull && col("vec_id") < nCent)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    val subDim = seeds.head.length / nSub
+    (0 until nSub).map(s =>
+      seeds.toIndexedSeq.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+  }
+
+  /** IVF-PQ top-k — the compressed-candidate scale path: the corpus side
+    * carries ONLY (cell, 8 x 4-bit PQ codes), never the vectors, so at
+    * 100 TB candidate generation shuffles ~9 bytes/vector instead of
+    * 256. Scoring is asymmetric-distance (ADC): a per-query lookup table
+    * of subspace-centroid partial dots (nQueries x nSub x nCent rows,
+    * broadcast) joined against the candidates' exploded codes; partial
+    * dots are decimal-rounded before the sum so the approximate ranking
+    * is replay-deterministic. The approx top k x `rerank` then exact
+    * re-ranks through one broadcast of the (tiny) candidate list against
+    * the corpus — precision of the final k is exact-cosine.
+    */
+  def ivfPqTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, nCent: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    import s.implicits._
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val cents = refinedCentroids(s, emb, nlist)
+    val cb = pqCodebook(emb, nSub, nCent)
+    val subDim = cb.head.head.length
+    // corpus index rows: cell + packed codes — no embeddings
+    val corpus = nearestCells(s, emb, cents, 1)
+      .select(col("vec_id").as("n_id"), col("cells")(0).as("cell"),
+        VectorFunctions.pqCodes(col("embedding"), cb).as("codes"))
+    val e = withNorm(s, emb)
+    val q = nearestCells(s, e.filter(col("vec_id") < nQueries), cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cells"))
+    // ADC lookup table: dot(query subvector, codebook centroid) per
+    // (q_id, subspace, centroid)
+    val cbDf = cb.zipWithIndex.flatMap { case (centsSub, sub) =>
+      centsSub.zipWithIndex.map { case (v, cid) => (sub, cid, v) }
+    }.toDF("sub", "cid", "cv")
+    val lut = q.select(col("q_id"), col("q_emb")).crossJoin(cbDf)
+      .withColumn("pdot",
+        VectorFunctions.floatDot(s,
+          slice(col("q_emb"), col("sub") * subDim + 1, lit(subDim)), col("cv"))
+          .cast(DecimalType(24, 9)))
+      .select(col("q_id"), col("sub"), col("cid"), col("pdot"))
+    val qcells = q.select(col("q_id"), explode(col("cells")).as("cell"))
+    val cand = broadcast(qcells).join(corpus, Seq("cell"))
+      .select(col("q_id"), col("n_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+    val approx = cand.join(broadcast(lut), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("pdot")).as("approx_dot"))
+      .filter(col("q_id") =!= col("n_id"))
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("n_id"))
+    val pool = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= k * rerank)
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank: broadcast the small pool; the corpus streams once
+    val exact = broadcast(pool)
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb").as("a_emb"),
+        col("q_norm").as("a_norm"))), Seq("q_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("bigint").as("rank"),
+        col("n_id"), col("cosine"))
+  }
+
   // DuckDB mirror of the deterministic k-means assignment: seed = first k
   // vectors, argmax-dot assign (ties -> larger cell, mirroring the
   // reversed struct sort), decimal-exact refined means cast to FLOAT,
@@ -356,6 +435,50 @@ object Similarity {
                  WHERE a.cell = v.cell AND a.vec_id < v.vec_id
                    AND ${sqlDot("ea", "eb")} / (${sqlNorm("ea")} * ${sqlNorm("eb")}) >= 0.4)
                ORDER BY vec_id""")),
+
+    // Product-quantization codes, packed to one bigint (8 subspaces x
+    // 4-bit codes): the embedding-compression step of an IVF-PQ index,
+    // oracled against a full SQL replication of the argmin-L2 assignment.
+    Q("q_pq_codes",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = pqCodebook(emb, nSub = 8, nCent = 16)
+        emb.filter(col("embedding").isNotNull)
+          .select(col("vec_id"),
+            VectorFunctions.pqCodes(col("embedding"), cb).as("codes"))
+          // 8-element fold — interpreted HOF is fine at this arity
+          .select(col("vec_id"),
+            expr("aggregate(codes, 0L, (acc, x) -> acc * 16 + x)").as("pq"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+                   cb AS (SELECT s.s, CAST(c.vec_id AS INT) AS cid,
+                                 list_transform(range(1, 9), i -> c.embedding[s.s*8 + i]) AS cv
+                          FROM e c CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+                          WHERE c.vec_id < 16),
+                   dist AS (SELECT a.vec_id, cb.s, cb.cid,
+                                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                                     i -> (a.embedding[cb.s*8 + i]::DOUBLE - cb.cv[i]::DOUBLE)
+                                        * (a.embedding[cb.s*8 + i]::DOUBLE - cb.cv[i]::DOUBLE))),
+                                     (acc, x) -> acc + x) AS d
+                            FROM e a CROSS JOIN cb),
+                   code AS (SELECT vec_id, s, cid FROM (
+                              SELECT vec_id, s, cid,
+                                     row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d ASC, cid ASC) AS rn
+                              FROM dist) WHERE rn = 1)
+              SELECT vec_id,
+                     list_reduce(list_prepend(0::BIGINT, list(cid ORDER BY s)),
+                       (acc, x) -> acc * 16 + x) AS pq
+              FROM code GROUP BY vec_id ORDER BY vec_id""")),
+
+    // IVF-PQ top-k: compressed candidates + ADC scoring + exact re-rank.
+    // Sketch-dependent (no SQL oracle); PipelineOpsSpec measures recall
+    // vs the brute-force result.
+    Q("q_ivfpq_topk",
+      (s, dir) => ivfPqTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
+        .orderBy(col("q_id"), col("rank")),
+      None),
 
     // Per-label centroid, one row per (label, dimension) — grouped vector
     // arithmetic with decimal-exact means so both engines agree bitwise.
