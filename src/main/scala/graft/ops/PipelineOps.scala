@@ -149,6 +149,29 @@ object PipelineOps {
               SELECT doc_id, max(c) AS max_overlap, count(*) AS n_eval_hits
               FROM ov GROUP BY doc_id HAVING max(c) >= 2 ORDER BY doc_id""")),
 
+    // Quantile-gated quality filter: drop the shortest quartile of the
+    // corpus — the data-driven threshold form of a length gate (the
+    // cutoff adapts to the corpus instead of being hand-tuned). The
+    // threshold is one tiny aggregate (scalar subquery, broadcast); the
+    // corpus then streams through the filter map-side.
+    Q("q_quality_gate",
+      (s, dir) => {
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .createOrReplaceTempView("docs_ntok_v")
+        s.sql("""SELECT doc_id, n_tokens FROM docs_ntok_v
+                 WHERE n_tokens >= (SELECT CAST(PERCENTILE_DISC(0.25)
+                          WITHIN GROUP (ORDER BY n_tokens) AS BIGINT)
+                        FROM docs_ntok_v)
+                 ORDER BY doc_id""")
+      },
+      Some("""WITH v AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                         FROM documents)
+              SELECT doc_id, n_tokens FROM v
+              WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.25) FROM v)
+              ORDER BY doc_id""")),
+
     // Unigram surprisal per doc (perplexity-filter proxy).
     Q("q_unigram_logprob",
       (s, dir) => unigramLogprob(t(s, dir, "documents"))

@@ -480,6 +480,54 @@ object Similarity {
         .orderBy(col("q_id"), col("rank")),
       None),
 
+    // Per-vector uint8 quantization audit (min/max affine scheme): scale
+    // and RMS reconstruction error per embedding — the compression-loss
+    // metric logged before switching a 100 TB vector store to int8.
+    // Per-dim errors are decimal-rounded then summed exactly (posexplode +
+    // grouped decimal sum, the q_embed_centroids convention), so both
+    // engines agree bitwise; round() operands are non-negative, where
+    // Spark's HALF_UP equals DuckDB's half-away-from-zero.
+    Q("q_embed_quantize",
+      (s, dir) => {
+        val mn = array_min(col("embedding")).cast(DoubleType)
+        val mx = array_max(col("embedding")).cast(DoubleType)
+        val e = t(s, dir, "embeddings")
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"), mn.as("mn"),
+            ((mx - mn) / 255d).as("scale"))
+        e.select(col("vec_id"), col("mn"), col("scale"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("err",
+            when(col("scale") === 0d, lit(0d))
+              .otherwise(col("v").cast(DoubleType) - (col("mn") +
+                round((col("v").cast(DoubleType) - col("mn")) / col("scale"))
+                  * col("scale"))))
+          .groupBy(col("vec_id"), col("scale"))
+          .agg(count(lit(1)).as("dim"),
+            sum((col("err") * col("err")).cast(DecimalType(20, 12))).as("se"))
+          .select(col("vec_id"), col("scale"),
+            sqrt(col("se").cast(DoubleType) / col("dim")).as("rmse"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+                SELECT vec_id,
+                       CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+                       (CAST(list_aggregate(embedding, 'max') AS DOUBLE) -
+                        CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255 AS scale,
+                       embedding
+                FROM embeddings WHERE embedding IS NOT NULL),
+              d AS (
+                SELECT vec_id, scale, t.i,
+                       CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(embedding[t.i] AS DOUBLE) - (mn +
+                                 round((CAST(embedding[t.i] AS DOUBLE) - mn) / scale)
+                                 * scale) END AS err
+                FROM e CROSS JOIN range(1, 65) t(i))
+              SELECT vec_id, scale,
+                     sqrt(CAST(SUM(CAST(err * err AS DECIMAL(20,12))) AS DOUBLE)
+                          / COUNT(*)) AS rmse
+              FROM d GROUP BY vec_id, scale ORDER BY vec_id""")),
+
     // Per-label centroid, one row per (label, dimension) — grouped vector
     // arithmetic with decimal-exact means so both engines agree bitwise.
     Q("q_embed_centroids",

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 
 /** Invariants of the corpus-curation operators (PipelineOps) and the
   * clustering/SemDeDup stage (Similarity) that the SQL oracles can't
@@ -64,6 +64,27 @@ class PipelineOpsSpec extends SparkSpec {
     // every doc scored, -ln p of a proper distribution is positive
     assert(out.count() == docs.count())
     assert(out.filter(col("avg_nll") <= 0).isEmpty)
+  }
+
+  test("quality gate keeps at least three quarters of the corpus, none below threshold") {
+    val q = SparkEntry.queries("q_quality_gate")(spark, sf001)
+    val kept = q.collect()
+    val n = docs.count()
+    assert(kept.length >= n * 3 / 4, s"${kept.length} of $n kept")
+    val thr = kept.map(_.getLong(1)).min
+    // the discrete p25 is an actual data point: something sits exactly at it
+    assert(kept.exists(_.getLong(1) == thr))
+  }
+
+  test("uint8 quantization error is bounded by half a step") {
+    val q = SparkEntry.queries("q_embed_quantize")(spark, sf001).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val scale = r.getDouble(1)
+      val rmse = r.getDouble(2)
+      // per-dim |err| <= scale/2 for in-range affine rounding => rmse too
+      assert(rmse <= scale / 2 + 1e-12, s"vec ${r.getLong(0)}: rmse $rmse scale $scale")
+    }
   }
 
   test("kmeansAssign covers every vector with a seed-range cell") {
