@@ -534,7 +534,9 @@ object TextDedup {
     * q_dedup_clusters_star (star-contraction regime): both must match the
     * same reachability closure.
     */
-  private val clustersOracleSql: String =
+  // Shared recursive-CTE prefix: shingle sets -> jaccard pairs ->
+  // transitive closure -> per-node min-id component label (keeper_id).
+  private val clustersCtePrefix: String =
     """WITH RECURSIVE d AS (
          SELECT doc_id,
                 CASE WHEN len(string_split(text, ' ')) >= 3
@@ -556,9 +558,30 @@ object TextDedup {
          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        comp AS (
          SELECT u AS doc_id, LEAST(u, MIN(v)) AS keeper_id
-         FROM reach GROUP BY u)
+         FROM reach GROUP BY u)"""
+
+  private val clustersOracleSql: String =
+    clustersCtePrefix +
+      """
        SELECT doc_id, keeper_id FROM comp
        WHERE doc_id != keeper_id ORDER BY doc_id"""
+
+  // Cleaned corpus under cluster-best keeper selection: one keeper per
+  // near-dup cluster chosen by quality (n_chars DESC, doc_id tie-break),
+  // plus every singleton untouched.
+  private val clusterBestOracleSql: String =
+    clustersCtePrefix +
+      """,
+       best AS (
+         SELECT doc_id FROM (
+           SELECT c.doc_id,
+                  row_number() OVER (PARTITION BY c.keeper_id
+                    ORDER BY d2.n_chars DESC, c.doc_id) AS rn
+           FROM comp c JOIN documents d2 USING (doc_id)) WHERE rn = 1)
+       SELECT doc_id, source, n_chars FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM best)
+          OR doc_id NOT IN (SELECT doc_id FROM comp)
+       ORDER BY doc_id"""
 
   /** Incremental ingest dedup: the new batch's documents whose text does
     * NOT already exist in the corpus — the standing question of every
@@ -775,6 +798,30 @@ object TextDedup {
         .filter(col("doc_id") =!= col("keeper_id"))
         .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
+
+    // Cluster-best keeper selection: unlike q_dedup_clusters' min-id rule,
+    // each near-dup cluster keeps its BEST member (longest text, doc_id
+    // tie-break) — the keeper policy real curation uses (drop the worse
+    // copies, not the later ones). Costs one extra cluster-member-bounded
+    // window over the CC labels; singletons pass through untouched via an
+    // anti-join (broadcast-able: the label set is pair-bounded, tiny
+    // relative to the corpus).
+    Q("q_dedup_cluster_best",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val labels = connectedComponents(ngramJaccardPairs(docs, 0.6))
+        val w = Window.partitionBy(col("keeper_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val best = labels.join(docs, Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val singletons = docs.join(broadcast(labels.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        best.unionAll(singletons).orderBy(col("doc_id"))
+      },
+      Some(clusterBestOracleSql)),
 
     // C4-style corpus segment dedup: every 20-word segment survives only
     // at its first (doc_id, pos) occurrence; docs reassemble from kept

@@ -91,4 +91,32 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("HashAggregate"), s"$q must be aggregation-free")
     }
   }
+
+  test("q_source_mix: pure per-row filter — no join, no aggregate, no hash shuffle") {
+    val p = plan("q_source_mix")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
+    // only the declared orderBy's range partitioning may exchange
+    assert(!p.contains("hashpartitioning"), p.take(600))
+  }
+
+  test("q_unigram_logprob: the corpus-side scoring join broadcasts the vocab") {
+    val p = plan("q_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "vocab must broadcast — the corpus side never shuffles for the join")
+  }
+
+  test("q_kmeans: final assignment is projection-only (centroids ride as literals)") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("Join"), p.take(600))
+    assert(!p.contains("HashAggregate"),
+      "assignment must not aggregate — refinement happens before, driver-side bounded")
+  }
+
+  test("q_ivfpq_topk: candidate generation and ADC scoring broadcast; corpus never sort-merges") {
+    val p = plan("q_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
 }
