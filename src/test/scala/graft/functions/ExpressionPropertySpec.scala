@@ -123,6 +123,27 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       got == expect
     }
 
+  property("PqCodes == per-subspace argmin-L2 reference (ties -> smaller cid)") =
+    forAll(Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))) { v0 =>
+      val v = v0.toIndexedSeq
+      // 4 subspaces x 3 centroids x 4 dims, deterministic codebook
+      val cb: Seq[Seq[Seq[Float]]] = (0 until 4).map(s =>
+        (0 until 3).map(c => (0 until 4).map(d => ((s + c + d) % 5 - 2).toFloat / 2)))
+      val got = PqCodes(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+        cb).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      val expect = (0 until 4).map { s =>
+        val x = v.slice(s * 4, s * 4 + 4)
+        cb(s).zipWithIndex.map { case (c, cid) =>
+          (x.zip(c).map { case (a, b) => val d = a.toDouble - b.toDouble; d * d }.sum, cid)
+        }.min._2 // (dist, cid) natural order = dist ASC then cid ASC
+      }
+      got == expect
+    }
+
   property("MarkerHits == per-profile split/count reference, one pass") =
     forAll(text) { t =>
       val profiles = Seq(Seq("the", "a"), Seq("héllo", "日本"), Seq("a", ""))
