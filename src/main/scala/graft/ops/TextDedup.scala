@@ -454,6 +454,40 @@ object TextDedup {
     * I/O, not memory. Segmenting is the codegen WordSegments expression
     * (one byte pass per row), same family as WordShingleHashes.
     */
+  /** Content-defined chunk dedup: chunk boundaries fall AFTER every
+    * trigger word (md5 first hex digit in 0..1, ~1/8 rate), so an
+    * insertion reflows only its own chunk — every later chunk keeps its
+    * identity and still dedups corpus-wide (the rsync/CDC property that
+    * fixed-width [[segmentDedup]] lacks). First occurrence per chunk
+    * text wins; docs reassemble from their kept chunks (docs whose every
+    * chunk appeared earlier vanish entirely).
+    */
+  def cdcDedup(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("flag",
+        when(substring(md5(col("w")), 1, 1).isin("0", "1"), 1L).otherwise(0L))
+    val wCut = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = words
+      .withColumn("chunk_id", coalesce(sum(col("flag")).over(wCut), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("chunk"))
+    val wFirst = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            x => x.getField("chunk"))).as("clean_text"))
+  }
+
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
       .select(col("doc_id"),
@@ -822,6 +856,43 @@ object TextDedup {
         best.unionAll(singletons).orderBy(col("doc_id"))
       },
       Some(clusterBestOracleSql)),
+
+    // Content-defined chunk dedup (the rsync/CDC idea at word
+    // granularity): a chunk boundary falls AFTER every trigger word
+    // (md5 prefix in 0..1 — a deterministic ~1/8 rate), so boundaries
+    // are decided by local content, not by position. Unlike the fixed
+    // 20-word segments of q_line_dedup, inserting one word reflows only
+    // the chunk it lands in — every later chunk keeps its identity and
+    // still dedups against the corpus. First occurrence (doc_id,
+    // chunk_id order) wins; docs reassemble from kept chunks. One
+    // shuffle per stage (doc window -> chunk-hash dedup -> doc
+    // reassembly), chunk identity is the md5 of the chunk text, and the
+    // skewed all-equal-chunk case costs sorted I/O, not memory (same
+    // argument as q_line_dedup).
+    Q("q_cdc_dedup",
+      (s, dir) => cdcDedup(t(s, dir, "documents")).orderBy(col("doc_id")),
+      Some("""WITH words AS (
+                SELECT doc_id, i - 1 AS pos, ws[i] AS w,
+                       CASE WHEN substr(md5(ws[i]), 1, 1) IN ('0', '1')
+                            THEN 1 ELSE 0 END AS flag
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                     LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+              chunks AS (
+                SELECT doc_id, chunk_id, string_agg(w, ' ' ORDER BY pos) AS chunk
+                FROM (SELECT doc_id, pos, w,
+                             COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                      FROM words)
+                GROUP BY doc_id, chunk_id),
+              kept AS (
+                SELECT doc_id, chunk_id, chunk,
+                       row_number() OVER (PARTITION BY chunk
+                         ORDER BY doc_id, chunk_id) AS rn
+                FROM chunks)
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+              FROM kept WHERE rn = 1
+              GROUP BY doc_id ORDER BY doc_id""")),
 
     // C4-style corpus segment dedup: every 20-word segment survives only
     // at its first (doc_id, pos) occurrence; docs reassemble from kept

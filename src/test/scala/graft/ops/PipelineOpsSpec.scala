@@ -87,6 +87,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdcDedup is insertion-robust where fixed segments are not") {
+    import spark.implicits._
+    // doc 1 = doc 0 with one word inserted near the front. Fixed-width
+    // segmentation shifts every later segment; CDC boundaries re-sync, so
+    // all of doc 1's chunks after the edited one dedup away.
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val edited = "w1 INSERTED " + (2 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val out = TextDedup.cdcDedup(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 0 keeps everything
+    assert(out(0L)._2 == base)
+    // doc 1 keeps ONLY the chunk containing the insertion, far fewer than
+    // its total chunk count (which the fixed-segment scheme would keep in
+    // full: every 20-word segment after the insertion differs from doc 0)
+    assert(out(1L)._1 <= 2, s"CDC kept ${out(1L)._1} chunks of doc 1")
+    assert(out(1L)._2.contains("INSERTED"))
+    val fixedKept = TextDedup.segmentDedup(docs, 20).collect()
+      .find(_.getLong(0) == 1L).get.getString(1)
+    assert(fixedKept.length > out(1L)._2.length,
+      "fixed segments should have kept more (shifted) content than CDC")
+  }
+
   test("kmeansAssign covers every vector with a seed-range cell") {
     val asg = Similarity.kmeansAssign(spark, emb, 8)
     assert(asg.count() == emb.filter(col("embedding").isNotNull).count())
