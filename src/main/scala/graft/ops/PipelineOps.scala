@@ -100,7 +100,56 @@ object PipelineOps {
         (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
+  /** Deterministic epoch shuffle + loader sharding: a reproducible
+    * pseudorandom total order (md5 of seed:doc_id), each doc's global
+    * position, and its (shard, pos_in_shard) assignment for an
+    * `nShards`-way data loader. The global rank is computed in the
+    * two-phase shape that survives 100 TB (same pattern as tokenShards):
+    * docs rank WITHIN their 256 hash buckets (the md5's first two hex
+    * chars — consistent with the full-hash order, so bucket-offset +
+    * in-bucket rank equals the global rank), bucket sizes are one tiny
+    * aggregate whose prefix sum broadcasts back — no single-partition
+    * scan of the corpus ever happens. A different seed reshuffles every
+    * epoch with zero state.
+    */
+  def epochShuffle(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    val h = md5(concat(lit(seed + ":"), col("doc_id").cast(StringType)))
+    val keyed = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+      .persist() // read by both the bucket counts and the rank side
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wB), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val out = keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shuffle_pos",
+        col("off") + row_number().over(wIn).cast(LongType) - 1)
+      .select(col("doc_id"), col("shuffle_pos"),
+        (col("shuffle_pos") % nShards).as("shard"),
+        floor(col("shuffle_pos") / nShards).as("pos_in_shard"))
+      .localCheckpoint()
+    keyed.unpersist()
+    out
+  }
+
   val queries: Seq[Q] = Seq(
+
+    // Epoch shuffle: reproducible training order + loader shards. The
+    // oracle states the SEMANTICS as one global window (rank by full
+    // hash); the Spark plan realizes it as the bucketed two-phase rank.
+    Q("q_epoch_shuffle",
+      (s, dir) => epochShuffle(t(s, dir, "documents"), "epoch1", 8)
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, shuffle_pos, shuffle_pos % 8 AS shard,
+                     CAST(FLOOR(shuffle_pos / 8.0) AS BIGINT) AS pos_in_shard
+              FROM (SELECT doc_id,
+                           row_number() OVER (ORDER BY
+                             md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                             - 1 AS shuffle_pos
+                    FROM documents)
+              ORDER BY doc_id""")),
 
     // Per-domain cap: at most 10 docs per source, in doc_id order.
     Q("q_domain_cap",

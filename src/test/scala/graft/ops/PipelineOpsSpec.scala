@@ -87,6 +87,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: a different seed reshuffles; shards stay balanced") {
+    val e1 = PipelineOps.epochShuffle(docs, "epoch1", 8)
+    val e2 = PipelineOps.epochShuffle(docs, "epoch2", 8)
+    val p1 = e1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = e2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both are permutations of 0..n-1
+    assert(p1.values.toSeq.sorted == (0L until p1.size.toLong))
+    assert(p2.keySet == p1.keySet)
+    // epochs genuinely differ (not a derangement requirement — just "moved")
+    assert(p1.count { case (k, v) => p2(k) != v } > p1.size / 2)
+    // loader shards balanced within one doc
+    val sizes = e1.groupBy("shard").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+  }
+
   test("cdcDedup is insertion-robust where fixed segments are not") {
     import spark.implicits._
     // doc 1 = doc 0 with one word inserted near the front. Fixed-width
