@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -123,6 +124,35 @@ object Multimodal {
   import graft.ops.Q
 
   val queries: Seq[Q] = Seq(
+    // Exact media dedup on the BINARY payload: keeper = first media_id
+    // per content hash, with the copy count. The payload is hashed at
+    // the scan and dropped before the window's exchange, so only
+    // (32-hex, id, kind) rows shuffle — bytes never move, the property
+    // that matters when the binary column is megabytes per row.
+    Q("q_media_dedup",
+      (s, dir) => {
+        val hashed = mediaTable(s, dir)
+          .select(col("media_id"), col("kind"),
+            md5(col("bytes")).as("content_md5"))
+        val w = Window.partitionBy(col("content_md5"))
+        hashed
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("media_id"))))
+          .withColumn("n_copies", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("media_id"), col("kind"), col("content_md5"), col("n_copies"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT media_id, kind, content_md5, n_copies FROM (
+                SELECT media_id, kind, content_md5,
+                       row_number() OVER (PARTITION BY content_md5 ORDER BY media_id) AS rn,
+                       count(*) OVER (PARTITION BY content_md5) AS n_copies
+                FROM (SELECT doc_id AS media_id,
+                             (['image', 'audio', 'video'])[(doc_id % 3 + 1)] AS kind,
+                             md5(text) AS content_md5
+                      FROM documents))
+              WHERE rn = 1 ORDER BY media_id""")),
+
     // Frame-sampling schedule as a pure expression (the oracle-able form
     // of frameSampleBatched's timestamps): 4 frames per video at
     // idx * (duration/4), duration = 40ms/byte from the stub decode.

@@ -113,6 +113,14 @@ class PlanShapeSpec extends SparkSpec {
       "assignment must not aggregate — refinement happens before, driver-side bounded")
   }
 
+  test("q_media_dedup: shuffles the content hash, never the binary payload") {
+    val p = plan("q_media_dedup")
+    assert(p.contains("hashpartitioning(content_md5"), p.take(800))
+    // projection collapse means the binary column never materializes as a
+    // carried attribute — md5(cast(text)) is computed at the scan side
+    assert(!p.contains("bytes#"), "binary payload leaked past the scan:\n" + p.take(1200))
+  }
+
   test("q_ivfpq_topk: candidate generation and ADC scoring broadcast; corpus never sort-merges") {
     val p = plan("q_ivfpq_topk")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
