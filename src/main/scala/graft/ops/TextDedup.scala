@@ -488,6 +488,45 @@ object TextDedup {
             x => x.getField("chunk"))).as("clean_text"))
   }
 
+  /** Corpus-wide repeated-substring spans (Lee et al. 2022 shape, window
+    * approximation): every stride-1 k-word window is hashed (one codegen
+    * WordWindows pass, 8-byte xxhash64 keys — the shuffle is linear in
+    * corpus TOKENS, the best a non-suffix-array method does); windows
+    * whose hash repeats anywhere in the corpus (across docs or within
+    * one) are duplicate hits, and per doc overlapping hits merge into
+    * maximal spans via gaps-and-islands. Returns (doc_id, span_start,
+    * span_end, span_words) in word offsets — the regions a
+    * repeated-substring removal pass would cut.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n"),
+        posexplode(graft.functions.TextFunctions.wordWindows(col("text"), k, 1))
+          .as(Seq("win", "chunk")))
+      .select(col("doc_id"), col("n"), col("win").cast(LongType).as("win"),
+        xxhash64(col("chunk")).as("h"))
+      .persist() // both the global counts and the hit side read it
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("win"))
+    val hits = wins.join(dup, Seq("h"), "left_semi")
+      .withColumn("prev", lag(col("win"), 1).over(w1))
+      .withColumn("new_island",
+        when(col("prev").isNull || col("win") - col("prev") > k - 1, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+    val out = hits.groupBy(col("doc_id"), col("island"), col("n"))
+      .agg(min(col("win")).as("span_start"),
+        least(max(col("win")) + (k - 1), col("n") - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .localCheckpoint()
+    wins.unpersist()
+    out
+  }
+
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
       .select(col("doc_id"),
@@ -856,6 +895,39 @@ object TextDedup {
         best.unionAll(singletons).orderBy(col("doc_id"))
       },
       Some(clusterBestOracleSql)),
+
+    // Repeated-substring spans: the regions a Lee-et-al-style removal
+    // pass would cut. The oracle replicates window extraction, the
+    // corpus-wide repeat test (on chunk STRINGS — the Spark side joins
+    // 8-byte xxhash64 keys, the q_dedup_ngram hash-vs-string convention),
+    // and the overlap-merge islands.
+    Q("q_repeated_spans",
+      (s, dir) => repeatedSpans(t(s, dir, "documents"), 10)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH x AS (
+                SELECT doc_id, ws, len(ws) AS n
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              win AS (
+                SELECT doc_id, n, j AS win,
+                       CASE WHEN n <= 10 THEN array_to_string(ws, ' ')
+                            ELSE array_to_string(ws[j+1 : j+10], ' ') END AS chunk
+                FROM x, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 10 THEN 1 ELSE n - 10 + 1 END)) AS j)),
+              dup AS (SELECT chunk FROM win GROUP BY chunk HAVING count(*) >= 2),
+              hit AS (SELECT doc_id, n, win FROM win
+                      WHERE chunk IN (SELECT chunk FROM dup)),
+              isl AS (
+                SELECT doc_id, n, win,
+                       SUM(CASE WHEN prev IS NULL OR win - prev > 9 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY win) AS island
+                FROM (SELECT doc_id, n, win,
+                             lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+                      FROM hit))
+              SELECT doc_id, MIN(win) AS span_start,
+                     LEAST(MAX(win) + 9, n - 1) AS span_end,
+                     LEAST(MAX(win) + 9, n - 1) - MIN(win) + 1 AS span_words
+              FROM isl GROUP BY doc_id, island, n
+              ORDER BY doc_id, span_start""")),
 
     // Content-defined chunk dedup (the rsync/CDC idea at word
     // granularity): a chunk boundary falls AFTER every trigger word

@@ -125,6 +125,31 @@ class PipelineOpsSpec extends SparkSpec {
       "fixed segments should have kept more (shifted) content than CDC")
   }
 
+  test("repeatedSpans finds planted cross-doc and within-doc repeats, merged maximally") {
+    import spark.implicits._
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ") // 15-word shared run
+    val a = s"a1 a2 a3 $shared a4 a5 a6"
+    val b = s"b1 b2 $shared b3 b4 b5 b6 b7"
+    // doc 2 repeats ITS OWN 12-word run twice, back to back
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val c = s"c1 $run c2 c3 $run c4"
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val spans = TextDedup.repeatedSpans(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 0: shared run occupies words 3..17 -> one merged span exactly
+    assert(spans.contains((0L, 3L, 17L)), spans.toString)
+    // doc 1: words 2..16
+    assert(spans.contains((1L, 2L, 16L)), spans.toString)
+    // doc 2: both copies of the self-repeat are flagged (positions 1..12
+    // and 15..26); they are within k-1 of each other here only if the gap
+    // allows — assert both runs are covered by SOME span
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d2.exists(s => s._2 <= 1 && s._3 >= 12), d2.toString)
+    assert(d2.exists(s => s._2 <= 15 && s._3 >= 26), d2.toString)
+    // no span in the unrepeated doc-0 prefix
+    assert(!spans.exists(s => s._1 == 0L && s._3 < 3), spans.toString)
+  }
+
   test("kmeansAssign covers every vector with a seed-range cell") {
     val asg = Similarity.kmeansAssign(spark, emb, 8)
     assert(asg.count() == emb.filter(col("embedding").isNotNull).count())
