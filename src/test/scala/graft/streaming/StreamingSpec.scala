@@ -501,6 +501,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination: stream-static broadcast join drops eval-overlapping docs") {
+    // The batch decontaminate (ops.PipelineOps) as an ingest-time gate: a
+    // static eval shingle set broadcasts into the stream, so each
+    // micro-batch filters map-side — no stream-side shuffle, no state.
+    import org.apache.spark.sql.functions._
+    val evalDocs = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    val evalSh = evalDocs
+      .select(explode(graft.functions.TextFunctions.shingleHashes(col("text"))).as("sh"))
+      .distinct()
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDS().toDF("doc_id", "text")
+    val hits = docs
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.shingleHashes(col("text"))).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 2)
+    val q = hits.writeStream.format("memory").queryName("decon_hits")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(
+      (1L, "the quick brown fox jumps high"),          // 2 shared shingles
+      (2L, "completely unrelated text about spark"),   // clean
+      (3L, "over the lazy dog sleeps all day"))        // 2 shared shingles
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.sql("SELECT doc_id FROM decon_hits ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(1L, 3L), s"flagged $flagged")
+  }
+
   test("streaming exact dedup: first occurrence wins across batches AND restarts") {
     val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
