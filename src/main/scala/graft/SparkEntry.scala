@@ -16,7 +16,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Temporal.queries ++
       ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries ++
       ops.Skew.queries ++ ops.BloomJoin.queries ++ ops.CorpusOps.queries ++
-      ops.PipelineOps.queries ++
+      ops.PipelineOps.queries ++ ops.SqlSurface.queries ++
+      ops.WarehouseOps.queries ++
       multimodal.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

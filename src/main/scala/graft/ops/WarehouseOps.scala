@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Warehouse-operations layer: the queries a data platform runs ABOUT its
+  * data rather than on behalf of an analyst — multi-dimensional layout
+  * keys (Z-order), per-column profiling, graph structure metrics over
+  * co-occurrence edges, importance-weighted corpus resampling, SCD2
+  * dimension builds, EWMA smoothing, and mergeable distinct sketches.
+  *
+  * Scale notes (the 100 TB lens):
+  *  - the Z-order key is pure per-row bit arithmetic (codegen, no
+  *    shuffle); writing a table CLUSTERED BY zkey turns every 2-D
+  *    predicate into file-level min/max pruning — the layout trick behind
+  *    Delta/Iceberg OPTIMIZE ZORDER;
+  *  - profiling runs ONE pass over the table computing every column's
+  *    stats together (count/distinct/min/max), then unpivots the tiny
+  *    result — never one scan per column (at 100 TB, 5 scans vs 1 is the
+  *    whole game); exact distinct is used here because the oracle needs
+  *    exactness — production would swap approx_count_distinct per column;
+  *  - triangle counting orients every edge from its lower-(degree,id)
+  *    endpoint, which bounds per-vertex out-degree at O(sqrt(m)) and
+  *    therefore the wedge join at O(m^1.5) — the standard MR/graph trick
+  *    that keeps hub vertices from exploding the join (a naive wedge join
+  *    on an unoriented edge list is quadratic in the hub degree);
+  *  - importance resampling is a pure per-row filter (deterministic
+  *    md5-unit acceptance against a per-row weight), so it composes with
+  *    scan pushdown and needs no global pass — the DSIR-style reweighting
+  *    shape where the weight would come from a quality/domain model;
+  *  - the HLL sketches are partial-aggregation-friendly byte buffers:
+  *    daily sketches merge into weekly/total estimates WITHOUT re-reading
+  *    the fact table — the mergeability contract exact distinct lacks.
+  */
+object WarehouseOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 8-bit × 8-bit Morton (Z-order) interleave of two bounded dimensions,
+    * as a single codegen'd arithmetic expression over longs.
+    */
+  def zorderKey(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xs = x.cast(LongType).bitwiseAND(lit(255L))
+    val ys = y.cast(LongType).bitwiseAND(lit(255L))
+    (0 until 8).map { i =>
+      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // Z-order layout key over (p_size, p_partkey%256): the table rewritten
+    // in zkey order co-locates rows close in BOTH dimensions, so file
+    // min/max stats prune 2-D range predicates that a 1-D sort can only
+    // prune on its leading column. The oracle spells the identical bit
+    // interleave with SQL shift operators.
+    Q("q_zorder_key",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            zorderKey(col("p_size"), col("p_partkey") % 256).as("zkey"))
+          .orderBy(col("zkey"), col("p_partkey")),
+      Some("""SELECT p_partkey,
+                     (((p_size & 255) >> 0 & 1) << 0) | (((p_partkey % 256) >> 0 & 1) << 1) |
+                     (((p_size & 255) >> 1 & 1) << 2) | (((p_partkey % 256) >> 1 & 1) << 3) |
+                     (((p_size & 255) >> 2 & 1) << 4) | (((p_partkey % 256) >> 2 & 1) << 5) |
+                     (((p_size & 255) >> 3 & 1) << 6) | (((p_partkey % 256) >> 3 & 1) << 7) |
+                     (((p_size & 255) >> 4 & 1) << 8) | (((p_partkey % 256) >> 4 & 1) << 9) |
+                     (((p_size & 255) >> 5 & 1) << 10) | (((p_partkey % 256) >> 5 & 1) << 11) |
+                     (((p_size & 255) >> 6 & 1) << 12) | (((p_partkey % 256) >> 6 & 1) << 13) |
+                     (((p_size & 255) >> 7 & 1) << 14) | (((p_partkey % 256) >> 7 & 1) << 15)
+                       AS zkey
+              FROM part ORDER BY zkey, p_partkey""")),
+
+    // Table profile: null count, exact distinct count, min and max (as
+    // strings) for every column of `documents`, computed in ONE scan and
+    // unpivoted. The oracle is the per-column UNION ALL a human would
+    // write — same numbers, five scans (DuckDB's problem, not ours).
+    Q("q_table_profile",
+      (s, dir) => {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val docs = t(s, dir, "documents")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd"),
+            min(col(c)).cast(StringType).as(s"${c}__mn"),
+            max(col(c)).cast(StringType).as(s"${c}__mx"))
+        }
+        val one = docs.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+        one.selectExpr(
+            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax)")
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT 'doc_id' AS col_name, COUNT(*) - COUNT(doc_id) AS n_null,
+                     COUNT(DISTINCT doc_id) AS n_distinct,
+                     CAST(MIN(doc_id) AS VARCHAR) AS vmin, CAST(MAX(doc_id) AS VARCHAR) AS vmax
+              FROM documents
+              UNION ALL
+              SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+                     CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+                     CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+                     CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+              UNION ALL
+              SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+                     CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+              ORDER BY col_name""")),
+
+    // Triangle count over the user co-occurrence graph (same event_type +
+    // hour bucket). Spark side uses degree orientation: every edge points
+    // from its lower-(degree, id) endpoint, wedges fan out only from the
+    // bounded out-degree side, and the closing edge is probed in its
+    // oriented direction. The oracle counts the same triangles with the
+    // textbook u<v<w triple join — equal by symmetry.
+    Q("q_triangle_count",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("user_id"))
+          .distinct()
+        val e2 = ev.as("a").join(ev.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.h") === col("b.h") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct()
+          // read three times below (degrees + two join sides) — at lake
+          // scale this materializes to a table; here persist serves
+          .persist()
+        e2.count()
+        // (degree, id) as one sortable long: degree ranks first, id breaks
+        // ties; ids are < 1e9 by construction of the synthetic corpus
+        val deg = e2.select(col("u").as("node"))
+          .unionAll(e2.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .select(col("node"), (col("deg") * 1000000000L + col("node")).as("ord"))
+        val withOrd = e2
+          .join(deg.withColumnRenamed("node", "u").withColumnRenamed("ord", "ou"), Seq("u"))
+          .join(deg.withColumnRenamed("node", "v").withColumnRenamed("ord", "ov"), Seq("v"))
+        val oriented = withOrd.select(
+            when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("src"),
+            when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("dord"),
+            when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
+          .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+        val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+        val out = wedges.join(closing, Seq("x", "y"))
+          .agg(count(lit(1)).as("n_triangles"))
+        e2.unpersist()
+        out
+      },
+      Some("""WITH ev AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+                FROM events),
+              e AS (
+                SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                FROM ev a JOIN ev b
+                  ON a.event_type = b.event_type AND a.h = b.h
+                 AND a.user_id < b.user_id)
+              SELECT COUNT(*) AS n_triangles
+              FROM e a JOIN e b ON b.u = a.u AND b.v > a.v
+                       JOIN e c ON c.u = a.v AND c.v = b.v""")),
+
+    // Importance-weighted resampling (DSIR shape): per-doc acceptance
+    // probability w = min(1, n_chars/800) — longer docs kept more often —
+    // realized as a deterministic md5-unit test, so the sample is
+    // replay-stable and needs no rand() or global pass. The weight is
+    // where a quality-classifier or domain-ratio score plugs in.
+    Q("q_importance_sample",
+      (s, dir) => {
+        val w = least(lit(1.0), col("n_chars").cast(DoubleType) / 800.0)
+        val thr = lpad(lower(hex((w * 16777215.0).cast(LongType))), 6, "0")
+        t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast(StringType)), 1, 6) <= thr)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <=
+                    lpad(lower(to_hex(CAST(least(1.0, CAST(n_chars AS DOUBLE) / 800.0)
+                                           * 16777215.0 AS BIGINT))), 6, '0')
+              ORDER BY doc_id""")),
+
+    // SCD2 dimension build from the event stream as CDC: collapse
+    // consecutive identical states per user, then close each version's
+    // validity interval with the next change's timestamp. Both windows
+    // share one (user_id, ts) sort — a single shuffle.
+    Q("q_scd2_intervals",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_scd2_v")
+        s.sql("""WITH chg AS (
+                   SELECT user_id, event_type, ts, event_id,
+                          LAG(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                   FROM events_scd2_v)
+                 SELECT user_id, event_type,
+                        ts AS valid_from,
+                        LEAD(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                        LEAD(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          AS is_current
+                 FROM chg
+                 WHERE prev IS NULL OR prev <> event_type
+                 ORDER BY user_id, valid_from""")
+      },
+      Some("""WITH chg AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events)
+              SELECT user_id, event_type,
+                     CAST(ts AS TIMESTAMP) AS valid_from,
+                     CAST(LEAD(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)
+                       AS valid_to,
+                     LEAD(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       AS is_current
+              FROM chg
+              WHERE prev IS NULL OR prev <> event_type
+              ORDER BY user_id, valid_from""")),
+
+    // EWMA smoothing (5-tap, alpha-decay 0.85) of each user's value
+    // series: written as an explicit weighted lag sum so Spark and DuckDB
+    // execute the IDENTICAL left-to-right IEEE double chain — bitwise
+    // parity without decimal rounding. The k-tap truncation makes the
+    // smoother a fixed-size window op (an unbounded EWMA is a sequential
+    // recurrence — that form lives in streaming state, not a window).
+    Q("q_ewma",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_ewma_v")
+        s.sql("""SELECT event_id, user_id,
+                        (value
+                         + 0.85 * coalesce(LAG(value, 1) OVER w, 0.0)
+                         + 0.7225 * coalesce(LAG(value, 2) OVER w, 0.0)
+                         + 0.614125 * coalesce(LAG(value, 3) OVER w, 0.0)
+                         + 0.52200625 * coalesce(LAG(value, 4) OVER w, 0.0))
+                        /
+                        (1.0
+                         + (CASE WHEN LAG(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.85 END)
+                         + (CASE WHEN LAG(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.7225 END)
+                         + (CASE WHEN LAG(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.614125 END)
+                         + (CASE WHEN LAG(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.52200625 END))
+                          AS ewma5
+                 FROM events_ewma_v
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                 ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, user_id,
+                     (value
+                      + 0.85 * coalesce(LAG(value, 1) OVER w, 0.0)
+                      + 0.7225 * coalesce(LAG(value, 2) OVER w, 0.0)
+                      + 0.614125 * coalesce(LAG(value, 3) OVER w, 0.0)
+                      + 0.52200625 * coalesce(LAG(value, 4) OVER w, 0.0))
+                     /
+                     (1.0
+                      + (CASE WHEN LAG(value, 1) OVER w IS NULL THEN 0.0 ELSE 0.85 END)
+                      + (CASE WHEN LAG(value, 2) OVER w IS NULL THEN 0.0 ELSE 0.7225 END)
+                      + (CASE WHEN LAG(value, 3) OVER w IS NULL THEN 0.0 ELSE 0.614125 END)
+                      + (CASE WHEN LAG(value, 4) OVER w IS NULL THEN 0.0 ELSE 0.52200625 END))
+                       AS ewma5
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""")),
+
+    // Mergeable distinct sketches (Apache DataSketches HLL): per-day
+    // sketches union into a per-type total WITHOUT re-reading the facts —
+    // the incremental-rollup contract exact distinct cannot offer (sketch
+    // bytes are engine-version-specific, so no SQL oracle; the ScalaTest
+    // spec bounds the estimate against the exact count).
+    Q("q_hll_union",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+            count(lit(1)).as("n_daily_sketches"))
+          .orderBy(col("event_type")),
+      None)
+  )
+}

@@ -127,4 +127,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
+
+  test("q_collation_join: collated equality stays an equi-join (sort-merge), never a nested loop") {
+    // Spark 4.1 does not hash-join collated string keys (the broadcast
+    // hint is dropped and the join sort-merges on collate(key)) — pinned
+    // here so an upgrade that adds hash support shows up as a plan change.
+    // The 100 TB consequence is documented on the query: for a hot join
+    // key, normalize (lower()) instead of collating.
+    val p = plan("q_collation_join")
+    assert(p.contains("SortMergeJoin") && p.contains("collate("), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "collation must not demote the join to a nested loop")
+  }
+
+  test("q_lateral_topn: LATERAL decorrelates to a ranked window, not a per-row re-scan") {
+    val p = plan("q_lateral_topn")
+    assert(p.contains("Window"), "expected decorrelation into a window:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q_table_profile: ONE scan computes every column's stats") {
+    val p = plan("q_table_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single table scan, saw $scans:\n" + p.take(1200))
+    assert(p.contains("Expand"), "multi-column distinct should plan via Expand")
+  }
+
+  test("q_triangle_count: wedge join stays hash/shuffle, never cartesian") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
+  test("q_zorder_key / q_importance_sample: pure per-row compute, no join or aggregate") {
+    val z = plan("q_zorder_key")
+    assert(!z.contains("Join") && !z.contains("HashAggregate"), z.take(800))
+    val i = plan("q_importance_sample")
+    assert(!i.contains("Join") && !i.contains("HashAggregate"), i.take(800))
+  }
 }
