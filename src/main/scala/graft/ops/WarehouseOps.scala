@@ -276,6 +276,75 @@ object WarehouseOps {
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               ORDER BY event_id""")),
 
+    // Declarative data-quality audit (the Deequ/great-expectations shape):
+    // each rule is one bounded aggregate — range checks stream map-side,
+    // the referential check is a broadcast anti-join count — and the
+    // result is the tiny (rule, violations) report a pipeline gates on.
+    // At 100 TB every rule is one pass, and same-table rules share their
+    // scan via the union's common subtree.
+    Q("q_dq_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val e = t(s, dir, "events")
+        val docs = t(s, dir, "documents")
+        def rule(name: String, d: DataFrame): DataFrame =
+          d.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"))
+        rule("lineitem_quantity_range",
+            li.filter(col("l_quantity") < 1 || col("l_quantity") > 50))
+          .unionAll(rule("orders_custkey_fk",
+            o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_anti")))
+          .unionAll(rule("events_value_nonnegative",
+            e.filter(col("value") < 0)))
+          .unionAll(rule("documents_text_nonempty",
+            docs.filter(col("text").isNull || length(col("text")) === 0)))
+          .orderBy(col("rule"))
+      },
+      Some("""SELECT 'lineitem_quantity_range' AS rule, COUNT(*) AS n_violations
+              FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+              UNION ALL
+              SELECT 'orders_custkey_fk', COUNT(*) FROM orders
+              WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+              UNION ALL
+              SELECT 'events_value_nonnegative', COUNT(*) FROM events WHERE value < 0
+              UNION ALL
+              SELECT 'documents_text_nonempty', COUNT(*) FROM documents
+              WHERE text IS NULL OR len(text) = 0
+              ORDER BY rule""")),
+
+    // Incremental aggregate maintenance: a stored pre-cutoff rollup plus
+    // the new-data delta merge into the updated rollup WITHOUT rescanning
+    // history — counts and decimal sums add, min/max combine, avg derives
+    // from the merged sum/count. The oracle recomputes from the full
+    // table: merged partials MUST equal the full recompute (the algebraic
+    // property incremental warehouse rollups rely on). At scale the base
+    // aggregate is a stored table; here it is the filtered branch.
+    Q("q_rollup_incremental",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        def part(d: DataFrame): DataFrame =
+          d.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sv"),
+              min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val cutoff = lit("2024-01-15").cast(TimestampType)
+        part(e.filter(col("ts") < cutoff))
+          .unionAll(part(e.filter(col("ts") >= cutoff)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("sv")).cast(DoubleType).as("sum_value"),
+            min(col("mn")).as("min_value"), max(col("mx")).as("max_value"),
+            (sum(col("sv")).cast(DoubleType) / sum(col("n"))).as("avg_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                     MIN(value) AS min_value, MAX(value) AS max_value,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+              FROM events
+              GROUP BY event_type ORDER BY event_type""")),
+
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
     // the incremental-rollup contract exact distinct cannot offer (sketch
