@@ -118,7 +118,10 @@ object WarehouseOps {
               ORDER BY col_name""")),
 
     // Triangle count over the user co-occurrence graph (same event_type +
-    // hour bucket). Spark side uses degree orientation: every edge points
+    // minute bucket — the MINUTE granularity keeps Σc² edge generation
+    // linear-ish as the corpus densifies; hour buckets go quadratic:
+    // 790k edges / 197M triangles at sf0.1 vs 23k / 8.5k at minute).
+    // Spark side uses degree orientation: every edge points
     // from its lower-(degree, id) endpoint, wedges fan out only from the
     // bounded out-degree side, and the closing edge is probed in its
     // oriented direction. The oracle counts the same triangles with the
@@ -126,7 +129,7 @@ object WarehouseOps {
     Q("q_triangle_count",
       (s, dir) => {
         val ev = t(s, dir, "events")
-          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          .select(col("event_type"), date_trunc("minute", col("ts")).as("h"),
             col("user_id"))
           .distinct()
         val e2 = ev.as("a").join(ev.as("b"),
@@ -162,7 +165,7 @@ object WarehouseOps {
         out
       },
       Some("""WITH ev AS (
-                SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+                SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
                 FROM events),
               e AS (
                 SELECT DISTINCT a.user_id AS u, b.user_id AS v
@@ -344,6 +347,29 @@ object WarehouseOps {
                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
               FROM events
               GROUP BY event_type ORDER BY event_type""")),
+
+    // Heavy hitters via the frequent-items sketch (approx_top_k,
+    // DataSketches ItemsSketch): THE bounded-memory answer to "top
+    // values" over an unbounded-cardinality column — one pass, fixed
+    // sketch size, partial-merge-friendly, vs the exact groupBy+top-k
+    // that must shuffle every distinct key. Here the tracked capacity
+    // (default 10k) exceeds the 100 distinct buckets, where the sketch is
+    // EXACT by construction — so the oracle can hash-compare against the
+    // exact SQL. k covers the whole item domain: a smaller k would make
+    // the SELECTION at the count-tie boundary sketch-internal (ranks
+    // 10-12 tie at sf0.1) — the values are contractual, the tie order is
+    // not. Output re-sorted by (count, item) for the same reason.
+    Q("q_approx_topk",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_topk_v")
+        s.sql("""SELECT t.item AS bucket, t.count AS n
+                 FROM (SELECT approx_top_k(user_id % 100, 100) AS tk
+                       FROM events_topk_v) LATERAL VIEW explode(tk) AS t
+                 ORDER BY n DESC, bucket""")
+      },
+      Some("""SELECT (user_id % 100) AS bucket, COUNT(*) AS n
+              FROM events
+              GROUP BY bucket ORDER BY n DESC, bucket""")),
 
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —

@@ -86,7 +86,7 @@ class WarehouseSpec extends SparkSpec {
     // naive recount on the same co-occurrence edges (id order, no
     // orientation) — the form the oracle uses, recomputed in-engine
     val ev = graft.Tables.load(spark, sf0001, "events")
-      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("h"), col("user_id"))
       .distinct()
     val e = ev.as("a").join(ev.as("b"),
         col("a.event_type") === col("b.event_type") && col("a.h") === col("b.h") &&
