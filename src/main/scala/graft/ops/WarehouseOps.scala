@@ -348,6 +348,91 @@ object WarehouseOps {
               FROM events
               GROUP BY event_type ORDER BY event_type""")),
 
+    // PageRank (3 damped iterations) over the minute co-occurrence graph,
+    // in FIXED-POINT: ranks are longs scaled by 1e12, every share is an
+    // integer division, every combine an exact long sum — so the result
+    // is bitwise-identical across engines and partition orders (float
+    // PageRank never hash-compares: per-node sums are order-dependent).
+    // Each iteration is one broadcast-or-shuffle join of the edge list
+    // against the rank vector + one aggregate — the textbook distributed
+    // PR shape; the edge list and degrees are persisted across the
+    // unrolled iterations (at lake scale: a materialized edge table).
+    // No dangling nodes by construction (every node has degree >= 1).
+    Q("q_pagerank",
+      (s, dir) => {
+        val SCALE = 1000000000000L
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("minute", col("ts")).as("h"),
+            col("user_id"))
+          .distinct()
+        val e2 = ev.as("a").join(ev.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.h") === col("b.h") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct()
+        val ed = e2.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
+          .persist()
+        val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+        val n = deg.count()
+        if (n == 0L) { // empty graph (possible at tiny SFs): empty ranks
+          ed.unpersist(); deg.unpersist()
+          deg.selectExpr("src AS node", "d AS pr")
+        } else {
+        val base = 15L * SCALE / (100L * n)
+        var pr = deg.select(col("src").as("node"), col("d"),
+          lit(SCALE / n).as("pr"))
+        (1 to 3).foreach { _ =>
+          val share = pr.selectExpr("node", "pr div d AS share")
+          val incoming = ed.join(share, ed("src") === share("node"))
+            .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+          pr = pr.select(col("node"), col("d"))
+            .join(incoming, pr("node") === incoming("dst"), "left")
+            .selectExpr("node", "d",
+              s"$base + (85 * coalesce(s, 0L)) div 100 AS pr")
+        }
+        val out = pr.select(col("node"), col("pr"))
+          .orderBy(col("pr").desc, col("node"))
+          .localCheckpoint()
+        ed.unpersist(); deg.unpersist()
+        out
+        }
+      },
+      Some("""WITH ev AS (
+                SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+                FROM events),
+              e AS (
+                SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                FROM ev a JOIN ev b
+                  ON a.event_type = b.event_type AND a.h = b.h
+                 AND a.user_id < b.user_id),
+              ed AS (SELECT u AS src, v AS dst FROM e
+                     UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+              nn AS (SELECT COUNT(*) AS c FROM deg),
+              p0 AS (SELECT src AS node, d,
+                            1000000000000 // (SELECT c FROM nn) AS pr FROM deg),
+              s1 AS (SELECT ed.dst, CAST(SUM(p.pr // p.d) AS BIGINT) AS s
+                     FROM ed JOIN p0 p ON ed.src = p.node GROUP BY ed.dst),
+              p1 AS (SELECT p.node, p.d,
+                            (15 * 1000000000000) // (100 * (SELECT c FROM nn))
+                              + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+                     FROM p0 p LEFT JOIN s1 ON s1.dst = p.node),
+              s2 AS (SELECT ed.dst, CAST(SUM(p.pr // p.d) AS BIGINT) AS s
+                     FROM ed JOIN p1 p ON ed.src = p.node GROUP BY ed.dst),
+              p2 AS (SELECT p.node, p.d,
+                            (15 * 1000000000000) // (100 * (SELECT c FROM nn))
+                              + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+                     FROM p1 p LEFT JOIN s2 ON s2.dst = p.node),
+              s3 AS (SELECT ed.dst, CAST(SUM(p.pr // p.d) AS BIGINT) AS s
+                     FROM ed JOIN p2 p ON ed.src = p.node GROUP BY ed.dst),
+              p3 AS (SELECT p.node, p.d,
+                            (15 * 1000000000000) // (100 * (SELECT c FROM nn))
+                              + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+                     FROM p2 p LEFT JOIN s3 ON s3.dst = p.node)
+              SELECT node, pr FROM p3 ORDER BY pr DESC, node""")),
+
     // Heavy hitters via the frequent-items sketch (approx_top_k,
     // DataSketches ItemsSketch): THE bounded-memory answer to "top
     // values" over an unbounded-cardinality column — one pass, fixed
