@@ -135,14 +135,17 @@ object TextDedup {
       .filter(col("contained_id") =!= col("container_id"))
       .select(col("contained_id"), col("container_id"), col("na"))
       .distinct()
-    // exact verification: intersection count via the full inverted index
+    // exact verification on the persisted hash ARRAYS (hs is the distinct
+    // shingle set): size(array_intersect) == the posting-join count, but
+    // only candidate docs' arrays move — the full posting list is never
+    // re-shuffled for verification (same optimization as the Jaccard
+    // prefix path above).
     val verified = cand
-      .join(ex.select(col("doc_id").as("contained_id"), col("sh").as("h")),
+      .join(sh.select(col("doc_id").as("contained_id"), col("hs").as("ha")),
         Seq("contained_id"))
-      .join(ex.select(col("doc_id").as("container_id"), col("sh").as("h")),
-        Seq("container_id", "h"))
-      .groupBy(col("contained_id"), col("container_id"), col("na"))
-      .agg(count(lit(1)).as("c"))
+      .join(sh.select(col("doc_id").as("container_id"), col("hs").as("hb")),
+        Seq("container_id"))
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast(LongType))
       .withColumn("containment", col("c").cast(DoubleType) / col("na"))
       .filter(col("containment") >= minContainment)
       .select(col("contained_id"), col("container_id"), col("containment"))
@@ -164,7 +167,6 @@ object TextDedup {
     */
   def ngramJaccardPairsPrefix(docs: DataFrame, minJaccard: Double): DataFrame = {
     val sh = shingled(docs).persist()
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("sh"))
     // prefix = the (n - ceil(j*n) + 1) smallest hashes, computed PER ROW
     // by sorting the doc's own hash array — no shuffle, no window; only
     // prefix tokens are ever exploded into the candidate join. posexplode
@@ -193,12 +195,16 @@ object TextDedup {
       .filter(lit(1) + least(col("na") - col("w.pa"), col("nb") - col("w.pb")) >=
         ceil(lit(minJaccard) * (col("na") + col("nb")) / (1.0 + minJaccard)))
       .select(col("a_id"), col("b_id"), col("na"), col("nb"))
-    // exact verification: |intersection| via the full inverted index
+    // exact verification on the persisted hash ARRAYS: |intersection| =
+    // size(array_intersect) — hs is the doc's DISTINCT shingle-hash set,
+    // so this equals the posting-join count, but only the CANDIDATE
+    // docs' arrays move (two id-joins), instead of re-shuffling the full
+    // exploded posting list twice. Candidate volume is prefix-bounded,
+    // so AQE broadcasts the small side at runtime.
     val verified = cand
-      .join(ex.select(col("doc_id").as("a_id"), col("sh").as("h")), Seq("a_id"))
-      .join(ex.select(col("doc_id").as("b_id"), col("sh").as("h")), Seq("b_id", "h"))
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
+      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast(LongType))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
@@ -228,7 +234,6 @@ object TextDedup {
     // cached arrays instead of re-shingling the corpus. ~16 bytes/shingle;
     // at warehouse scale this materializes to a table.
     val sh = shingled(docs).persist()
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     // Whole signature per row via ONE small codegen expression (no
     // explode, no shuffle): sig[i] = min over shingles of xxhash64(i, h),
     // bitwise-equal to the 64-min-aggregate formulation but without its
@@ -254,14 +259,15 @@ object TextDedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // Exact verification of the candidate set via the persisted inverted
-    // index: |intersection| = count of shingle hashes present on both
-    // sides. No shingle arrays are carried through any shuffle.
+    // Exact verification on the persisted hash ARRAYS (hs is the doc's
+    // DISTINCT shingle set): size(array_intersect) equals the posting-
+    // join intersection count, but only CANDIDATE docs' arrays move —
+    // band-pruned candidate volume, not the full posting list.
     val common = cand
-      .join(ex.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
-      .join(ex.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("c"))
+      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("c"))
     val counts = sig.select(col("doc_id"), col("n_sh"))
     val verified = common
       .join(broadcast(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), Seq("a_id"))
