@@ -159,6 +159,22 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("q_variant_extract: scan reads only props and value") {
+    val line = plan("q_variant_extract").linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(line.contains("props") && line.contains("value") &&
+      !line.contains("event_type") && !line.contains("user_id"), line)
+  }
+
+  test("q_ewma / q_scd2_intervals: one window shuffle plus the result sort, nothing more") {
+    for (name <- Seq("q_ewma", "q_scd2_intervals")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$name: expected <=2 exchanges, got $exchanges:\n" + p.take(1000))
+      assert(!p.contains("Join"), s"$name must not join")
+    }
+  }
+
   test("q_zorder_key / q_importance_sample: pure per-row compute, no join or aggregate") {
     val z = plan("q_zorder_key")
     assert(!z.contains("Join") && !z.contains("HashAggregate"), z.take(800))
