@@ -834,7 +834,10 @@ object TextDedup {
             (size(array_distinct(col("ws"))).cast(DoubleType) / size(col("ws")))
               .as("uniq_ratio"))
           .filter(col("n_tokens") >= 30 && col("uniq_ratio") >= 0.3)
-        val dropped = ngramJaccardPairs(docs, 0.6)
+        // prefix-filtered pair path: identical pairs to the full index
+        // (PPJoin prune is lossless; the shared ngram/ngram_prefix oracle
+        // proves it), at ~(1-j)^2 of the candidate-join cost
+        val dropped = ngramJaccardPairsPrefix(docs, 0.6)
           .select(col("b_id").as("doc_id")).distinct()
         quality.join(broadcast(dropped), Seq("doc_id"), "left_anti")
           .orderBy(col("doc_id"))
@@ -866,13 +869,13 @@ object TextDedup {
     // take the single-task union-find regime; q_dedup_clusters_star below
     // forces the distributed star-contraction regime onto the same oracle.
     Q("q_dedup_clusters",
-      (s, dir) => connectedComponents(ngramJaccardPairs(t(s, dir, "documents"), 0.6))
+      (s, dir) => connectedComponents(ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6))
         .filter(col("doc_id") =!= col("keeper_id"))
         .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
 
     Q("q_dedup_clusters_star",
-      (s, dir) => connectedComponents(ngramJaccardPairs(t(s, dir, "documents"), 0.6),
+      (s, dir) => connectedComponents(ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6),
           localThreshold = 0L)
         .filter(col("doc_id") =!= col("keeper_id"))
         .orderBy(col("doc_id")),
@@ -888,7 +891,7 @@ object TextDedup {
     Q("q_dedup_cluster_best",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val labels = connectedComponents(ngramJaccardPairs(docs, 0.6))
+        val labels = connectedComponents(ngramJaccardPairsPrefix(docs, 0.6))
         val w = Window.partitionBy(col("keeper_id"))
           .orderBy(col("n_chars").desc, col("doc_id"))
         val best = labels.join(docs, Seq("doc_id"))
