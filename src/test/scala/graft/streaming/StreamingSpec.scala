@@ -200,6 +200,49 @@ class StreamingSpec extends SparkSpec {
       Set(("AAPL", 1L, 100.0)))
   }
 
+  test("stream-stream LEFT OUTER join: unmatched news emits with nulls only after the watermark closes its band") {
+    // The outer-join semantics corner: a null-extended row may only emit
+    // once the watermark proves no matching quote can still arrive for
+    // the article's time band — before that the article is withheld, not
+    // emitted unmatched. (The reference's delegated join layer has no
+    // such notion; this is what event-time correctness buys.)
+    val qIn = MemoryStream[String]
+    val nIn = MemoryStream[String]
+    val qd = Pipelines.quotes(Pipelines.decodeQuotes(qIn.toDF().toDF("value")))
+      .select(col("symbol").as("q_sym"), col("event_ts"), col("current_price"))
+      .withWatermark("event_ts", "10 minutes")
+    val nd = Pipelines.newsArticles(Pipelines.decodeNews(nIn.toDF().toDF("value")))
+      .select(col("symbol"), col("news_id"), col("published_ts"))
+      .withWatermark("published_ts", "10 minutes")
+    val joined = nd.join(qd,
+      col("symbol") === col("q_sym") &&
+        col("event_ts") >= col("published_ts") - expr("INTERVAL 1 HOUR") &&
+        col("event_ts") <= col("published_ts"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_louter_out")
+      .outputMode(OutputMode.Append).start()
+    val base = 1700000000L
+    qIn.addData(quoteJson("AAPL", 100.0, base))
+    nIn.addData(newsJson("AAPL", 1L, base + 600),  // matches the quote
+      newsJson("MSFT", 2L, base + 600))            // no MSFT quote exists
+    q.processAllAvailable()
+    val early = spark.table("ss_louter_out").select("news_id").collect().map(_.getLong(0)).toSet
+    // matched row may emit now; the unmatched MSFT row must NOT have
+    // emitted yet (its band could still receive a quote)
+    assert(early == Set(1L), s"premature outer emission: $early")
+    // advance both watermarks far past the band end
+    qIn.addData(quoteJson("AAPL", 101.0, base + 7200))
+    nIn.addData(newsJson("AAPL", 3L, base + 7200))
+    q.processAllAvailable()
+    val rows = spark.table("ss_louter_out")
+      .select("news_id", "current_price").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    q.stop()
+    assert(rows(1L) == 100.0, s"$rows")
+    assert(rows.contains(2L) && rows(2L) == null,
+      s"unmatched article must emit null-extended after watermark: $rows")
+  }
+
   test("streaming as-of: latest quote at or before publish, lookback-bounded") {
     val qIn = MemoryStream[String]
     val nIn = MemoryStream[String]
