@@ -3,42 +3,45 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming gap-based sessionization on transformWithState with
   * EVENT-TIME TIMERS — the stateful pattern `session_window` aggregation
   * cannot express when the per-session output needs custom shape (here:
-  * span + count + exact sum) and the close must happen exactly when the
-  * event-time watermark passes session_end + gap.
+  * span + count + exact sum).
   *
-  * Mechanics per key (user):
-  *  - input rows merge into the open session while they fall within
-  *    `gapMs` of it; a row beyond the gap closes the open session
-  *    IN-BATCH (emitted immediately — no need to wait for a timer the
-  *    watermark has already implied) and starts a fresh one;
-  *  - every batch re-arms one event-time timer at session_end + gap; the
-  *    previously armed expiry is stored IN the session state so a stale
-  *    timer (superseded by a later extension) is recognized and ignored
-  *    when it fires — O(1) state, no timer-list scans;
-  *  - when the watermark passes the armed expiry, handleExpiredTimer
-  *    emits the session and clears state — the trailing open session of
-  *    a quiet key closes without any further input for that key.
+  * Correctness stance: a session may only EMIT once the event-time
+  * watermark has passed session_end + gap — that, and nothing weaker, is
+  * the proof that no admissible late row can still join or bridge it.
+  * In particular a same-key row jumping the gap does NOT close the
+  * previous session early (when the watermark delay exceeds the gap, a
+  * later batch can legally deliver a row that lands INSIDE the old
+  * session's span, or bridges two open sessions). So the state is a
+  * LIST of open sessions per key:
   *
-  * Scale: state is one fixed-width record per ACTIVE key (RocksDB-backed,
-  * checkpointed); emission is append-mode and replay-deterministic. The
-  * reference has no session concept — this is NS pipeline surface (user
-  * activity sessions over the events table's streaming twin; the batch
-  * analog is q_sessionize, same gap semantics, oracled).
+  *  - input rows merge interval-style: a row within [start - gap,
+  *    end + gap] of a session extends it; a row bridging two sessions
+  *    merges them; anything else opens a new session;
+  *  - one event-time timer per key is armed at the EARLIEST open
+  *    session's end + gap (re-armed as sessions extend/merge — the
+  *    previously armed expiry is tracked in value state so the stale
+  *    timer is deleted, not raced);
+  *  - when the timer fires, every session with end + gap <= expiry is
+  *    watermark-proven closed: emitted (ordered by start) and dropped;
+  *    the timer re-arms for the remaining earliest session.
+  *
+  * Scale: state is O(open sessions per key) — bounded by the watermark
+  * (a session older than end + gap always leaves on the next timer), not
+  * by stream length. RocksDB-backed, checkpointed; append-mode and
+  * replay-deterministic. The reference has no session concept — this is
+  * NS pipeline surface; the batch analog is q_sessionize (same gap
+  * semantics, oracled).
   */
 object SessionizeTws {
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Open-session state: span, aggregates, and the armed timer's expiry
-    * (so stale timers self-identify — see handleExpiredTimer).
-    */
-  final case class SessionAgg(
-      start_ms: Long, end_ms: Long, n: Long, sum_value: Double, timer_ms: Long)
+  final case class SessionAgg(start_ms: Long, end_ms: Long, n: Long, sum_value: Double)
 
   final case class UserSession(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
@@ -51,56 +54,67 @@ object SessionizeTws {
   class Processor(gapMs: Long)
       extends StatefulProcessor[Long, SessionEvent, UserSession] {
 
-    @transient private var sess: ValueState[SessionAgg] = _
+    @transient private var sessions: ListState[SessionAgg] = _
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessionAgg]("session",
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sessions = getHandle.getListState[SessionAgg]("sessions",
         Encoders.product[SessionAgg], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Interval-merge `all` under the gap: sorted by start, adjacent
+      * sessions closer than the gap coalesce (sum/count add, span unions).
+      */
+    private def coalesce(all: Seq[SessionAgg]): Seq[SessionAgg] =
+      all.sortBy(s => (s.start_ms, s.end_ms)).foldLeft(List.empty[SessionAgg]) {
+        case (acc @ (prev :: rest), s) if s.start_ms <= prev.end_ms + gapMs =>
+          prev.copy(end_ms = math.max(prev.end_ms, s.end_ms),
+            n = prev.n + s.n, sum_value = prev.sum_value + s.sum_value) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    private def rearm(open: Seq[SessionAgg]): Unit = {
+      val prev = if (armed.exists()) armed.get() else 0L
+      if (open.isEmpty) {
+        if (prev != 0L) { getHandle.deleteTimer(prev); armed.clear() }
+      } else {
+        val next = open.map(_.end_ms).min + gapMs
+        if (prev != next) {
+          if (prev != 0L) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      }
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
         timerValues: TimerValues): Iterator[UserSession] = {
-      // batch-sort by event time: in-batch order is arrival order, and
-      // gap decisions must follow the time axis (same per-key batch-sort
-      // stance as O1/D1)
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var cur: Option[SessionAgg] = if (sess.exists()) Some(sess.get()) else None
-      val armed = cur.map(_.timer_ms).getOrElse(0L)
-      val closed = Seq.newBuilder[UserSession]
-      sorted.foreach { e =>
-        val ms = e.ts.getTime
-        cur match {
-          case Some(c) if ms <= c.end_ms + gapMs =>
-            // extends (or lands inside) the open session; out-of-order
-            // rows within the gap widen the span from either side
-            cur = Some(c.copy(
-              start_ms = math.min(c.start_ms, ms),
-              end_ms = math.max(c.end_ms, ms),
-              n = c.n + 1, sum_value = c.sum_value + e.value))
-          case Some(c) =>
-            closed += finish(userId, c)
-            cur = Some(SessionAgg(ms, ms, 1L, e.value, 0L))
-          case None =>
-            cur = Some(SessionAgg(ms, ms, 1L, e.value, 0L))
-        }
-      }
-      cur.foreach { c =>
-        val expiry = c.end_ms + gapMs
-        if (armed != 0L && armed != expiry) getHandle.deleteTimer(armed)
-        if (armed != expiry) getHandle.registerTimer(expiry)
-        sess.update(c.copy(timer_ms = expiry))
-      }
-      closed.result().iterator
+      val existing = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+      val incoming = rows.map(e =>
+        SessionAgg(e.ts.getTime, e.ts.getTime, 1L, e.value)).toSeq
+      val merged = coalesce(existing ++ incoming)
+      sessions.put(merged.toArray)
+      rearm(merged)
+      Iterator.empty // emission is the timer's job — watermark-proven only
     }
 
     override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
-      // only the CURRENTLY armed expiry may close the session; a stale
-      // timer (session was extended after it was armed) is a no-op
-      if (sess.exists() && sess.get().timer_ms == expiredTimerInfo.getExpiryTimeInMs) {
-        val out = finish(userId, sess.get())
-        sess.clear()
-        Iterator.single(out)
-      } else Iterator.empty
+      val expiry = expiredTimerInfo.getExpiryTimeInMs
+      // drain everything the CURRENT watermark proves, not only the armed
+      // expiry — several sessions can become closeable between firings,
+      // and a re-armed timer already below the watermark would otherwise
+      // wait for the next input batch to fire
+      val cutoff = math.max(expiry, timerValues.getCurrentWatermarkInMs)
+      val all = if (sessions.exists()) sessions.get().toSeq else Seq.empty
+      val (closed, open) = all.partition(_.end_ms + gapMs <= cutoff)
+      if (open.isEmpty) sessions.clear() else sessions.put(open.toArray)
+      // this timer is consumed; forget it before re-arming for the rest
+      if (armed.exists() && armed.get() == expiry) armed.clear()
+      rearm(open)
+      closed.sortBy(_.start_ms).map(finish(userId, _)).iterator
     }
   }
 

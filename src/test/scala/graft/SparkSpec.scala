@@ -18,4 +18,20 @@ trait SparkSpec extends AnyFunSuite {
   val sf001 = "/root/testdata/sf0.01"
 
   def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  /** Run `f` with the RocksDB state-store provider (required by
+    * transformWithState), restoring the previous provider afterwards so
+    * later suites keep their default.
+    */
+  def withRocksDBStateStore(f: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

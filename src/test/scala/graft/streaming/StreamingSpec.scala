@@ -438,10 +438,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("D1 on transformWithState: same watermark semantics, RocksDB state store") {
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val in = MemoryStream[String]
       val base = 1700000000L
       val out = HighWatermarkDedupTws(
@@ -460,11 +457,6 @@ class StreamingSpec extends SparkSpec {
       // first batch emits 3 and 5 (both above initial 0, sorted order),
       // second emits 9 and the null-id row (as -1 here)
       assert(got == Seq(-1L, 3L, 5L, 9L), s"got $got")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -503,10 +495,7 @@ class StreamingSpec extends SparkSpec {
     // maximum across repeated process lifetimes, with out-of-order ids
     // arriving below the recovered watermark in every epoch (the exact
     // divergence DedupDivergenceSpec shows for dropDuplicates).
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val dir = java.nio.file.Files.createTempDirectory("graft_tws2").toString
       val in = MemoryStream[String]
       val base = 1700000000L
@@ -536,11 +525,6 @@ class StreamingSpec extends SparkSpec {
         .as[Long].collect().sorted.toSeq
       assert(ids == Seq(2L, 7L, 9L, 11L, 12L),
         s"got $ids — 5, 6 and the replayed 11 must drop against recovered state")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -575,10 +559,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming exact dedup: first occurrence wins across batches AND restarts") {
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val dir = java.nio.file.Files.createTempDirectory("graft_sed").toString
       val in = MemoryStream[String]
       def key(s: String): Long =
@@ -601,11 +582,6 @@ class StreamingSpec extends SparkSpec {
       q2.stop()
       val got = spark.read.parquet(s"$dir/out").as[String].collect().sorted.toSeq
       assert(got == Seq("doc a", "doc b", "doc c", "doc d"), s"got $got")
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
