@@ -50,6 +50,38 @@ class RollupMaintenanceSpec extends SparkSpec {
     assertSame(stored(path), recompute(b1 ++ b2))
   }
 
+  test("crash inside the swap recovers from the committed stage, no history loss") {
+    // the dangerous half-state: stage committed (_STAGED marker), target
+    // day DELETED, replacement not yet moved — the exact window where a
+    // plain dynamic overwrite would lose the day's history on retry
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup_c").toString + "/t"
+    val b1 = Seq(ev(1, "click", 1.0), ev(2, "view", 2.0))
+    RollupMaintenance.applyBatch(spark, path, b1.toDF(), batchId = 0L)
+    val b2 = Seq(ev(1, "click", 4.0))
+    RollupMaintenance.applyBatch(spark, path, b2.toDF(), batchId = 1L)
+    val healthy = stored(path).collect().toSet
+
+    // reconstruct batch 1's committed stage for day 2024-01-01, then
+    // simulate the crash: delete the live day dir
+    val stage = new java.io.File(s"$path/_staging/batch=1")
+    spark.read.schema(RollupMaintenance.rollupSchema).parquet(path)
+      .filter(col("day") === "2024-01-01")
+      .write.mode("overwrite").partitionBy("day").parquet(stage.getPath)
+    java.nio.file.Files.createFile(new java.io.File(stage, "_STAGED").toPath)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$path/day=2024-01-01"))
+    assert(stored(path).filter(col("day") === "2024-01-01").isEmpty, "half-state set up")
+
+    // the retry of batch 1 must FIRST finish the swap — and must not
+    // re-merge (the restored day already carries __batch_id 1)
+    RollupMaintenance.applyBatch(spark, path, b2.toDF(), batchId = 1L)
+    assert(stored(path).collect().toSet == healthy,
+      "recovery must restore the exact pre-crash rollup")
+    assert(!stage.exists(), "stage must be cleaned after the swap")
+  }
+
   test("streaming wiring maintains the rollup across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_s").toString
     val in = MemoryStream[Ev]
