@@ -33,7 +33,11 @@ object SqlSurface {
   val queries: Seq[Q] = Seq(
 
     // Recursive CTE: variable-depth traversal of the implicit binary tree
-    // parent(c) = c DIV 2 over customers, rooted at custkey 1. Each
+    // parent(c) = c DIV 2 over customers, rooted at custkey 0 (keys are
+    // 0-based here; the c <> 0 guard breaks the 0 DIV 2 = 0 self-loop —
+    // WarehouseSpec pins that the tree spans every customer, so a key
+    // range that left the seed empty would fail the suite, not silently
+    // return an empty-but-hash-equal result). Each
     // recursion level is one join of the frontier against the (broadcast-
     // able) customer dim — the iterative-join pattern any hierarchy /
     // bill-of-materials query needs. Aggregated per depth so the output is

@@ -159,8 +159,13 @@ object WarehouseOps {
             col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
           .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
         val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+        // persist -> materialize (localCheckpoint) -> unpersist: the cache
+        // must outlive plan construction because the caller executes the
+        // returned frame AFTER this fn returns — unpersisting a lazy
+        // result here would silently recompute the co-occurrence join 4x
         val out = wedges.join(closing, Seq("x", "y"))
           .agg(count(lit(1)).as("n_triangles"))
+          .localCheckpoint()
         e2.unpersist()
         out
       },

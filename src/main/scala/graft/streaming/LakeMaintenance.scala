@@ -28,7 +28,11 @@ object LakeMaintenance {
 
   private def dataFileCount(dir: String): Long = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (f.isDirectory)
+        // listFiles() is null if the dir vanishes or turns unreadable
+        // mid-walk — treat as empty rather than NPE the maintenance job
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else Seq(f)
     walk(new java.io.File(dir))
       .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .toLong
@@ -36,20 +40,26 @@ object LakeMaintenance {
 
   /** Compact the hive lake at `srcDir` (partitioned by `partitionCol`)
     * into `destDir`. Returns the before/after accounting a maintenance
-    * scheduler would log and alert on.
+    * scheduler would log and alert on. The source is scanned ONCE — the
+    * rewrite is the scan, and the report's rows/partitions are counted
+    * from the compacted OUTPUT (identical content, and at 100 TB two
+    * extra source passes for bookkeeping would double the job).
     */
   def compact(spark: SparkSession, srcDir: String, destDir: String,
       partitionCol: String, targetRecordsPerFile: Long): CompactionReport = {
-    val df = spark.read.parquet(srcDir)
-    val rows = df.count()
-    val parts = df.select(partitionCol).distinct().count()
     val before = dataFileCount(srcDir)
-    df.repartition(col(partitionCol))
+    spark.read.parquet(srcDir)
+      .repartition(col(partitionCol))
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .mode("overwrite")
       .parquet(destDir)
-    CompactionReport(parts, rows, before, dataFileCount(destDir))
+    val out = spark.read.parquet(destDir)
+    val agg = out.groupBy(col(partitionCol)).count()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)), org.apache.spark.sql.functions.sum("count"))
+      .head()
+    CompactionReport(agg.getLong(0), agg.getLong(1), before, dataFileCount(destDir))
   }
 }
