@@ -27,16 +27,25 @@ object AsOfJoin {
     * @param rightTieBreak right column ordering rows that share (key, ts):
     *                      the greatest wins; None if right timestamps are
     *                      unique per key
-    * @param toleranceMicros max staleness: a match older than this many
-    *                      microseconds before leftTs is discarded (asof_*
+    * @param toleranceMicros max staleness: a match further than this many
+    *                      microseconds from leftTs is discarded (asof_*
     *                      come back null, the left row is kept) — the
     *                      pandas merge_asof `tolerance` semantics. Requires
     *                      timestamp-typed ts columns. None = unbounded.
+    * @param direction   "backward" (latest right at or before leftTs — the
+    *                      default), "forward" (earliest right at or after;
+    *                      SMALLEST tie-break wins at equal ts), or
+    *                      "nearest" (closer of the two; equidistant ties
+    *                      resolve backward) — pandas merge_asof parity.
+    *                      All three ride the same single key-shuffle;
+    *                      nearest adds a second in-partition sorted pass,
+    *                      never a second shuffle.
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
       rightTieBreak: Option[String] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val leftCols = left.columns
     // The payload is carried as ONE struct, not per-column: carrying each
     // column with its own last(ignoreNulls) would tear values from
@@ -59,22 +68,52 @@ object AsOfJoin {
           lit(null).as("__payload")) ++
         rightTieBreak.map(_ => lit(null).as("__tb")).toSeq ++
         leftCols.filterNot(keys.contains).map(col): _*)
-    val order = Seq(col("__ts"), col("__side")) ++
+    // backward: rights sort BEFORE lefts at equal ts (side asc) so the
+    // preceding frame sees an equal-ts match; greatest tie-break wins
+    // (last in order). forward: lefts sort first (side desc) so the
+    // FOLLOWING frame starting at the left row includes equal-ts rights;
+    // smallest tie-break wins (first in order).
+    val orderB = Seq(col("__ts"), col("__side")) ++
       rightTieBreak.map(_ => col("__tb").asc_nulls_first)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = r.unionByName(l)
-      .withColumn("__carried", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    // tolerance: null the whole carried struct when the match is stale —
-    // a pure per-row post-filter, the window pass is unchanged
-    val bounded = toleranceMicros.fold(carried) { tol =>
-      carried.withColumn("__carried",
-        when(unix_micros(col("__ts")) - unix_micros(col("__carried.__rts")) <= tol,
-          col("__carried")))
+    val orderF = Seq(col("__ts"), col("__side").desc) ++
+      rightTieBreak.map(_ => col("__tb").asc_nulls_first)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wB = part.orderBy(orderB: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val wF = part.orderBy(orderF: _*).rowsBetween(0, Window.unboundedFollowing)
+    val carriedB = last(col("__payload"), ignoreNulls = true).over(wB)
+    val carriedF = first(col("__payload"), ignoreNulls = true).over(wF)
+    val unioned = r.unionByName(l)
+    // tolerance: null the whole carried struct when the match is too far
+    // on its side's axis — a pure per-row post-map, window passes unchanged
+    def bound(c: Column, dist: Column): Column =
+      toleranceMicros.fold(c)(tol => when(dist <= tol, c))
+    val distB = (c: Column) => unix_micros(col("__ts")) - unix_micros(c("__rts"))
+    val distF = (c: Column) => unix_micros(c("__rts")) - unix_micros(col("__ts"))
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("__carried", carriedB).filter(col("__side") === 1)
+          .withColumn("__carried", bound(col("__carried"), distB(col("__carried"))))
+      case "forward" =>
+        unioned.withColumn("__carried", carriedF).filter(col("__side") === 1)
+          .withColumn("__carried", bound(col("__carried"), distF(col("__carried"))))
+      case "nearest" =>
+        unioned
+          .withColumn("__cb", carriedB)
+          .withColumn("__cf", carriedF)
+          .filter(col("__side") === 1)
+          .withColumn("__cb", bound(col("__cb"), distB(col("__cb"))))
+          .withColumn("__cf", bound(col("__cf"), distF(col("__cf"))))
+          .withColumn("__carried",
+            when(col("__cf").isNull, col("__cb"))
+              .when(col("__cb").isNull, col("__cf"))
+              // strict <: equidistant matches resolve backward
+              .when(distF(col("__cf")) < distB(col("__cb")), col("__cf"))
+              .otherwise(col("__cb")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be backward|forward|nearest, got $other")
     }
-    bounded.select(leftCols.toIndexedSeq.map(col) ++
+    carried.select(leftCols.toIndexedSeq.map(col) ++
       rightValues.map(c => col(s"__carried.$c").as(s"asof_$c")): _*)
   }
 }

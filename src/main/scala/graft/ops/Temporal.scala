@@ -167,6 +167,79 @@ object Temporal {
 
     Q("q_asof_join", asofPurchaseClick, Some(asofOracleSql)),
 
+    // direction="forward" (pandas merge_asof parity): the EARLIEST click
+    // at or after each purchase — same single key-shuffle, the window
+    // frame flips to [current, following) with lefts sorted first at
+    // equal ts so an equal-ts click still matches; smallest event_id
+    // breaks same-timestamp ties (mirrored in the oracle's ORDER BY).
+    Q("q_asof_forward",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            rightValues = Seq("event_id", "value"),
+            rightTieBreak = Some("event_id"), direction = "forward")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof_event_id").as("next_click_id"),
+            col("asof_value").as("next_click_value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+              FROM events WHERE event_type IN ('click','purchase')),
+              w AS (SELECT *,
+                     first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+                    FROM e)
+              SELECT event_id AS purchase_id, user_id,
+                     nc.i AS next_click_id, nc.v AS next_click_value
+              FROM w WHERE kind = 1 ORDER BY purchase_id""")),
+
+    // direction="nearest": the click closest in time on EITHER side,
+    // equidistant ties resolving backward — both window passes share the
+    // one key-shuffle (two in-partition sorts, no second exchange).
+    Q("q_asof_nearest",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            rightValues = Seq("event_id", "value"),
+            rightTieBreak = Some("event_id"), direction = "nearest")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof_event_id").as("near_click_id"),
+            col("asof_value").as("near_click_value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+              FROM events WHERE event_type IN ('click','purchase')),
+              w AS (SELECT *,
+                     last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+                     first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+                    FROM e),
+              c AS (SELECT *,
+                     CASE WHEN nc IS NULL THEN lc
+                          WHEN lc IS NULL THEN nc
+                          WHEN epoch_us(nc.t) - epoch_us(ts) < epoch_us(ts) - epoch_us(lc.t)
+                            THEN nc ELSE lc END AS ch
+                    FROM w)
+              SELECT event_id AS purchase_id, user_id,
+                     ch.i AS near_click_id, ch.v AS near_click_value
+              FROM c WHERE kind = 1 ORDER BY purchase_id""")),
+
     // Identical contract, executed by the native AsOfJoinExec merge
     // operator — same oracle puts the custom plan stack on the hard gate.
     Q("q_asof_native", asofPurchaseClickNative, Some(asofOracleSql)),
