@@ -111,5 +111,16 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
     println(line)
+    // A second, COMPACT summary line, printed last: the capture harness
+    // keeps only a ~2.8 KB tail of stdout and has head-truncated the full
+    // line (and so recorded "parsed": null) in every round once the
+    // per-query map outgrew the window. This line — totals plus only the
+    // 5 worst queries — fits whole in any tail, so a parser scanning for
+    // a valid JSON line finds it even when the full line is cut. The full
+    // map remains above and in the bench_out.json file.
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},"worst5":$worst,"value":$total,"failed":$failed,"sf":"$sfDir"}""")
   }
 }
