@@ -149,6 +149,68 @@ object Temporal {
       .orderBy(col("purchase_id"))
   }
 
+  private val asofForwardOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, ts, value,
+              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+       FROM events WHERE event_type IN ('click','purchase')),
+       w AS (SELECT *,
+              first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+             FROM e)
+       SELECT event_id AS purchase_id, user_id,
+              nc.i AS next_click_id, nc.v AS next_click_value
+       FROM w WHERE kind = 1 ORDER BY purchase_id"""
+
+  private val asofNearestOracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, ts, value,
+              CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+       FROM events WHERE event_type IN ('click','purchase')),
+       w AS (SELECT *,
+              last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+              first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+             FROM e),
+       c AS (SELECT *,
+              CASE WHEN nc IS NULL THEN lc
+                   WHEN lc IS NULL THEN nc
+                   WHEN epoch_us(nc.t) - epoch_us(ts) < epoch_us(ts) - epoch_us(lc.t)
+                     THEN nc ELSE lc END AS ch
+             FROM w)
+       SELECT event_id AS purchase_id, user_id,
+              ch.i AS near_click_id, ch.v AS near_click_value
+       FROM c WHERE kind = 1 ORDER BY purchase_id"""
+
+  /** One builder for the forward/nearest directions on BOTH
+    * implementations — the per-direction semantics live in ops.AsOfJoin /
+    * plans.NativeAsOfJoin; this just wires the purchase/click shape.
+    */
+  private def asofDirectionQuery(native: Boolean, direction: String,
+      idAlias: String, valAlias: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val joined =
+      if (native)
+        graft.plans.NativeAsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightValues = Seq("event_id", "value"),
+          rightTieBreak = Some("event_id"), direction = direction)
+      else
+        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightValues = Seq("event_id", "value"),
+          rightTieBreak = Some("event_id"), direction = direction)
+    joined
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_event_id").as(idAlias), col("asof_value").as(valAlias))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     // Oracle: DuckDB's arg_min/arg_max take no composite key, so the
     // (ts, event_id)-deterministic open/close are expressed as first_value
@@ -167,82 +229,39 @@ object Temporal {
 
     Q("q_asof_join", asofPurchaseClick, Some(asofOracleSql)),
 
+    // Identical contract, executed by the native AsOfJoinExec merge
+    // operator — same oracle puts the custom plan stack on the hard gate.
+    Q("q_asof_native", asofPurchaseClickNative, Some(asofOracleSql)),
+
     // direction="forward" (pandas merge_asof parity): the EARLIEST click
     // at or after each purchase — same single key-shuffle, the window
     // frame flips to [current, following) with lefts sorted first at
     // equal ts so an equal-ts click still matches; smallest event_id
     // breaks same-timestamp ties (mirrored in the oracle's ORDER BY).
-    Q("q_asof_forward",
-      (s, dir) => {
-        val e = t(s, dir, "events")
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
-            leftTs = "ts", rightTs = "ts",
-            rightValues = Seq("event_id", "value"),
-            rightTieBreak = Some("event_id"), direction = "forward")
-          .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("asof_event_id").as("next_click_id"),
-            col("asof_value").as("next_click_value"))
-          .orderBy(col("purchase_id"))
-      },
-      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
-                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-              FROM events WHERE event_type IN ('click','purchase')),
-              w AS (SELECT *,
-                     first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value) END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
-                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
-                    FROM e)
-              SELECT event_id AS purchase_id, user_id,
-                     nc.i AS next_click_id, nc.v AS next_click_value
-              FROM w WHERE kind = 1 ORDER BY purchase_id""")),
+    // direction="forward" (pandas merge_asof parity): the EARLIEST click
+    // at or after each purchase — same single key-shuffle, the window
+    // frame flips to [current, following) with lefts sorted first at
+    // equal ts so an equal-ts click still matches; smallest event_id
+    // breaks same-timestamp ties (mirrored in the oracle's ORDER BY).
+    // Declared on BOTH implementations (union+window and the native
+    // merge exec), sharing one oracle each — exactly like q_asof_join /
+    // q_asof_native.
+    Q("q_asof_forward", asofDirectionQuery(native = false, "forward",
+      "next_click_id", "next_click_value"), Some(asofForwardOracleSql)),
+
+    Q("q_asof_forward_native", asofDirectionQuery(native = true, "forward",
+      "next_click_id", "next_click_value"), Some(asofForwardOracleSql)),
 
     // direction="nearest": the click closest in time on EITHER side,
-    // equidistant ties resolving backward — both window passes share the
-    // one key-shuffle (two in-partition sorts, no second exchange).
-    Q("q_asof_nearest",
-      (s, dir) => {
-        val e = t(s, dir, "events")
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        AsOfJoin.join(purchases, clicks, keys = Seq("user_id"),
-            leftTs = "ts", rightTs = "ts",
-            rightValues = Seq("event_id", "value"),
-            rightTieBreak = Some("event_id"), direction = "nearest")
-          .select(col("event_id").as("purchase_id"), col("user_id"),
-            col("asof_event_id").as("near_click_id"),
-            col("asof_value").as("near_click_value"))
-          .orderBy(col("purchase_id"))
-      },
-      Some("""WITH e AS (SELECT event_id, user_id, ts, value,
-                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-              FROM events WHERE event_type IN ('click','purchase')),
-              w AS (SELECT *,
-                     last_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
-                     first_value(CASE WHEN kind = 0 THEN struct_pack(i := event_id, v := value, t := ts) END IGNORE NULLS)
-                       OVER (PARTITION BY user_id ORDER BY ts, kind DESC, event_id
-                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
-                    FROM e),
-              c AS (SELECT *,
-                     CASE WHEN nc IS NULL THEN lc
-                          WHEN lc IS NULL THEN nc
-                          WHEN epoch_us(nc.t) - epoch_us(ts) < epoch_us(ts) - epoch_us(lc.t)
-                            THEN nc ELSE lc END AS ch
-                    FROM w)
-              SELECT event_id AS purchase_id, user_id,
-                     ch.i AS near_click_id, ch.v AS near_click_value
-              FROM c WHERE kind = 1 ORDER BY purchase_id""")),
+    // equidistant ties resolving backward — the union+window form runs
+    // both window passes on one key-shuffle (two in-partition sorts); the
+    // native exec reads the nearest match off its single merge pass (the
+    // backward carry and the forward head coexist in O(1) state).
+    Q("q_asof_nearest", asofDirectionQuery(native = false, "nearest",
+      "near_click_id", "near_click_value"), Some(asofNearestOracleSql)),
 
-    // Identical contract, executed by the native AsOfJoinExec merge
-    // operator — same oracle puts the custom plan stack on the hard gate.
-    Q("q_asof_native", asofPurchaseClickNative, Some(asofOracleSql)),
+    Q("q_asof_nearest_native", asofDirectionQuery(native = true, "nearest",
+      "near_click_id", "near_click_value"), Some(asofNearestOracleSql)),
 
     // Tolerance-bounded as-of (pandas merge_asof `tolerance`): a click
     // older than 2 days no longer explains the purchase — the carried

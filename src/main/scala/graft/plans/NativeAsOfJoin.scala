@@ -30,7 +30,8 @@ case class AsOfJoinNode(
     rightValues: Seq[Attribute],
     outRightAttrs: Seq[Attribute],
     rightTieBreak: Option[Attribute],
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
   // asof_* attrs are synthesized by this operator, not drawn from children
   override def producedAttributes: AttributeSet = AttributeSet(outRightAttrs)
@@ -41,8 +42,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs, tb, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs, tb, tol) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, rv, outAttrs, tb, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, outAttrs, tb, tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -54,7 +55,8 @@ case class AsOfJoinExec(
     rightValues: Seq[Expression],
     outRightAttrs: Seq[Attribute],
     rightTieBreak: Option[Expression],
-    toleranceMicros: Option[Long] = None) extends SparkPlan with BinaryExecNode {
+    toleranceMicros: Option[Long] = None,
+    direction: String = "backward") extends SparkPlan with BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outRightAttrs
 
@@ -94,6 +96,7 @@ case class AsOfJoinExec(
       val nullRight: InternalRow = new GenericInternalRow(nRightVals)
       val joined = new JoinedRow
       val tol = toleranceMicros
+      val dir = direction
 
       new Iterator[InternalRow] {
         // single forward pass; all retained rows are copies (sorter reuses
@@ -120,11 +123,19 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lTs = lTsProj(lRow).getLong(0)
+          // backward/nearest consume rights through rts <= lTs, carrying
+          // the last (= latest ts, greatest tie-break) as the backward
+          // candidate; forward consumes STRICTLY before lTs so an
+          // equal-ts right stays as the forward head. Either way a
+          // consumed right can never match this or any later left row on
+          // its side, so the pass stays single and O(1)-state.
+          val inclusive = dir != "forward"
           var advancing = true
           while (advancing && loadRight()) {
             val cmp = keyOrd.compare(rHeadKey, lKey)
-            if (cmp < 0 || (cmp == 0 && rHeadTs <= lTs)) {
-              if (cmp == 0) { // candidate match; remember latest
+            if (cmp < 0 ||
+                (cmp == 0 && (rHeadTs < lTs || (inclusive && rHeadTs == lTs)))) {
+              if (cmp == 0 && inclusive) { // backward candidate; remember latest
                 lastKey = rHeadKey
                 lastVals = rValProj(rHead).copy()
                 lastTs = rHeadTs
@@ -132,12 +143,27 @@ case class AsOfJoinExec(
               rHead = null // consume
             } else advancing = false
           }
-          // tolerance: a carried match older than the bound is as good as
-          // no match (pandas merge_asof semantics, same as ops.AsOfJoin)
-          val matched = lastVals != null && lastKey != null &&
+          // tolerance bounds each side's distance (pandas merge_asof
+          // semantics, same as ops.AsOfJoin)
+          val bMatch = inclusive && lastVals != null && lastKey != null &&
             keyOrd.compare(lastKey, lKey) == 0 &&
             tol.forall(t => lTs - lastTs <= t)
-          outProj(joined(lRow, if (matched) lastVals else nullRight))
+          // the forward head is the FIRST right at or after lTs (smallest
+          // tie-break within its timestamp, by the child ordering)
+          val fMatch = dir != "backward" && rHead != null &&
+            keyOrd.compare(rHeadKey, lKey) == 0 && rHeadTs >= lTs &&
+            tol.forall(t => rHeadTs - lTs <= t)
+          val vals: InternalRow = dir match {
+            case "backward" => if (bMatch) lastVals else nullRight
+            case "forward" => if (fMatch) rValProj(rHead) else nullRight
+            case _ => // nearest: closer side wins, equidistant -> backward
+              if (bMatch && fMatch)
+                if (rHeadTs - lTs < lTs - lastTs) rValProj(rHead) else lastVals
+              else if (bMatch) lastVals
+              else if (fMatch) rValProj(rHead)
+              else nullRight
+          }
+          outProj(joined(lRow, vals))
         }
       }
     }
@@ -152,7 +178,8 @@ object NativeAsOfJoin {
   def join(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightValues: Seq[String],
       rightTieBreak: Option[String] = None,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -175,7 +202,7 @@ object NativeAsOfJoin {
     val node = AsOfJoinNode(lp, rp,
       keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
       attr(lp, leftTs), attr(rp, s"__r_$rightTs"), rVals, outAttrs,
-      rightTieBreak.map(c => attr(rp, s"__r_$c")), toleranceMicros)
+      rightTieBreak.map(c => attr(rp, s"__r_$c")), toleranceMicros, direction)
     org.apache.spark.sql.graft.GraftSqlShims.ofRows(spark, node)
   }
 }
