@@ -788,6 +788,44 @@ object TextDedup {
         .orderBy(col("contained_id"), col("container_id")),
       Some(containmentOracleSql)),
 
+    // Text similarity SEARCH (point-lookup shape): top-5 docs most similar
+    // to one query document by shingle Jaccard. The asymmetric plan is
+    // the one a retrieval service runs: the query side's shingles
+    // BROADCAST, the corpus postings stream through the probe map-side,
+    // and only matched candidates (c >= 1) reach the tiny per-doc
+    // aggregate + top-k — the corpus never self-joins. Ranking ties break
+    // on doc_id in both engines, so the top-5 cut is deterministic.
+    Q("q_text_search",
+      (s, dir) => {
+        val sh = shingled(t(s, dir, "documents"))
+        val q = sh.filter(col("doc_id") === 0)
+          .select(col("n_sh").as("nq"), explode(col("hs")).as("sh"))
+        val ex = sh.filter(col("doc_id") =!= 0)
+          .select(col("doc_id"), col("n_sh").as("na"), explode(col("hs")).as("sh"))
+        ex.join(broadcast(q), Seq("sh"))
+          .groupBy(col("doc_id"), col("na"), col("nq"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("jaccard",
+            col("c").cast(DoubleType) / (col("na") + col("nq") - col("c")))
+          .select(col("doc_id"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("doc_id"))
+          .limit(5)
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              q AS (SELECT sh FROM d WHERE doc_id = 0)
+              SELECT d.doc_id,
+                     CAST(len(list_intersect(d.sh, q.sh)) AS DOUBLE)
+                       / (len(d.sh) + len(q.sh) - len(list_intersect(d.sh, q.sh))) AS jaccard
+              FROM d, q
+              WHERE d.doc_id <> 0 AND len(list_intersect(d.sh, q.sh)) >= 1
+              ORDER BY jaccard DESC, d.doc_id LIMIT 5""")),
+
     // Same exact semantics through prefix-filtered candidate generation —
     // the shared oracle proves the prefix bound loses no pairs.
     Q("q_dedup_ngram_prefix",

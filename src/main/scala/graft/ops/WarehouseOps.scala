@@ -457,6 +457,48 @@ object WarehouseOps {
               FROM events
               GROUP BY bucket ORDER BY n DESC, bucket""")),
 
+    // Key-skew diagnostics: the numbers an operator reads before choosing
+    // a salt factor or AQE threshold — per-key-domain row counts
+    // summarized as max/mean skew factor and the top heavy hitter. One
+    // partial-aggregated pass per profiled key domain; the output is one
+    // row per domain. (The salting/AQE machinery this informs is
+    // ops/Skew.scala and the AQE skew-split spec.)
+    Q("q_key_skew_profile",
+      (s, dir) => {
+        def profile(domain: String, d: DataFrame, key: org.apache.spark.sql.Column)
+            : DataFrame =
+          d.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(col("c")).as("n_rows"),
+              max(col("c")).as("max_rows"),
+              (max(col("c")).cast(DoubleType) * count(lit(1)) / sum(col("c")))
+                .as("skew_factor"),
+              max_by(col("k").cast(StringType), struct(col("c"), col("k").cast(StringType)))
+                .as("heaviest_key"))
+            .select(lit(domain).as("domain"), col("n_keys"), col("n_rows"),
+              col("max_rows"), col("skew_factor"), col("heaviest_key"))
+        profile("events.user_id", t(s, dir, "events"), col("user_id"))
+          .unionAll(profile("events.event_type", t(s, dir, "events"), col("event_type")))
+          .unionAll(profile("lineitem.l_suppkey", t(s, dir, "lineitem"), col("l_suppkey")))
+          .unionAll(profile("documents.source", t(s, dir, "documents"), col("source")))
+          .orderBy(col("domain"))
+      },
+      Some("""WITH p AS (
+                SELECT 'events.user_id' AS domain, COUNT(*) AS c, CAST(user_id AS VARCHAR) AS k
+                FROM events GROUP BY user_id
+                UNION ALL
+                SELECT 'events.event_type', COUNT(*), event_type FROM events GROUP BY event_type
+                UNION ALL
+                SELECT 'lineitem.l_suppkey', COUNT(*), CAST(l_suppkey AS VARCHAR)
+                FROM lineitem GROUP BY l_suppkey
+                UNION ALL
+                SELECT 'documents.source', COUNT(*), source FROM documents GROUP BY source)
+              SELECT domain, COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                     MAX(c) AS max_rows,
+                     CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor,
+                     arg_max(k, (c, k)) AS heaviest_key
+              FROM p GROUP BY domain ORDER BY domain""")),
+
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
     // the incremental-rollup contract exact distinct cannot offer (sketch
