@@ -367,6 +367,114 @@ object CorpusOps {
           .orderBy(col("event_id")),
       Some("""SELECT event_id,
                      regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
-              FROM events ORDER BY event_id"""))
+              FROM events ORDER BY event_id""")),
+
+    // BM25 ranked retrieval for a fixed term query. Same statistics
+    // pipeline as q_tfidf (tf persisted: it feeds dl, df AND the scoring
+    // join), but Robertson's saturation formula — with RATIO idf
+    // ((N-df+0.5)/(df+0.5), no log) so every arithmetic step is a single
+    // IEEE op both engines evaluate identically (libm log is not
+    // bit-portable; see the q_tfidf note). The per-document total is a
+    // fixed-order expression sum over the pivoted per-term scores, NOT a
+    // float SUM() aggregate, because double addition is not associative
+    // and aggregate order differs between engines. df/stats broadcast;
+    // the corpus-sized shuffles are the tf and dl aggregations only.
+    Q("q_bm25",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val tfq = tf.filter(col("term").isin("hash", "join", "vector"))
+        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tfq.join(broadcast(dfq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("score",
+            col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+              * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        val out = scored.groupBy(col("doc_id"))
+          .agg(max(when(col("term") === "hash", col("score"))).as("s_hash"),
+            max(when(col("term") === "join", col("score"))).as("s_join"),
+            max(when(col("term") === "vector", col("score"))).as("s_vector"))
+          .withColumn("bm25",
+            coalesce(col("s_hash"), lit(0.0)) + coalesce(col("s_join"), lit(0.0))
+              + coalesce(col("s_vector"), lit(0.0)))
+          .select(col("doc_id"), col("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+          .localCheckpoint()
+        tf.unpersist()
+        out
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+                   stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+                   dfq AS (SELECT term, count(*) AS df FROM tf
+                           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.term,
+                                     tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / stats.avgdl)))
+                                       * ((stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS score
+                              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
+              SELECT doc_id,
+                     coalesce(MAX(CASE WHEN term = 'hash' THEN score END), 0.0)
+                     + coalesce(MAX(CASE WHEN term = 'join' THEN score END), 0.0)
+                     + coalesce(MAX(CASE WHEN term = 'vector' THEN score END), 0.0) AS bm25
+              FROM scored GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
+    // Token co-occurrence lift (ratio PMI, no log — integer numerator and
+    // denominator, ONE double division, bit-identical cross-engine):
+    // lift(a,b) = N·df(a,b) / (df(a)·df(b)). The pair space is generated
+    // by a doc_id self-join of the DISTINCT (doc, term) set — per-doc
+    // cost is vocabulary-bounded (tokens are deduped first), which is
+    // what keeps the join quadratic in VOCAB, not in corpus size, at
+    // 100 TB. df sides broadcast (vocab-sized).
+    Q("q_cooccur_lift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = tokens(docs).distinct().persist()
+        val dfr = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val out = dt.as("a")
+          .join(dt.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+          .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+          .agg(count(lit(1)).as("df_ab"))
+          .join(broadcast(dfr.select(col("term").as("term_a"), col("df").as("df_a"))),
+            Seq("term_a"))
+          .join(broadcast(dfr.select(col("term").as("term_b"), col("df").as("df_b"))),
+            Seq("term_b"))
+          .crossJoin(broadcast(n))
+          .filter(col("df_ab") >= 5)
+          .withColumn("lift",
+            col("df_ab").cast(DoubleType) * col("n_docs") / (col("df_a") * col("df_b")))
+          .select(col("term_a"), col("term_b"), col("df_ab"), col("lift"))
+          .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+          .limit(20)
+          .localCheckpoint()
+        dt.unpersist()
+        out
+      },
+      Some("""WITH dt AS (SELECT DISTINCT doc_id, term
+                          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+                          WHERE term <> ''),
+                   dfr AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+                   n AS (SELECT count(*) AS n_docs FROM documents),
+                   pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS df_ab
+                             FROM dt a JOIN dt b
+                               ON a.doc_id = b.doc_id AND a.term < b.term
+                             GROUP BY 1, 2)
+              SELECT term_a, term_b, df_ab,
+                     CAST(df_ab AS DOUBLE) * n.n_docs / (fa.df * fb.df) AS lift
+              FROM pairs
+              JOIN dfr fa ON fa.term = pairs.term_a
+              JOIN dfr fb ON fb.term = pairs.term_b, n
+              WHERE df_ab >= 5
+              ORDER BY lift DESC, term_a, term_b LIMIT 20"""))
   )
 }

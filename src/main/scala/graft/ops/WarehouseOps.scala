@@ -499,6 +499,82 @@ object WarehouseOps {
                      arg_max(k, (c, k)) AS heaviest_key
               FROM p GROUP BY domain ORDER BY domain""")),
 
+    // Cohort retention: users grouped by first-seen ISO week, activity
+    // counted per weeks-since-cohort — the standard triangle every event
+    // warehouse serves. Plan: one pass derives (user, week), the per-user
+    // min is a user-cardinality aggregate (persisted: it feeds both the
+    // cohort sizes and the activity join, and is the small side of that
+    // join), and the fact stream joins it on user_id. Week arithmetic
+    // stays integral (datediff/7 on Monday-truncated dates), so the only
+    // double is the final single-division retention ratio.
+    Q("q_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+          .persist()
+        val sizes = first.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("cohort_users"))
+        val out = ev.join(first, Seq("user_id"))
+          .groupBy(col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast(LongType).as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .join(broadcast(sizes), Seq("cohort"))
+          .withColumn("retention",
+            col("active_users").cast(DoubleType) / col("cohort_users"))
+          .select(col("cohort"), col("weeks_since"), col("active_users"),
+            col("cohort_users"), col("retention"))
+          .orderBy(col("cohort"), col("weeks_since"))
+          .localCheckpoint()
+        first.unpersist()
+        out
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+                   f AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1),
+                   sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+                   act AS (SELECT f.cohort,
+                                  CAST(date_diff('day', f.cohort, ev.wk) / 7 AS BIGINT) AS weeks_since,
+                                  COUNT(DISTINCT ev.user_id) AS active_users
+                           FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+              SELECT cohort, weeks_since, active_users, cohort_users,
+                     CAST(active_users AS DOUBLE) / cohort_users AS retention
+              FROM act JOIN sizes USING (cohort)
+              ORDER BY cohort, weeks_since""")),
+
+    // Rolling 20-event volatility per event type — the trailing-window
+    // dispersion a quotes feed monitors. The window sums are decimal
+    // (order-independent, so Spark's partial ordering and DuckDB's
+    // sequential scan agree bitwise); the two-pass variance identity
+    // ((ss - s²/n)/(n-1)) runs in double only AFTER the exact sums are
+    // fixed. ROWS frame over a unique (ts, event_id) order keeps the
+    // frame contents deterministic; only full windows (n = 20) emit.
+    Q("q_rolling_volatility",
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_vol_v")
+        s.sql("""SELECT event_id, event_type,
+                        sqrt((ss - sv * sv / n) / (n - 1)) AS vol20
+                 FROM (SELECT event_id, event_type,
+                              COUNT(*) OVER w AS n,
+                              CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sv,
+                              CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ss
+                       FROM events_vol_v
+                       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+                 WHERE n = 20
+                 ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, event_type,
+                     sqrt((ss - sv * sv / n) / (n - 1)) AS vol20
+              FROM (SELECT event_id, event_type,
+                           COUNT(*) OVER w AS n,
+                           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sv,
+                           CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ss
+                    FROM events
+                    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              WHERE n = 20
+              ORDER BY event_id""")),
+
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
     // the incremental-rollup contract exact distinct cannot offer (sketch
