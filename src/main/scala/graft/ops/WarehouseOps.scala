@@ -575,6 +575,65 @@ object WarehouseOps {
               WHERE n = 20
               ORDER BY event_id""")),
 
+    // Z-score outlier flagging: per-type mean/std from ONE decimal-exact
+    // stats pass (the q_stats_agg identity), broadcast back over the fact
+    // stream, rows beyond 3 sigma surfaced with their score. The probe
+    // side is a pure per-row codegen filter — the anomaly scan shape that
+    // runs map-side-only at 100 TB (stats table is O(types)).
+    Q("q_zscore_outliers",
+      (s, dir) => {
+        val stats = t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast(DoubleType).as("sv"),
+            sum(dec2(col("value")) * dec2(col("value"))).cast(DoubleType).as("ss"))
+          .select(col("event_type"),
+            (col("sv") / col("n")).as("mean"),
+            sqrt((col("ss") - col("sv") * col("sv") / col("n")) / (col("n") - 1)).as("std"))
+        t(s, dir, "events").join(broadcast(stats), Seq("event_type"))
+          .withColumn("z", (col("value") - col("mean")) / col("std"))
+          .filter(abs(col("z")) > 3.0)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH st AS (SELECT event_type, COUNT(*) AS n,
+                                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+                                 CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+                          FROM events GROUP BY 1),
+                   ms AS (SELECT event_type, sv / n AS mean,
+                                 sqrt((ss - sv * sv / n) / (n - 1)) AS std FROM st)
+              SELECT e.event_id, e.event_type, e.value,
+                     (e.value - ms.mean) / ms.std AS z
+              FROM events e JOIN ms USING (event_type)
+              WHERE abs((e.value - ms.mean) / ms.std) > 3.0::DOUBLE
+              ORDER BY e.event_id""")),
+
+    // Per-user maximum drawdown: running peak minus current value, both
+    // held in DECIMAL through the window and the final max so no float
+    // accumulates — only the finished statistic casts to double. Running
+    // MAX over a ROWS frame is order-insensitive in VALUE but the frame
+    // is pinned by the unique (ts, event_id) sort; one window pass plus
+    // one grouped max, the monitoring pass a quotes warehouse runs
+    // per-symbol at scale.
+    Q("q_drawdown",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, dir, "events")
+          .withColumn("peak", max(dec2(col("value"))).over(w))
+          .withColumn("dd", col("peak") - dec2(col("value")))
+          .groupBy(col("user_id"))
+          .agg(max(col("dd")).cast(DoubleType).as("max_drawdown"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(MAX(peak - v) AS DOUBLE) AS max_drawdown
+              FROM (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                           MAX(CAST(value AS DECIMAL(18,2))) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+                    FROM events)
+              GROUP BY user_id ORDER BY user_id""")),
+
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
     // the incremental-rollup contract exact distinct cannot offer (sketch
