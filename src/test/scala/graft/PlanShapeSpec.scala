@@ -181,4 +181,25 @@ class PlanShapeSpec extends SparkSpec {
     val i = plan("q_importance_sample")
     assert(!i.contains("Join") && !i.contains("HashAggregate"), i.take(800))
   }
+
+  test("q_text_search: query shingles broadcast — the corpus never self-joins or sort-merges") {
+    val p = plan("q_text_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q_zscore_outliers: the stats table broadcasts over the fact scan") {
+    val p = plan("q_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "O(types) stats must broadcast — the fact side never shuffles for the join")
+  }
+
+  test("q_drawdown / q_rolling_volatility: one window pass, join-free") {
+    for (name <- Seq("q_drawdown", "q_rolling_volatility")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n" + p.take(600))
+      assert("Window".r.findAllIn(p).size >= 1, s"$name plans no window exec")
+    }
+  }
 }
