@@ -634,6 +634,53 @@ object WarehouseOps {
                     FROM events)
               GROUP BY user_id ORDER BY user_id""")),
 
+    // Snapshot reconciliation: added/removed/changed rows between two
+    // table versions by content hash — the CDC diff a lake runs after a
+    // backfill. The "previous" snapshot is derived deterministically from
+    // the current one (dropped ids -> added, shifted ids -> removed,
+    // perturbed hashes -> changed) so the oracle sees the same pair. The
+    // diff itself is the production shape: hash at the scan (md5 — the
+    // one digest both engines spell identically), full-outer join on the
+    // key, per-row status classify, unchanged rows filtered before any
+    // downstream sink. At 100 TB both sides shuffle once on the join key
+    // and the payload never travels — only (key, digest).
+    Q("q_snapshot_diff",
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h"))
+          .persist()
+        val prev = base.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 23 === 5, concat(col("h"), lit("x")))
+              .otherwise(col("h")).as("h"))
+          .unionAll(base.filter(col("doc_id") % 31 === 7)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("h")))
+        val out = base.as("c").join(prev.as("p"), Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("p.h").isNull, lit("added"))
+              .when(col("c.h").isNull, lit("removed"))
+              .when(col("c.h") =!= col("p.h"), lit("changed")))
+          .filter(col("status").isNotNull)
+          .select(col("doc_id"), col("status"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+        base.unpersist()
+        out
+      },
+      Some("""WITH base AS (SELECT doc_id, md5(text) AS h FROM documents),
+                   prev AS (SELECT doc_id,
+                                   CASE WHEN doc_id % 23 = 5 THEN h || 'x' ELSE h END AS h
+                            FROM base WHERE doc_id % 17 <> 3
+                            UNION ALL
+                            SELECT doc_id + 1000000, h FROM base WHERE doc_id % 31 = 7)
+              SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+                     CASE WHEN p.h IS NULL THEN 'added'
+                          WHEN c.h IS NULL THEN 'removed'
+                          WHEN c.h <> p.h THEN 'changed' END AS status
+              FROM base c FULL JOIN prev p ON c.doc_id = p.doc_id
+              WHERE p.h IS NULL OR c.h IS NULL OR c.h <> p.h
+              ORDER BY doc_id""")),
+
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
     // the incremental-rollup contract exact distinct cannot offer (sketch
