@@ -492,12 +492,16 @@ object WarehouseOps {
                 SELECT 'lineitem.l_suppkey', COUNT(*), CAST(l_suppkey AS VARCHAR)
                 FROM lineitem GROUP BY l_suppkey
                 UNION ALL
-                SELECT 'documents.source', COUNT(*), source FROM documents GROUP BY source)
-              SELECT domain, COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
-                     MAX(c) AS max_rows,
-                     CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor,
-                     arg_max(k, (c, k)) AS heaviest_key
-              FROM p GROUP BY domain ORDER BY domain""")),
+                SELECT 'documents.source', COUNT(*), source FROM documents GROUP BY source),
+              m AS (SELECT domain, COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+                           MAX(c) AS max_rows,
+                           CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c) AS skew_factor
+                    FROM p GROUP BY domain),
+              h AS (SELECT p.domain, MAX(p.k) AS heaviest_key
+                    FROM p JOIN m ON p.domain = m.domain AND p.c = m.max_rows
+                    GROUP BY p.domain)
+              SELECT m.domain, n_keys, n_rows, max_rows, skew_factor, heaviest_key
+              FROM m JOIN h ON m.domain = h.domain ORDER BY m.domain""")),
 
     // Cohort retention: users grouped by first-seen ISO week, activity
     // counted per weeks-since-cohort — the standard triangle every event

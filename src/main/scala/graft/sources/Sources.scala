@@ -55,6 +55,14 @@ object Sources {
     spark.read.schema(schema).option("header", header.toString)
       .option("mode", "PERMISSIVE").csv(path)
 
+  /** ORC scan — the second columnar at-rest format Spark ships natively;
+    * predicate pushdown and column pruning behave as on parquet (the
+    * SourcesSpec round-trip pins both). Schema explicit like every other
+    * reader here (§1.3: no runtime inference in the engine core).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Option-driven streaming topic source — the configuration seam where a
     * deployment points the pipelines at a real broker (the reference's
     * Kinesis streams, terraform/kinesis.tf:4-40; event-source mapping

@@ -129,6 +129,32 @@ class SourcesSpec extends SparkSpec {
     assert(pf.contains("year") && pf.contains("hour"), plan.take(600))
   }
 
+  test("ORC round-trip through the hive-partitioned writer: values, pruning, pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val e = Tables.load(spark, sf0001, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    Sources.writeHivePartitioned(e, "ts", s"$dir/lake", format = "orc")
+    val schemaWithParts = StructType(schema.fields ++ Seq(
+      StructField("ts", TimestampType), StructField("year", IntegerType),
+      StructField("month", IntegerType), StructField("day", IntegerType),
+      StructField("hour", IntegerType)))
+    val back = Sources.readOrc(spark, s"$dir/lake", schemaWithParts)
+    // every row and value survives the format round-trip
+    assert(back.count() == e.count())
+    assert(back.agg(sum(col("event_id"))).head.getLong(0)
+      == e.agg(sum(col("event_id"))).head.getLong(0))
+    // partition pruning and predicate pushdown reach the ORC scan, same
+    // contract as parquet (the 100 TB read path must skip, not filter)
+    val q = back.filter(col("hour") === 3 && col("user_id") === 7L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString.contains("hour"),
+      plan.take(800))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     // the lake contract at 100 TB: producers add fields over time; readers
     // must see the union schema with nulls for pre-evolution files
