@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Drop sbt's "[success] Total time" banner: graft.Bench's summary JSON
+// must be the LAST stdout line for a tail-parsing capture harness
+// (BENCH_r01-r04 all recorded "parsed": null because the banner trailed
+// the JSON). Failure reporting is unaffected — errors and exit codes
+// still surface.
+Global / showSuccess := false
+// Forked run output goes straight to stdout, not through sbt's logger —
+// otherwise every line gains an "[info] " prefix that breaks a strict
+// json-parse of the bench summary line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
