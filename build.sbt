@@ -17,6 +17,7 @@ run / fork := true
 // the JSON). Failure reporting is unaffected — errors and exit codes
 // still surface.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forked run output goes straight to stdout, not through sbt's logger —
 // otherwise every line gains an "[info] " prefix that breaks a strict
 // json-parse of the bench summary line.

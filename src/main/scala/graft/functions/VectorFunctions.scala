@@ -236,6 +236,116 @@ case class PqCodes(child: Expression, codebook: Seq[Seq[Seq[Float]]])
   override def prettyName: String = "pq_codes"
 }
 
+/** Top-n nearest centroids of an embedding in ONE pass: every centroid
+  * dot product (double accumulation in index order — bitwise-identical to
+  * [[FloatDotProduct]] and the oracles' sequential list_reduce) plus the
+  * top-n selection by (score DESC, cell id DESC), fused into a single
+  * whole-stage-codegen loop. Returns array<int> of cell ids, best first.
+  *
+  * Replaces the k-column fold the IVF/k-means family used per row
+  * (k FloatDotProduct columns against literal arrays, an array_sort over
+  * k structs, then an INTERPRETED `transform` HOF to project the ids) —
+  * at nlist=16 that was 16 re-traversals plus per-row object churn; this
+  * is one dense (k x dim) mat-vec against a flat float[] reference
+  * object. Tie order (larger cell id wins) mirrors every oracle's
+  * ORDER BY score DESC, cell DESC.
+  */
+case class NearestCells(child: Expression, cids: Seq[Int],
+    cents: Seq[Seq[Float]], n: Int) extends UnaryExpression {
+
+  private lazy val k = cents.length
+  private lazy val dim = cents.head.length
+  private lazy val flat: Array[Float] = cents.flatten.toArray
+  private lazy val cidArr: Array[Int] = cids.toArray
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    val m = math.min(v.length, dim)
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += v(i).toDouble * flat(base + i); i += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if (!used(j) && (best < 0 || scores(j) > scores(best) ||
+            (scores(j) == scores(best) && cidArr(j) > cidArr(best)))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(r) = cidArr(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centsRef = ctx.addReferenceObj("cents", flat, "float[]")
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "int[]")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      val scores = ctx.freshName("scores")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val take = ctx.freshName("take")
+      s"""
+         |float[] $v = $a.toFloatArray();
+         |int $m = java.lang.Math.min($v.length, $dim);
+         |double[] $scores = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $base = $c * $dim;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $acc += ((double) $v[$i]) * $centsRef[$base + $i];
+         |  }
+         |  $scores[$c] = $acc;
+         |}
+         |int $take = java.lang.Math.min($n, $k);
+         |int[] $out = new int[$take];
+         |boolean[] $used = new boolean[$k];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if (!$used[$j] && ($best < 0 || $scores[$j] > $scores[$best] ||
+         |        ($scores[$j] == $scores[$best] && $cidsRef[$j] > $cidsRef[$best]))) {
+         |      $best = $j;
+         |    }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = $cidsRef[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_cells"
+}
+
 /** SparkSessionExtensions entry point: makes the engine's custom
   * expressions first-class SQL functions in any session built with
   * `.withExtensions(new GraftExtensions)` or
@@ -360,4 +470,10 @@ object VectorFunctions {
   def pqCodes(emb: Column, codebook: Seq[Seq[Seq[Float]]]): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       PqCodes(org.apache.spark.sql.graft.GraftSqlShims.expression(emb), codebook))
+
+  /** Top-n nearest centroid cell ids in one fused pass. */
+  def nearestCells(emb: Column, cents: Seq[(Int, Seq[Float])], n: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      NearestCells(org.apache.spark.sql.graft.GraftSqlShims.expression(emb),
+        cents.map(_._1), cents.map(_._2), n))
 }

@@ -154,23 +154,14 @@ object Similarity {
     * back as literal arrays through the codegen'd dot product.
     */
   /** Top-n nearest centroids per row by dot score (ties -> larger cell id,
-    * mirrored by every oracle's ORDER BY score DESC, cell DESC). Centroids
-    * ride along as literal arrays through the codegen'd dot — no join.
+    * mirrored by every oracle's ORDER BY score DESC, cell DESC). One fused
+    * codegen pass — all centroid dots plus the top-n selection — against a
+    * flat float[] reference object (functions/VectorFunctions.NearestCells);
+    * no join, no per-row struct sort, no interpreted HOF.
     */
   private def nearestCells(s: SparkSession, df: DataFrame,
-      cents: Seq[(Int, Seq[Float])], n: Int): DataFrame = {
-    // scores per centroid via literal-array dots, then top-n cell ids
-    val scored = cents.foldLeft(df) { case (d, (cid, v)) =>
-      d.withColumn(s"c$cid", VectorFunctions.floatDot(s, col("embedding"), typedLit(v)))
-    }
-    val cellArr = array(cents.map { case (cid, _) =>
-      struct(col(s"c$cid").as("score"), lit(cid).as("cid"))
-    }: _*)
-    // struct natural order sorts by score first; reverse => best cells
-    scored.withColumn("cells",
-        transform(slice(reverse(array_sort(cellArr)), 1, n), x => x.getField("cid")))
-      .drop(cents.map(c => s"c${c._1}"): _*)
-  }
+      cents: Seq[(Int, Seq[Float])], n: Int): DataFrame =
+    df.withColumn("cells", VectorFunctions.nearestCells(col("embedding"), cents, n))
 
   /** Deterministic k-means: seed centroids = the first `k` vectors by id,
     * one Lloyd refinement with decimal-exact per-dimension means (a plain
