@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Statistical diagnostics and web-corpus primitives a curation pipeline
+  * runs alongside dedup: URL structure extraction, per-document token
+  * entropy (a quality signal), exact-moment Pearson correlation,
+  * percentile winsorization, and per-source unigram KL divergence (the
+  * "did this source drift from the corpus mix" check). All aggregates
+  * follow the decimal-exact convention (ops/package.scala): per-term
+  * doubles are rounded into decimals BEFORE the sum, so partial
+  * aggregation order — Spark's tree vs DuckDB's sequential scan — cannot
+  * move a bit.
+  */
+object StatsOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-doc tokens — the one exploded pass q_token_entropy and
+    * q_kl_sources both start from.
+    */
+  private def tokens(docs: DataFrame, key: String): DataFrame =
+    docs.select(col(key), explode(split(col("text"), " ")).as("token"))
+
+  val queries: Seq[Q] = Seq(
+
+    // URL component extraction (host / path / query param) over a
+    // deterministic per-row URL — the canonicalization front door of a
+    // crawl pipeline (group by host, strip tracking params). Spark side
+    // is the real parser (parse_url, codegen'd); the oracle rebuilds the
+    // components from the same fields the URL was synthesized from —
+    // documents carry no URL column, so the synthesis IS the fixture.
+    Q("q_url_parse",
+      (s, dir) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          col("doc_id").cast(StringType), lit("?lang="), col("lang"), lit("&v=2"))
+        t(s, dir, "documents")
+          .withColumn("url", url)
+          .select(col("doc_id"), col("url"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'lang')").as("lang_q"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                     'https://' || source || '.example.com/d/' || doc_id ||
+                       '?lang=' || lang || '&v=2' AS url,
+                     source || '.example.com' AS host,
+                     '/d/' || doc_id AS path,
+                     lang AS lang_q
+              FROM documents ORDER BY doc_id""")),
+
+    // Shannon entropy (nats) of each document's unigram distribution —
+    // low entropy flags boilerplate/repetition, the quality gate next to
+    // q_repetition and q_text_quality. Two aggregates over one exploded
+    // pass; per-distinct-token terms are decimal-rounded then summed
+    // exactly.
+    Q("q_token_entropy",
+      (s, dir) => {
+        val tok = tokens(t(s, dir, "documents"), "doc_id")
+        val counts = tok.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val totals = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val p = col("c").cast(DoubleType) / col("n")
+        counts.join(totals, Seq("doc_id"))
+          .withColumn("term", (-p * log(p)).cast(DecimalType(24, 9)))
+          .groupBy(col("doc_id"), col("n"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("term")).cast(DoubleType).as("entropy_nats"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+            col("entropy_nats"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+              n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1)
+              SELECT c.doc_id, n.n AS n_tokens, count(*) AS n_distinct,
+                     CAST(SUM(CAST(-(CAST(c.c AS DOUBLE) / n.n)
+                          * ln(CAST(c.c AS DOUBLE) / n.n) AS DECIMAL(24,9)))
+                       AS DOUBLE) AS entropy_nats
+              FROM c JOIN n USING (doc_id)
+              GROUP BY c.doc_id, n.n ORDER BY doc_id""")),
+
+    // Pearson correlation from exact decimal moments: built-in corr()
+    // sums doubles in partial-aggregation order and cannot hash-match a
+    // sequential engine, so the five moments are decimal-exact sums
+    // (2-decimal inputs -> 4-decimal products, no rounding at all) and
+    // only the final closed form runs in double — the same few IEEE ops
+    // on identical inputs on both engines.
+    Q("q_corr",
+      (s, dir) => {
+        val q = dec2(col("l_quantity"))
+        val p = dec2(col("l_extendedprice"))
+        val m = DecimalType(30, 4)
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(q).as("sx"), sum(p).as("sy"),
+            sum((q * p).cast(m)).as("sxy"),
+            sum((q * q).cast(m)).as("sxx"),
+            sum((p * p).cast(m)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+               sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+              .as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+                       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxx,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS corr_qty_price
+              FROM a ORDER BY l_returnflag""")),
+
+    // Winsorize: clamp each event's value into its type's [p05, p95] —
+    // the outlier treatment that keeps rows (vs q_zscore_outliers, which
+    // flags them). Per-group thresholds are one tiny aggregate broadcast
+    // back over the fact stream; the clamp itself is map-side.
+    Q("q_winsorize",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+        val pct = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.05)").as("p05"),
+            expr("percentile(value, 0.95)").as("p95"))
+        e.join(broadcast(pct), Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (
+                SELECT event_type, quantile_cont(value, 0.05) AS p05,
+                       quantile_cont(value, 0.95) AS p95
+                FROM events WHERE value IS NOT NULL GROUP BY event_type)
+              SELECT event_id, event_type,
+                     LEAST(GREATEST(value, p05), p95) AS value_w
+              FROM events JOIN p USING (event_type)
+              WHERE value IS NOT NULL ORDER BY event_id""")),
+
+    // Per-source unigram KL divergence against the corpus distribution —
+    // the drift check run before adjusting a source's mixing rate
+    // (complement of q_source_mix's rate application). Source-local and
+    // global token counts come from the same exploded pass; the small
+    // per-source totals and the single global total broadcast onto the
+    // (source, token) stream, and the per-token p*ln(p/q) terms are
+    // decimal-rounded then summed exactly.
+    Q("q_kl_sources",
+      (s, dir) => {
+        val tok = tokens(t(s, dir, "documents"), "source")
+        val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        val sn = st.groupBy(col("source"))
+          .agg(sum(col("c")).cast(LongType).as("n"))
+        val g = tok.groupBy(col("token")).agg(count(lit(1)).as("gc"))
+        val tot = g.agg(sum(col("gc")).cast(LongType).as("gn"))
+        val p = col("c").cast(DoubleType) / col("n")
+        val qq = col("gc").cast(DoubleType) / col("gn")
+        st.join(broadcast(sn), Seq("source"))
+          .join(g, Seq("token"))
+          .crossJoin(broadcast(tot))
+          .withColumn("term", (p * log(p / qq)).cast(DecimalType(24, 9)))
+          .groupBy(col("source"), col("n"))
+          .agg(sum(col("term")).cast(DoubleType).as("kl_nats"))
+          .select(col("source"), col("n").as("n_tokens"), col("kl_nats"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+              st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+              sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+              g AS (SELECT token, count(*) AS gc FROM tok GROUP BY 1),
+              tot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM g)
+              SELECT st.source, sn.n AS n_tokens,
+                     CAST(SUM(CAST((CAST(st.c AS DOUBLE) / sn.n)
+                          * ln((CAST(st.c AS DOUBLE) / sn.n)
+                               / (CAST(g.gc AS DOUBLE) / tot.gn)) AS DECIMAL(24,9)))
+                       AS DOUBLE) AS kl_nats
+              FROM st JOIN sn USING (source) JOIN g USING (token) CROSS JOIN tot
+              GROUP BY st.source, sn.n ORDER BY source"""))
+  )
+}
