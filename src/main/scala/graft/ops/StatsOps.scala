@@ -192,6 +192,125 @@ object StatsOps {
                                / (CAST(g.gc AS DOUBLE) / tot.gn)) AS DECIMAL(24,9)))
                        AS DOUBLE) AS kl_nats
               FROM st JOIN sn USING (source) JOIN g USING (token) CROSS JOIN tot
-              GROUP BY st.source, sn.n ORDER BY source"""))
+              GROUP BY st.source, sn.n ORDER BY source""")),
+
+    // Per-group OLS fit (regr_slope / regr_intercept surface): price as a
+    // linear function of quantity, from the same exact decimal moments as
+    // q_corr — the built-in regr_* aggregates sum doubles in partial-agg
+    // order and cannot hash-match a sequential engine.
+    Q("q_linear_fit",
+      (s, dir) => {
+        val x = dec2(col("l_quantity"))
+        val y = dec2(col("l_extendedprice"))
+        val m = DecimalType(30, 4)
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        val slope = (col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * y).cast(m)).as("sxy"),
+            sum((x * x).cast(m)).as("sxx"))
+          .select(col("l_returnflag"), col("n"), slope.as("slope"),
+            ((d(col("sy")) - slope * d(col("sx"))) / col("n")).as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+                       SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxx
+                FROM lineitem GROUP BY l_returnflag),
+              b AS (
+                SELECT l_returnflag, n,
+                       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                       CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+                FROM a)
+              SELECT l_returnflag, n, slope,
+                     (syd - slope * sxd) / n AS intercept
+              FROM b ORDER BY l_returnflag""")),
+
+    // Median absolute deviation per event type — the robust dispersion
+    // measure outlier gates prefer over stddev (q_zscore_outliers'
+    // z-threshold breaks down when the outliers inflate sigma; MAD does
+    // not). Two tiny aggregates; the deviation pass streams against the
+    // broadcast per-group medians.
+    Q("q_mad",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("value").isNotNull)
+        val med = e.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        e.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(abs(value - med), 0.5)").as("mad"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events WHERE value IS NOT NULL GROUP BY event_type)
+              SELECT event_type, COUNT(*) AS n,
+                     quantile_cont(abs(value - med), 0.5) AS mad
+              FROM events JOIN m USING (event_type)
+              WHERE value IS NOT NULL
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Lag-1 autocorrelation of event values per type, in (ts, event_id)
+    // order — the "is this metric trending or i.i.d." check behind the
+    // EWMA/volatility family. One window pass forms the (v, prev) pairs;
+    // the correlation runs on exact decimal moments over the 2-decimal
+    // values (the q_corr convention).
+    Q("q_autocorr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val x = dec2(col("prev"))
+        val y = dec2(col("value"))
+        val m = DecimalType(30, 4)
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .withColumn("prev", lag(col("value"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * y).cast(m)).as("sxy"),
+            sum((x * x).cast(m)).as("sxx"),
+            sum((y * y).cast(m)).as("syy"))
+          .select(col("event_type"), col("n"),
+            ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+               sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+              .as("autocorr_lag1"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH p AS (
+                SELECT event_type, value,
+                       lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS prev
+                FROM events WHERE value IS NOT NULL),
+              a AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(CAST(prev AS DECIMAL(18,2))) AS sx,
+                       SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+                       SUM(CAST(CAST(prev AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+                       SUM(CAST(CAST(prev AS DECIMAL(18,2))
+                           * CAST(prev AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxx,
+                       SUM(CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
+                FROM p WHERE prev IS NOT NULL GROUP BY event_type)
+              SELECT event_type, n,
+                     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                       AS autocorr_lag1
+              FROM a ORDER BY event_type"""))
   )
 }
