@@ -202,4 +202,42 @@ class PlanShapeSpec extends SparkSpec {
       assert("Window".r.findAllIn(p).size >= 1, s"$name plans no window exec")
     }
   }
+
+  test("q_winsorize / q_mad: per-group thresholds broadcast over the fact stream") {
+    for (name <- Seq("q_winsorize", "q_mad")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n" + p.take(800))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: O(groups) thresholds must broadcast — the fact side never shuffles for the join")
+    }
+  }
+
+  test("q_corr / q_linear_fit: one two-phase aggregation, join-free") {
+    for (name <- Seq("q_corr", "q_linear_fit")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n" + p.take(600))
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$name: moments must partial-aggregate before the exchange:\n" + p.take(800))
+    }
+  }
+
+  test("q_kl_sources: per-source totals and the global total broadcast onto the token stream") {
+    val p = plan("q_kl_sources")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      "the single-row global total must broadcast, not plan a shuffle cartesian")
+  }
+
+  test("q_url_parse: pure per-row compute, no join or aggregate") {
+    val p = plan("q_url_parse")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("q_autocorr: one window shuffle feeding the moment aggregation, no join") {
+    val p = plan("q_autocorr")
+    assert(!p.contains("Join"), p.take(600))
+    assert("Window".r.findAllIn(p).size >= 1, "lag pair formation must plan a window exec")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
 }
