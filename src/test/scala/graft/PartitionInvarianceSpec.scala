@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-invariance pins: the determinism conventions (decimal-exact
+  * sums, scaled-long iteration, integer-exact ranking — DESIGN "exactness
+  * rules") claim results are BITWISE identical no matter how the data is
+  * partitioned. On a 1000-executor cluster partition count and partial-
+  * aggregation order are whatever the scheduler picks that day, so this is
+  * the property that makes replays, retries, and cluster re-sizes
+  * reproducible. Here it is asserted directly: the same query at 1, 3 and
+  * 4 shuffle partitions (and under a prior input repartition) must produce
+  * the same rows to the last bit — Row.equals on DoubleType compares raw
+  * doubles, so any partial-order drift fails the suite.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  // the families where naive double aggregation WOULD drift: exact-decimal
+  // aggregates, moment closed-forms, decimal-rounded log terms, scaled-long
+  // fixed-point iteration, weighted IEEE chains, ratio-ranked tf-idf
+  // q_pagerank runs at sf0.01: the sf0.001 events slice is too sparse to
+  // form co-occurrence edges at all (empty graph -> empty result)
+  private val pinned = Seq("q1_agg" -> sf0001, "q_stats_agg" -> sf0001,
+    "q_corr" -> sf0001, "q_kl_sources" -> sf0001, "q_pagerank" -> sf001,
+    "q_ewma" -> sf0001, "q_tfidf" -> sf0001, "q_token_entropy" -> sf0001)
+
+  private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try SparkEntry.queries(name)(spark, dir).collect().toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for ((name, dir) <- pinned)
+    test(s"$name: bitwise-identical at 1, 3 and 4 shuffle partitions") {
+      val p4 = rows(name, dir, 4)
+      assert(p4.nonEmpty, s"$name returned no rows at $dir")
+      assert(rows(name, dir, 1) == p4, s"$name drifts between 1 and 4 partitions")
+      assert(rows(name, dir, 3) == p4, s"$name drifts between 3 and 4 partitions")
+    }
+
+  test("q1_agg: invariant under an adversarial pre-shuffle of the input") {
+    // same aggregation over an input scattered round-robin across 7
+    // partitions — partial aggregates form over completely different row
+    // subsets; the decimal sums must not care
+    val base = SparkEntry.queries("q1_agg")(spark, sf0001).collect().toSeq
+    val scattered: DataFrame = Tables.load(spark, sf0001, "lineitem").repartition(7)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val again = scattered
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(ops.dsum(col("l_quantity")).as("sum_qty"))
+    // shape differs from q1_agg's full column list; compare the overlap
+    val byKey = again.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (r <- base) {
+      val key = (r.getString(r.fieldIndex("l_returnflag")),
+        r.getString(r.fieldIndex("l_linestatus")))
+      assert(r.getDouble(r.fieldIndex("sum_qty")) == byKey(key),
+        s"sum_qty for $key drifts under repartition(7)")
+    }
+  }
+}
