@@ -129,6 +129,30 @@ class SourcesSpec extends SparkSpec {
     assert(pf.contains("year") && pf.contains("hour"), plan.take(600))
   }
 
+  test("file-topic pacing: maxFilesPerTrigger=1 is one drop file per micro-batch") {
+    // the reference paces its pollers (2 s / 5 s inter-symbol sleeps,
+    // producer_stock_quotes.py:153) so a burst cannot flood the broker;
+    // the engine's analog is source-side admission control — a backlog of
+    // N files must drain as N bounded micro-batches, not one giant batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_pacing").toString
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/f$i.jsonl"),
+        s"""{"a":$i}\n{"a":${i + 10}}\n""")
+    }
+    val src = Sources.readTopic(spark,
+      Map("format" -> "file", "path" -> dir, "maxFilesPerTrigger" -> "1"))
+    val q = src.writeStream.format("memory").queryName("pacing_t")
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 paced micro-batches, saw ${batches.map(_.numInputRows).mkString(",")}")
+    assert(batches.forall(_.numInputRows == 2), "each batch is exactly one 2-line file")
+    assert(spark.table("pacing_t").count() == 6)
+  }
+
   test("ORC round-trip through the hive-partitioned writer: values, pruning, pushdown") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val e = Tables.load(spark, sf0001, "events")
