@@ -217,6 +217,71 @@ object Multimodal {
                      SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
                      MAX(octet_length(encode(text)) % 640 + 16) AS max_width,
                      MIN(octet_length(encode(text)) % 480 + 16) AS min_height
-              FROM documents GROUP BY 1 ORDER BY kind"""))
+              FROM documents GROUP BY 1 ORDER BY kind""")),
+
+    // Caption-pair curation: media joined back to its caption text with
+    // the pair-level quality gates a multimodal training set applies —
+    // captions of >= 12 tokens and a bytes-per-caption-char ratio inside
+    // [0.5, 2] (degenerate pairs: huge payload with a stub caption, or a
+    // caption longer than the media). The media side carries only
+    // (media_id, kind, n_bytes) into the join — payload bytes are
+    // projected away before the shuffle, the q_media_dedup property.
+    Q("q_caption_pairs",
+      (s, dir) => {
+        val media = mediaTable(s, dir).filter(col("kind") === "image")
+          .select(col("media_id"), octet_length(col("bytes")).cast(LongType).as("n_bytes"))
+        val caps = Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_cap_tokens"),
+            col("n_chars"))
+        media.join(caps, Seq("media_id"))
+          .withColumn("bytes_per_char",
+            col("n_bytes").cast(DoubleType) / col("n_chars"))
+          .filter(col("n_cap_tokens") >= 12 &&
+            col("bytes_per_char") >= 0.5 && col("bytes_per_char") <= 2.0)
+          .select(col("media_id"), col("n_bytes"), col("n_cap_tokens"),
+            col("bytes_per_char"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_cap_tokens,
+                     CAST(octet_length(encode(text)) AS DOUBLE) / n_chars AS bytes_per_char
+              FROM documents
+              WHERE doc_id % 3 = 0
+                AND len(string_split(text, ' ')) >= 12
+                AND CAST(octet_length(encode(text)) AS DOUBLE) / n_chars BETWEEN 0.5 AND 2.0
+              ORDER BY media_id""")),
+
+    // Modality mix report: share of rows and of bytes per kind — the
+    // one-line answer to "what is this multimodal corpus made of", the
+    // media sibling of q_source_mix's text rates. Integer byte sums,
+    // single double division per row of output.
+    Q("q_modality_mix",
+      (s, dir) => {
+        val m = mediaTable(s, dir)
+          .select(col("kind"), octet_length(col("bytes")).cast(LongType).as("n_bytes"))
+        val per = m.groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("kind_bytes"))
+        val tot = m.agg(count(lit(1)).as("n_total"), sum(col("n_bytes")).as("total_bytes"))
+        per.crossJoin(broadcast(tot))
+          .select(col("kind"), col("n_media"), col("kind_bytes"),
+            (col("n_media").cast(DoubleType) / col("n_total")).as("row_share"),
+            (col("kind_bytes").cast(DoubleType) / col("total_bytes")).as("byte_share"))
+          .orderBy(col("kind"))
+      },
+      Some("""WITH m AS (
+                SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+                FROM documents),
+              per AS (SELECT kind, COUNT(*) AS n_media,
+                             CAST(SUM(n_bytes) AS BIGINT) AS kind_bytes
+                      FROM m GROUP BY kind),
+              tot AS (SELECT COUNT(*) AS n_total,
+                             CAST(SUM(n_bytes) AS BIGINT) AS total_bytes FROM m)
+              SELECT kind, n_media, kind_bytes,
+                     CAST(n_media AS DOUBLE) / n_total AS row_share,
+                     CAST(kind_bytes AS DOUBLE) / total_bytes AS byte_share
+              FROM per CROSS JOIN tot ORDER BY kind"""))
   )
 }
