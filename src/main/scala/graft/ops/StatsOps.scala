@@ -91,7 +91,12 @@ object StatsOps {
     // sequential engine, so the five moments are decimal-exact sums
     // (2-decimal inputs -> 4-decimal products, no rounding at all) and
     // only the final closed form runs in double — the same few IEEE ops
-    // on identical inputs on both engines.
+    // on identical inputs on both engines. "Identical inputs" needs one
+    // care: once a moment's UNSCALED decimal exceeds 2^53 (syy does from
+    // sf0.001 up), DuckDB's direct decimal->double DOUBLE-rounds
+    // (int128->double, then /10^scale) while the JVM rounds the exact
+    // value once — the oracle routes the cast through VARCHAR (strtod,
+    // correctly rounded) so both engines see the same doubles.
     Q("q_corr",
       (s, dir) => {
         val q = dec2(col("l_quantity"))
@@ -124,9 +129,9 @@ object StatsOps {
                            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
                 FROM lineitem GROUP BY l_returnflag)
               SELECT l_returnflag, n,
-                     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                     (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-                      sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+                     (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+                      sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
                        AS corr_qty_price
               FROM a ORDER BY l_returnflag""")),
 
@@ -227,9 +232,9 @@ object StatsOps {
                 FROM lineitem GROUP BY l_returnflag),
               b AS (
                 SELECT l_returnflag, n,
-                       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                       (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-                       CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+                       (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+                       (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope,
+                       CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd
                 FROM a)
               SELECT l_returnflag, n, slope,
                      (syd - slope * sxd) / n AS intercept
@@ -307,9 +312,9 @@ object StatsOps {
                            * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
                 FROM p WHERE prev IS NOT NULL GROUP BY event_type)
               SELECT event_type, n,
-                     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-                     (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-                      sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+                     (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+                      sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
                        AS autocorr_lag1
               FROM a ORDER BY event_type"""))
   )
