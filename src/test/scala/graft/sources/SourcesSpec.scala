@@ -179,6 +179,42 @@ class SourcesSpec extends SparkSpec {
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("a corrupt lake file degrades to a partial read, not a dead table") {
+    // at 100 TB some object WILL arrive truncated (the reference's R2
+    // skips corrupt records; a lake needs the file-level analog) —
+    // ignoreCorruptFiles turns a poisoned partition into missing rows
+    // plus a log line instead of failing every reader of the table
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val e = Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    e.repartition(4).write.mode("overwrite").parquet(s"$dir/lake")
+    val files = new java.io.File(s"$dir/lake").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4)
+    // truncate one file mid-body: footer gone, data unreadable
+    val ch = java.nio.channels.FileChannel.open(files.head.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(files.head.length() / 2) finally ch.close()
+    val key = "spark.sql.files.ignoreCorruptFiles"
+    val prev = spark.conf.getOption(key)
+    try {
+      // default (strict): the read fails loudly — corruption is not silent
+      // (schema passed explicitly: inference would die on the lost footer
+      // before the per-file tolerance even applies)
+      intercept[org.apache.spark.SparkException] {
+        spark.conf.set(key, "false")
+        spark.read.schema(e.schema).parquet(s"$dir/lake").count()
+      }
+      // opted in: the other three files' rows survive
+      spark.conf.set(key, "true")
+      val n = spark.read.schema(e.schema).parquet(s"$dir/lake").count()
+      assert(n > 0 && n < e.count(), s"expected a partial read, got $n of ${e.count()}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     // the lake contract at 100 TB: producers add fields over time; readers
     // must see the union schema with nulls for pre-evolution files
