@@ -265,6 +265,70 @@ object StatsOps {
               WHERE value IS NOT NULL
               GROUP BY event_type ORDER BY event_type""")),
 
+    // Pairwise correlation matrix across event types, on daily mean
+    // values — the cross-asset correlation panel every finance desk pins
+    // next to the OHLC board. Daily means come from exact decimal sums
+    // (identical doubles both engines), are re-rounded into DECIMAL(18,6)
+    // (the decimal-rounded-term convention: kills div ulp drift before it
+    // can compound), and the per-pair moments over the ~30-day series are
+    // exact decimal sums again — the day-level series self-joins on day
+    // (type_a < type_b), so the pair space is |types|^2 * days, never
+    // row-scale.
+    Q("q_corr_matrix",
+      (s, dir) => {
+        val daily = t(s, dir, "events").filter(col("value").isNotNull)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(dec2(col("value"))).cast(DoubleType) / count(lit(1)))
+            .cast(DecimalType(18, 6)).as("v"))
+        val m = DecimalType(38, 12)
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        daily.as("a").join(daily.as("b"),
+            col("a.day") === col("b.day") &&
+              col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"),
+            col("a.v").as("x"), col("b.v").as("y"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum((col("x") * col("y")).cast(m)).as("sxy"),
+            sum((col("x") * col("x")).cast(m)).as("sxx"),
+            sum((col("y") * col("y")).cast(m)).as("syy"))
+          .select(col("type_a"), col("type_b"), col("n"),
+            ((col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (sqrt(col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+               sqrt(col("n") * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+              .as("corr_daily"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(*) AS DECIMAL(18,6)) AS v
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type, CAST(ts AS DATE)),
+              p AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       a.v AS x, b.v AS y
+                FROM daily a JOIN daily b
+                  ON a.day = b.day AND a.event_type < b.event_type),
+              mo AS (
+                SELECT type_a, type_b, COUNT(*) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                       SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                       SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+                FROM p GROUP BY type_a, type_b)
+              SELECT type_a, type_b, n,
+                     (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+                     (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+                      sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
+                       AS corr_daily
+              FROM mo ORDER BY type_a, type_b""")),
+
     // Lag-1 autocorrelation of event values per type, in (ts, event_id)
     // order — the "is this metric trending or i.i.d." check behind the
     // EWMA/volatility family. One window pass forms the (v, prev) pairs;
