@@ -427,6 +427,97 @@ object CorpusOps {
               FROM scored GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 10""")),
 
+    // Hybrid retrieval via reciprocal-rank fusion: two retrievers score the
+    // same query — BM25 (saturated term weighting, the q_bm25 arithmetic)
+    // and token-set Jaccard (set overlap, no term weighting) — and their
+    // top-50 RANK lists fuse as rrf = Σ 1e9 div (60 + rank). Fusing ranks,
+    // not scores, is the point of RRF: the two scoring scales never need
+    // calibration, and the arithmetic is pure integer division — bitwise
+    // identical across engines where any score-blend would float-drift.
+    // Scale shape: both retrievers aggregate the SAME persisted tf relation
+    // (one tokenize+count pass over the corpus); candidate lists are df-
+    // bounded (docs containing ≥1 query term), each cut to 50 by
+    // TakeOrderedAndProject before the single-partition rank window ever
+    // sees them, so no global sort touches the corpus; the fusion join is
+    // 50×50 rows.
+    Q("q_hybrid_rrf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val qterms = Seq("hash", "join", "vector")
+        val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        // retriever 1: BM25 over the query terms (k1=1.2, b=0.75, ratio idf)
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val tfq = tf.filter(col("term").isin(qterms: _*))
+        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tfq.join(broadcast(dfq), Seq("term"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("score",
+            col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+              * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        val bm = scored.groupBy(col("doc_id"))
+          .agg((coalesce(max(when(col("term") === "hash", col("score"))), lit(0.0))
+            + coalesce(max(when(col("term") === "join", col("score"))), lit(0.0))
+            + coalesce(max(when(col("term") === "vector", col("score"))), lit(0.0))).as("bm25"))
+        val rb = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+        // retriever 2: Jaccard(query set, doc's distinct-term set); the one
+        // double op is a single IEEE division (bit-identical cross-engine)
+        val nd = tf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+        val iq = tfq.groupBy(col("doc_id")).agg(count(lit(1)).as("inter"))
+        val jac = iq.join(nd, Seq("doc_id"))
+          .withColumn("jac",
+            col("inter").cast(DoubleType) / (col("n_terms") + lit(qterms.size) - col("inter")))
+        val rj = jac.orderBy(col("jac").desc, col("doc_id")).limit(50)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("jac").desc, col("doc_id"))))
+        // fusion: full outer on the two 50-row lists, integer-div RRF
+        val out = rb.select(col("doc_id"), col("r").as("rb"))
+          .join(rj.select(col("doc_id"), col("r").as("rj")), Seq("doc_id"), "full_outer")
+          .selectExpr("doc_id",
+            "CAST(coalesce(1000000000 div (60 + rb), 0) + coalesce(1000000000 div (60 + rj), 0) AS LONG) AS rrf")
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+          .localCheckpoint()
+        tf.unpersist()
+        out
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+                   stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+                   dfq AS (SELECT term, count(*) AS df FROM tf
+                           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.term,
+                                     tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / stats.avgdl)))
+                                       * ((stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS score
+                              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+                   bm AS (SELECT doc_id,
+                                 coalesce(MAX(CASE WHEN term = 'hash' THEN score END), 0.0)
+                                 + coalesce(MAX(CASE WHEN term = 'join' THEN score END), 0.0)
+                                 + coalesce(MAX(CASE WHEN term = 'vector' THEN score END), 0.0) AS bm25
+                          FROM scored GROUP BY doc_id),
+                   rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                          FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+                   nd AS (SELECT doc_id, COUNT(*) AS n_terms FROM tf GROUP BY 1),
+                   iq AS (SELECT doc_id, COUNT(*) AS inter FROM tf
+                          WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   jac AS (SELECT iq.doc_id,
+                                  CAST(iq.inter AS DOUBLE) / (nd.n_terms + 3 - iq.inter) AS jac
+                           FROM iq JOIN nd USING (doc_id)),
+                   rj AS (SELECT doc_id, row_number() OVER (ORDER BY jac DESC, doc_id) AS r
+                          FROM jac ORDER BY jac DESC, doc_id LIMIT 50)
+              SELECT COALESCE(rb.doc_id, rj.doc_id) AS doc_id,
+                     COALESCE(1000000000 // (60 + rb.r), 0)
+                       + COALESCE(1000000000 // (60 + rj.r), 0) AS rrf
+              FROM rb FULL OUTER JOIN rj ON rb.doc_id = rj.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
     // Token co-occurrence lift (ratio PMI, no log — integer numerator and
     // denominator, ONE double division, bit-identical cross-engine):
     // lift(a,b) = N·df(a,b) / (df(a)·df(b)). The pair space is generated

@@ -781,6 +781,50 @@ object TextDedup {
         .orderBy(col("contained_id"), col("container_id")),
       Some(containmentOracleSql)),
 
+    // Sorted-neighborhood entity resolution (Hernández & Stolfo's SNM):
+    // block on a cheap key (name prefix), sort WITHIN each block, and
+    // compare each record only against its next w-1=2 sorted neighbors
+    // (lead(1), lead(2)) — O(n·w) levenshtein verifications instead of the
+    // O(n²) all-pairs scan. The window partitions by block, so at 100 TB
+    // the sort is per-block (shuffle on blk), never global; the expensive
+    // edit-distance predicate runs only on window-adjacent candidates.
+    // Complements the shingle/MinHash family: SNM catches short-string
+    // record-level typos where shingle sets are too small to bound Jaccard.
+    Q("q_sorted_neighborhood",
+      (s, dir) => {
+        val w = Window.partitionBy(col("blk")).orderBy(col("p_name"), col("p_partkey"))
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            substring(col("p_name"), 1, 6).as("blk"))
+          .withColumn("n1_key", lead(col("p_partkey"), 1).over(w))
+          .withColumn("n1_name", lead(col("p_name"), 1).over(w))
+          .withColumn("n2_key", lead(col("p_partkey"), 2).over(w))
+          .withColumn("n2_name", lead(col("p_name"), 2).over(w))
+        p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+            col("n1_key").as("b_key"), col("n1_name").as("b_name"))
+          .unionAll(p.select(col("p_partkey"), col("p_name"),
+            col("n2_key"), col("n2_name")))
+          .filter(col("b_key").isNotNull)
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast(LongType))
+          .filter(col("dist") <= 8)
+          .select(col("a_key"), col("b_key"), col("dist"))
+          .orderBy(col("a_key"), col("b_key"))
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name, substring(p_name, 1, 6) AS blk FROM part),
+                   w AS (SELECT p_partkey, p_name,
+                                lead(p_partkey, 1) OVER win AS n1_key,
+                                lead(p_name, 1) OVER win AS n1_name,
+                                lead(p_partkey, 2) OVER win AS n2_key,
+                                lead(p_name, 2) OVER win AS n2_name
+                         FROM p WINDOW win AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+                   pairs AS (SELECT p_partkey AS a_key, p_name AS a_name, n1_key AS b_key, n1_name AS b_name FROM w
+                             UNION ALL
+                             SELECT p_partkey, p_name, n2_key, n2_name FROM w)
+              SELECT a_key, b_key, levenshtein(a_name, b_name) AS dist
+              FROM pairs
+              WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= 8
+              ORDER BY a_key, b_key""")),
+
     // The prefix-filtered exact-containment scale path — shared oracle
     // proves the directional prefix bound loses no pairs.
     Q("q_dedup_containment_prefix",
