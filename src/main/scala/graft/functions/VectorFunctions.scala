@@ -439,6 +439,46 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_rows"),
       new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
       ShingleRows.fromSql))
+    // kll_agg(value[, k]) / kll_merge_agg(sketch[, k]) / kll_quantile(sk, r)
+    // — mergeable KLL quantile sketches (the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression itself)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kll_agg"),
+      new ExpressionInfo(classOf[KllAgg].getName, "kll_agg"),
+      (exprs: Seq[Expression]) =>
+        KllAgg(exprs.head, KllFunctions.literalK(exprs, 1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (exprs: Seq[Expression]) =>
+        KllMergeAgg(exprs.head, KllFunctions.literalK(exprs, 1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kll_quantile takes 2 arguments (sketch, rank), got ${exprs.length}")
+        KllQuantile(exprs(0), exprs(1))
+      }))
+    // theta_agg / theta_union_agg / theta_intersect_agg / theta_estimate —
+    // mergeable distinct-set algebra (union AND intersection over stored
+    // sketch images; the audience-overlap complement of the HLL pair)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("theta_agg"),
+      new ExpressionInfo(classOf[ThetaAgg].getName, "theta_agg"),
+      (exprs: Seq[Expression]) => ThetaAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[ThetaUnionAgg].getName, "theta_union_agg"),
+      (exprs: Seq[Expression]) => ThetaUnionAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("theta_intersect_agg"),
+      new ExpressionInfo(classOf[ThetaIntersectAgg].getName, "theta_intersect_agg"),
+      (exprs: Seq[Expression]) => ThetaIntersectAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
+      (exprs: Seq[Expression]) => ThetaEstimate(exprs.head)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

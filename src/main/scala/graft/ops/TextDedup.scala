@@ -154,6 +154,31 @@ object TextDedup {
     out
   }
 
+  /** Sorted-neighborhood candidate pairs over part names: block on the
+    * 6-char name prefix, sort within each block, pair each row with its
+    * next two sorted neighbors, keep pairs within `maxDist` edit distance.
+    * Columns: (a_key, b_key, dist). Used by q_sorted_neighborhood (the
+    * pair list) and q_snm_clusters (pairs → connected components).
+    */
+  def snmPairs(parts: DataFrame, maxDist: Int): DataFrame = {
+    val w = Window.partitionBy(col("blk")).orderBy(col("p_name"), col("p_partkey"))
+    val p = parts
+      .select(col("p_partkey"), col("p_name"),
+        substring(col("p_name"), 1, 6).as("blk"))
+      .withColumn("n1_key", lead(col("p_partkey"), 1).over(w))
+      .withColumn("n1_name", lead(col("p_name"), 1).over(w))
+      .withColumn("n2_key", lead(col("p_partkey"), 2).over(w))
+      .withColumn("n2_name", lead(col("p_name"), 2).over(w))
+    p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("n1_key").as("b_key"), col("n1_name").as("b_name"))
+      .unionAll(p.select(col("p_partkey"), col("p_name"),
+        col("n2_key"), col("n2_name")))
+      .filter(col("b_key").isNotNull)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin family,
     * Xiao et al.): under any global token ordering (here: hash order), two
     * sets with Jaccard >= j MUST share a token among each one's smallest
@@ -790,26 +815,46 @@ object TextDedup {
     // edit-distance predicate runs only on window-adjacent candidates.
     // Complements the shingle/MinHash family: SNM catches short-string
     // record-level typos where shingle sets are too small to bound Jaccard.
+    // SNM pairs composed with the CC machinery: fuzzy RECORD clusters
+    // (typo-variant groups), labeled by min-key keeper — the
+    // entity-resolution twin of q_dedup_clusters (which clusters by
+    // shingle Jaccard). Tighter dist<=4 than the pair listing: clustering
+    // is transitive, so a loose pair threshold chains unrelated records.
+    // Same recursive-CTE oracle shape as the dedup cluster family.
+    Q("q_snm_clusters",
+      (s, dir) => connectedComponents(
+          snmPairs(t(s, dir, "part"), 4)
+            .select(col("a_key").as("a_id"), col("b_key").as("b_id")))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .select(col("doc_id").as("part_key"), col("keeper_id").as("keeper_key"))
+        .orderBy(col("part_key")),
+      Some("""WITH RECURSIVE p AS (
+                SELECT p_partkey, p_name, substring(p_name, 1, 6) AS blk FROM part),
+              w AS (SELECT p_partkey, p_name,
+                           lead(p_partkey, 1) OVER win AS n1_key,
+                           lead(p_name, 1) OVER win AS n1_name,
+                           lead(p_partkey, 2) OVER win AS n2_key,
+                           lead(p_name, 2) OVER win AS n2_name
+                    FROM p WINDOW win AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+              cand AS (SELECT p_partkey AS a_key, p_name AS a_name, n1_key AS b_key, n1_name AS b_name FROM w
+                       UNION ALL
+                       SELECT p_partkey, p_name, n2_key, n2_name FROM w),
+              pairs AS (SELECT a_key, b_key FROM cand
+                        WHERE b_key IS NOT NULL AND levenshtein(a_name, b_name) <= 4),
+              edges AS (SELECT a_key AS u, b_key AS v FROM pairs
+                        UNION ALL SELECT b_key, a_key FROM pairs),
+              reach(u, v) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+              comp AS (SELECT u AS part_key, LEAST(u, MIN(v)) AS keeper_key
+                       FROM reach GROUP BY u)
+              SELECT part_key, keeper_key FROM comp
+              WHERE part_key != keeper_key ORDER BY part_key""")),
+
     Q("q_sorted_neighborhood",
-      (s, dir) => {
-        val w = Window.partitionBy(col("blk")).orderBy(col("p_name"), col("p_partkey"))
-        val p = t(s, dir, "part")
-          .select(col("p_partkey"), col("p_name"),
-            substring(col("p_name"), 1, 6).as("blk"))
-          .withColumn("n1_key", lead(col("p_partkey"), 1).over(w))
-          .withColumn("n1_name", lead(col("p_name"), 1).over(w))
-          .withColumn("n2_key", lead(col("p_partkey"), 2).over(w))
-          .withColumn("n2_name", lead(col("p_name"), 2).over(w))
-        p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-            col("n1_key").as("b_key"), col("n1_name").as("b_name"))
-          .unionAll(p.select(col("p_partkey"), col("p_name"),
-            col("n2_key"), col("n2_name")))
-          .filter(col("b_key").isNotNull)
-          .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast(LongType))
-          .filter(col("dist") <= 8)
-          .select(col("a_key"), col("b_key"), col("dist"))
-          .orderBy(col("a_key"), col("b_key"))
-      },
+      (s, dir) => snmPairs(t(s, dir, "part"), 8)
+        .orderBy(col("a_key"), col("b_key")),
       Some("""WITH p AS (SELECT p_partkey, p_name, substring(p_name, 1, 6) AS blk FROM part),
                    w AS (SELECT p_partkey, p_name,
                                 lead(p_partkey, 1) OVER win AS n1_key,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -699,6 +700,253 @@ object WarehouseOps {
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
             count(lit(1)).as("n_daily_sketches"))
           .orderBy(col("event_type")),
-      None)
+      None),
+
+    // Mergeable QUANTILE rollups — the percentile sibling of q_hll_union.
+    // approx_percentile's state is not a storable value (daily percentiles
+    // cannot re-aggregate to a monthly one without re-reading facts);
+    // a KLL sketch is: per-day kll_agg → stored binary → kll_merge_agg per
+    // type → kll_quantile reads p50/p95 out of the union. The aggregates
+    // are native TypedImperativeAggregates (functions/KllFunctions.scala,
+    // the hll_sketch_agg integration shape); rank-error and mergeability
+    // are pinned by KllSpec (sketch compaction is randomized, so this is
+    // sketch-level — not bitwise — reproducibility, like all sketch ops).
+    Q("q_kll_union",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(graft.functions.KllFunctions.kllAgg(s, col("value")).as("sk"))
+        daily.groupBy(col("event_type"))
+          .agg(graft.functions.KllFunctions.kllMergeAgg(s, col("sk")).as("total"),
+            count(lit(1)).as("n_daily_sketches"))
+          .select(col("event_type"),
+            graft.functions.KllFunctions.kllQuantile(s, col("total"), 0.5).as("p50"),
+            graft.functions.KllFunctions.kllQuantile(s, col("total"), 0.95).as("p95"),
+            col("n_daily_sketches"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // First-order event-transition matrix (the Markov-chain view of user
+    // journeys): per user, order events by time and pair each with its
+    // successor (lead over the per-user window — the sessionize/funnel
+    // shuffle shape, keyed on user_id); aggregate to (from, to) counts and
+    // in-row transition probabilities. The probability is ONE double
+    // division of two exact longs (the window sum groups per from-type),
+    // so the result is bitwise cross-engine like the other ratio queries.
+    Q("q_event_transitions",
+      (s, dir) => {
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cnt = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(wu))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        cnt.withColumn("p", col("n").cast(DoubleType) /
+            sum(col("n")).over(Window.partitionBy(col("event_type"))))
+          .orderBy(col("event_type"), col("next_type"))
+      },
+      Some("""WITH seq AS (SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                     FROM events),
+                   c AS (SELECT event_type, next_type, COUNT(*) AS n
+                         FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+              SELECT event_type, next_type, n,
+                     CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+              FROM c ORDER BY event_type, next_type""")),
+
+    // 2-D skyline (Pareto frontier): parts where no other part is both
+    // cheaper-or-equal AND larger-or-equal (strict somewhere) — the
+    // preference-query operator behind "best tradeoff" curation filters
+    // (e.g. quality-score vs toxicity-score document frontiers). The
+    // textbook formulation is a quadratic NOT EXISTS self-join (the
+    // oracle); the engine computes it as a CUMULATIVE-MAX sweep: per
+    // price keep the max size, then a point survives iff its size beats
+    // the running max over all strictly-cheaper prices. The running max
+    // uses the same two-phase shape as tokenShards: per-chunk maxima
+    // (tiny, broadcast, chunk-level prefix max) + a within-chunk window —
+    // O(n log n) total, distributed, no global single-partition scan and
+    // no self-join. Same-price ties: only the max size survives (any
+    // lower size at equal price is strictly dominated).
+    Q("q_skyline",
+      (s, dir) => {
+        val p = t(s, dir, "part").select(col("p_partkey"),
+          col("p_retailprice").as("price"), col("p_size").cast(LongType).as("size"))
+        val pts = p.groupBy(col("price")).agg(max(col("size")).as("ymax"))
+          .withColumn("chunk", floor(col("price") / 100).cast(LongType))
+          .persist()
+        // chunk-level prefix maxima: one row per price-chunk — broadcastable,
+        // and the only place a (chunk-count-sized) global window runs
+        val wCh = Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunkMax = pts.groupBy(col("chunk")).agg(max(col("ymax")).as("cm"))
+          .withColumn("prev_max", max(col("cm")).over(wCh))
+          .select(col("chunk"), col("prev_max"))
+        val wIn = Window.partitionBy(col("chunk")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = pts.join(broadcast(chunkMax), Seq("chunk"))
+          .withColumn("pm", greatest(
+            coalesce(col("prev_max"), lit(Long.MinValue)),
+            coalesce(max(col("ymax")).over(wIn), lit(Long.MinValue))))
+          .filter(col("ymax") > col("pm"))
+          .select(col("price"), col("ymax").as("size"))
+        val out = p.join(frontier, Seq("price", "size"))
+          .select(col("p_partkey"), col("price"), col("size"))
+          .orderBy(col("p_partkey"))
+          .localCheckpoint()
+        pts.unpersist()
+        out
+      },
+      Some("""SELECT a.p_partkey, a.p_retailprice AS price,
+                     CAST(a.p_size AS BIGINT) AS size
+              FROM part a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+              ORDER BY a.p_partkey""")),
+
+    // Incremental JOIN maintenance: the delta algebra for a materialized
+    // join view. With base relations A,B and deltas ΔA,ΔB:
+    //   (A∪ΔA) ⋈ (B∪ΔB) = A⋈B  ∪  ΔA⋈B  ∪  A⋈ΔB  ∪  ΔA⋈ΔB
+    // — the stored base join is REUSED and only the three delta joins run,
+    // each bounded by |Δ| on at least one side (broadcastable at lake
+    // scale, where A⋈B re-execution is the thing you cannot afford). The
+    // completeness of the algebra is what the oracle proves: the
+    // incremental union hash-matches the from-scratch join. Splits are
+    // hash-deterministic (Spark-side only — the oracle never needs them).
+    // Companion to q_rollup_incremental (aggregate maintenance) and
+    // streaming/RollupMaintenance (the streaming form).
+    Q("q_join_incremental",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val oNew = pmod(xxhash64(col("o_orderkey")), lit(4)) === 0
+        val lNew = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4)) === 0
+        val (oB, oD) = (o.filter(!oNew), o.filter(oNew))
+        val (lB, lD) = (l.filter(!lNew), l.filter(lNew))
+        def j(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, a("o_orderkey") === b("l_orderkey"))
+            .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+              col("l_quantity"))
+        j(oB, lB) // the stored base view (at scale: read back, not recomputed)
+          .unionAll(j(oD, lB))
+          .unionAll(j(oB, lD))
+          .unionAll(j(oD, lD))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_custkey, l_quantity
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              ORDER BY o_orderkey, l_linenumber""")),
+
+    // Audience overlap, EXACT: per event type, distinct users active in
+    // BOTH halves of the month (plus each half's reach). One aggregation
+    // tree — flags fold at (type, user) grain, counts fold at type grain —
+    // so the whole question costs a single shuffle of user-grain partials,
+    // never a self-join of two distinct sets. The oracled exact twin of
+    // q_theta_overlap below.
+    Q("q_distinct_overlap",
+      (s, dir) => {
+        val mid = lit("2024-01-16 00:00:00").cast(TimestampType)
+        t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(max(when(col("ts") < mid, 1).otherwise(0)).as("f1"),
+            max(when(col("ts") >= mid, 1).otherwise(0)).as("f2"))
+          .groupBy(col("event_type"))
+          .agg(count(when(col("f1") === 1 && col("f2") === 1, 1)).as("both_halves"),
+            count(when(col("f1") === 1, 1)).as("first_half"),
+            count(when(col("f2") === 1, 1)).as("second_half"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH u AS (
+                SELECT event_type, user_id,
+                       MAX(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS f1,
+                       MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS f2
+                FROM events GROUP BY 1, 2)
+              SELECT event_type,
+                     COUNT(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 END) AS both_halves,
+                     COUNT(CASE WHEN f1 = 1 THEN 1 END) AS first_half,
+                     COUNT(CASE WHEN f2 = 1 THEN 1 END) AS second_half
+              FROM u GROUP BY event_type ORDER BY event_type""")),
+
+    // Audience overlap from STORED sketches: per-half theta sketches of
+    // the user set (the summary a warehouse would keep per day/month),
+    // intersected per type — the overlap question answered WITHOUT
+    // re-reading either half's facts, which is the whole point at 100 TB:
+    // the facts are petabytes, the sketch table is kilobytes. Theta (not
+    // HLL) because HLL union-only algebra cannot express intersection.
+    // Estimates are exact below the sketch's nominal k=4096 entries;
+    // ThetaSpec pins the set algebra against the exact twin above.
+    Q("q_theta_overlap",
+      (s, dir) => {
+        val mid = lit("2024-01-16 00:00:00").cast(TimestampType)
+        t(s, dir, "events")
+          .groupBy(col("event_type"), (col("ts") < mid).as("first_half"))
+          .agg(graft.functions.ThetaFunctions.thetaAgg(s, col("user_id")).as("sk"))
+          .groupBy(col("event_type"))
+          .agg(graft.functions.ThetaFunctions.thetaIntersectAgg(s, col("sk")).as("inter"),
+            graft.functions.ThetaFunctions.thetaUnionAgg(s, col("sk")).as("uni"))
+          .select(col("event_type"),
+            round(graft.functions.ThetaFunctions.thetaEstimate(s, col("inter")), 0)
+              .cast(LongType).as("approx_both"),
+            round(graft.functions.ThetaFunctions.thetaEstimate(s, col("uni")), 0)
+              .cast(LongType).as("approx_either"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // MERGE upsert (the CDC-apply algebra): base snapshot ⟕ delta batch →
+    // new snapshot. Matched delta rows replace (op='U') or remove
+    // (op='D') base rows; unmatched delta rows insert. Computed as
+    //   (base ANTI-JOIN delta.keys) ∪ (delta WHERE op <> 'D')
+    // — the delta side is the small one by construction (a CDC batch vs
+    // the accumulated table), so the anti-join BROADCASTS the delta keys
+    // and the base table never shuffles; the union is shuffle-free. The
+    // base/delta split is md5-deterministic so DuckDB reproduces it
+    // bit-for-bit (the same convention as the sampling family).
+    Q("q_merge_upsert",
+      (s, dir) => {
+        val keyed = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          substring(md5(col("o_orderkey").cast(StringType)), 1, 1).as("h1"),
+          substring(md5(col("o_orderkey").cast(StringType)), 2, 1).as("h2"))
+        val p162 = DecimalType(16, 2) // +1 widens (15,2)→(16,2); align both legs
+        val base = keyed.filter(col("h1") <= "b")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast(p162).as("price"))
+        val delta = keyed.filter(col("h1") >= "8")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1).cast(p162).as("price"),
+            when(col("h2") <= "3", "D").otherwise("U").as("op"))
+        base.join(broadcast(delta.select(col("o_orderkey"))), Seq("o_orderkey"),
+            "left_anti")
+          .withColumn("src", lit("base"))
+          .unionAll(delta.filter(col("op") =!= "D")
+            .select(col("o_orderkey"), col("o_custkey"), col("price"))
+            .withColumn("src", lit("delta")))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH k AS (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h1,
+                       substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS h2
+                FROM orders),
+              base AS (SELECT o_orderkey, o_custkey,
+                              CAST(o_totalprice AS DECIMAL(16,2)) AS price
+                       FROM k WHERE h1 <= 'b'),
+              delta AS (SELECT o_orderkey, o_custkey,
+                               CAST(o_totalprice + 1 AS DECIMAL(16,2)) AS price,
+                               CASE WHEN h2 <= '3' THEN 'D' ELSE 'U' END AS op
+                        FROM k WHERE h1 >= '8')
+              SELECT b.o_orderkey, b.o_custkey, b.price, 'base' AS src
+              FROM base b
+              WHERE NOT EXISTS (SELECT 1 FROM delta d
+                                WHERE d.o_orderkey = b.o_orderkey)
+              UNION ALL
+              SELECT o_orderkey, o_custkey, price, 'delta' FROM delta
+              WHERE op <> 'D'
+              ORDER BY o_orderkey"""))
   )
 }

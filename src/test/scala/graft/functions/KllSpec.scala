@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** KLL sketch aggregates: rank-error bounds and — the reason they exist —
+  * mergeability: a union of per-day sketches answers the same quantile
+  * question as one sketch over everything, without re-reading facts.
+  * Bounds are asserted in RANK space (the KLL guarantee is on ranks, not
+  * values): the sketch's p50 estimate must sit between the exact p40 and
+  * p60 of the data — a window ~6x the k=200 theoretical 1.65% rank error,
+  * so the randomized compaction cannot flake the suite.
+  */
+class KllSpec extends SparkSpec {
+
+  private val rankEps = 0.10
+
+  /** value at exact rank r of the sorted column */
+  private def exactQuantile(sorted: Array[Double], r: Double): Double =
+    sorted(math.min(sorted.length - 1, math.max(0, (r * sorted.length).toInt)))
+
+  private lazy val events = Tables.load(spark, sf001, "events")
+  private lazy val sortedValues =
+    events.select(col("value")).collect().map(_.getDouble(0)).sorted
+
+  test("direct sketch quantiles land within the rank-error window") {
+    val sk = events.agg(
+      KllFunctions.kllAgg(spark, col("value")).as("sk"))
+    val row = sk.select(
+      KllFunctions.kllQuantile(spark, col("sk"), 0.5).as("p50"),
+      KllFunctions.kllQuantile(spark, col("sk"), 0.95).as("p95")).head()
+    for ((r, got) <- Seq(0.5 -> row.getDouble(0), 0.95 -> row.getDouble(1))) {
+      val lo = exactQuantile(sortedValues, math.max(0.0, r - rankEps))
+      val hi = exactQuantile(sortedValues, math.min(1.0, r + rankEps))
+      assert(got >= lo && got <= hi,
+        s"rank $r estimate $got outside exact-rank window [$lo, $hi]")
+    }
+  }
+
+  test("union of daily sketches answers like a direct sketch over everything") {
+    val merged = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(KllFunctions.kllAgg(spark, col("value")).as("sk"))
+      .agg(KllFunctions.kllMergeAgg(spark, col("sk")).as("total"))
+      .select(KllFunctions.kllQuantile(spark, col("total"), 0.5).as("p50"),
+        KllFunctions.kllQuantile(spark, col("total"), 0.95).as("p95"))
+      .head()
+    for ((r, got) <- Seq(0.5 -> merged.getDouble(0), 0.95 -> merged.getDouble(1))) {
+      val lo = exactQuantile(sortedValues, math.max(0.0, r - rankEps))
+      val hi = exactQuantile(sortedValues, math.min(1.0, r + rankEps))
+      assert(got >= lo && got <= hi,
+        s"merged rank $r estimate $got outside exact-rank window [$lo, $hi]")
+    }
+  }
+
+  test("sketch images survive a store-and-reload round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    // store daily sketches (the rollup table a warehouse would keep)...
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(KllFunctions.kllAgg(spark, col("value")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daily")
+    // ...and answer the total from the STORED images alone
+    val got = spark.read.parquet(s"$dir/daily")
+      .agg(KllFunctions.kllMergeAgg(spark, col("sk")).as("total"))
+      .select(KllFunctions.kllQuantile(spark, col("total"), 0.5)).head().getDouble(0)
+    val lo = exactQuantile(sortedValues, 0.5 - rankEps)
+    val hi = exactQuantile(sortedValues, 0.5 + rankEps)
+    assert(got >= lo && got <= hi, s"reloaded p50 $got outside [$lo, $hi]")
+  }
+}
