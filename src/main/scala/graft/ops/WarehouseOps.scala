@@ -947,6 +947,132 @@ object WarehouseOps {
               UNION ALL
               SELECT o_orderkey, o_custkey, price, 'delta' FROM delta
               WHERE op <> 'D'
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // Last-touch attribution: each purchase attributes to the user's most
+    // recent preceding click within 3 days. NOT a join — one window pass
+    // per user carries the last-seen click forward (last(…, ignoreNulls)
+    // over an explicit ROWS frame), so the operator costs a single
+    // user-keyed shuffle regardless of the click:purchase ratio; the
+    // as-of-join formulation would shuffle both event subsets separately
+    // and pay a range-merge per user. Frame is ROWS (not the default
+    // RANGE) so both engines resolve same-timestamp peers identically via
+    // the (ts, event_id) total order.
+    Q("q_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")), true).over(w))
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")), true).over(w))
+          .filter(col("event_type") === "purchase" && col("click_ts").isNotNull &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 3 DAYS"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"), col("click_id"), col("click_ts"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH tagged AS (
+                SELECT event_id, user_id, ts, event_type,
+                       last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+                       last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+                FROM events)
+              SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+                     click_id, click_ts
+              FROM tagged
+              WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+                AND ts <= click_ts + INTERVAL 3 DAY
+              ORDER BY purchase_id""")),
+
+    // Deterministic A/B experiment readout: md5-bucket assignment (the
+    // replay-stable convention of the sampling family — assignment never
+    // depends on row order or a seed), per-variant reach and conversion
+    // counts folded in ONE aggregation pass, rates and lift derived as
+    // single double divisions of exact longs (bitwise cross-engine). The
+    // final pivot runs on 2 rows; all heavy lifting is the one
+    // partial-aggregated pass over the facts.
+    Q("q_ab_lift",
+      (s, dir) => {
+        val per = t(s, dir, "events")
+          .withColumn("variant",
+            when(substring(md5(col("user_id").cast(StringType)), 1, 1) <= "7", "A")
+              .otherwise("B"))
+          .groupBy(col("variant"))
+          .agg(countDistinct(col("user_id")).as("users"),
+            count(when(col("event_type") === "purchase", 1)).as("convs"))
+          .withColumn("rate", col("convs").cast(DoubleType) / col("users"))
+        per.agg(
+            max(when(col("variant") === "A", col("users"))).as("users_a"),
+            max(when(col("variant") === "B", col("users"))).as("users_b"),
+            max(when(col("variant") === "A", col("convs"))).as("convs_a"),
+            max(when(col("variant") === "B", col("convs"))).as("convs_b"),
+            max(when(col("variant") === "A", col("rate"))).as("rate_a"),
+            max(when(col("variant") === "B", col("rate"))).as("rate_b"))
+          .withColumn("lift", col("rate_b") / col("rate_a"))
+      },
+      Some("""WITH v AS (
+                SELECT user_id, event_type,
+                       CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+                            THEN 'A' ELSE 'B' END AS variant
+                FROM events),
+              per AS (
+                SELECT variant, COUNT(DISTINCT user_id) AS users,
+                       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS convs
+                FROM v GROUP BY 1),
+              p2 AS (SELECT variant, users, convs,
+                            CAST(convs AS DOUBLE) / users AS rate FROM per)
+              SELECT MAX(CASE WHEN variant = 'A' THEN users END) AS users_a,
+                     MAX(CASE WHEN variant = 'B' THEN users END) AS users_b,
+                     MAX(CASE WHEN variant = 'A' THEN convs END) AS convs_a,
+                     MAX(CASE WHEN variant = 'B' THEN convs END) AS convs_b,
+                     MAX(CASE WHEN variant = 'A' THEN rate END) AS rate_a,
+                     MAX(CASE WHEN variant = 'B' THEN rate END) AS rate_b,
+                     MAX(CASE WHEN variant = 'B' THEN rate END)
+                       / MAX(CASE WHEN variant = 'A' THEN rate END) AS lift
+              FROM p2""")),
+
+    // Incremental COUNT DISTINCT maintenance with DELETES — the refcount
+    // algebra: the stored view keeps (key, user, refcount); inserts add,
+    // retractions SUBTRACT, and a user leaves the distinct set only when
+    // its refcount reaches zero (a plain distinct-set view cannot process
+    // a delete at all — it does not know whether other references
+    // remain). Here events whose md5 bucket is '0' are retracted after
+    // the fact; the maintained counts must equal a from-scratch distinct
+    // over the surviving events — users whose every reference was
+    // retracted drop out, users with other references survive, which is
+    // exactly what the oracle checks. Completes the IVM family:
+    // q_rollup_incremental (SUM), q_join_incremental (JOIN), this
+    // (DISTINCT). At scale the retraction batch is delta-sized and the
+    // merge is a keyed upsert into the refcount store, never a rescan.
+    Q("q_distinct_incremental",
+      (s, dir) => {
+        val k = t(s, dir, "events").select(col("event_type"), col("user_id"),
+          substring(md5(col("event_id").cast(StringType)), 1, 1).as("h"))
+        val refcounts = k.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val retractions = k.filter(col("h") === "0")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg((-count(lit(1))).as("c"))
+        refcounts.unionAll(retractions)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"), sum(col("c")).cast(LongType).as("n_refs"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+                     COUNT(DISTINCT user_id) AS n_users,
+                     COUNT(*) AS n_refs
+              FROM events
+              WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> '0'
+              GROUP BY event_type ORDER BY event_type"""))
   )
 }
