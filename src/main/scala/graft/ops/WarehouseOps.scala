@@ -1073,6 +1073,59 @@ object WarehouseOps {
                      COUNT(*) AS n_refs
               FROM events
               WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) <> '0'
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // K-core decomposition (k=8) of the hour-grain co-occurrence graph —
+    // the graph-curation filter that keeps only nodes embedded in a
+    // dense neighborhood (spam/bot rings and isolated users peel away;
+    // the standard subgraph selection before community analysis).
+    // Iterative PEEL: drop nodes with degree < k, delete their incident
+    // edges, repeat to fixpoint. The loop runs in the DRIVER but touches
+    // only counts — each round is one distributed degree-filter + two
+    // semi-joins, the new edge set is persisted and the old freed, and
+    // convergence is the round's edge count (already on the driver for
+    // free). Rounds are O(peel depth), typically << 10; no per-row data
+    // ever leaves the cluster — same regime discipline as the
+    // star-contraction CC. Fixpoint iteration is not SQL-expressible
+    // (recursive CTEs cannot aggregate over the recursive term), so the
+    // contract is KCoreSpec's brute-force reference peel, not a DuckDB
+    // oracle.
+    Q("q_kcore",
+      (s, dir) => {
+        val K = 8
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("user_id"))
+          .distinct()
+        val e2 = ev.as("a").join(ev.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.h") === col("b.h") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct()
+        var ed = e2.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
+          .persist()
+        var n = ed.count()
+        var done = n == 0L
+        while (!done) {
+          val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= K).select(col("src").as("node"))
+          val pruned = ed
+            .join(keep, ed("src") === keep("node"), "left_semi")
+            .join(keep, ed("dst") === keep("node"), "left_semi")
+            .persist()
+          val m = pruned.count()
+          if (m == n) { pruned.unpersist(); done = true }
+          else { ed.unpersist(); ed = pruned; n = m; done = m == 0L }
+        }
+        val out = ed.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("core_degree"))
+          .orderBy(col("node"))
+          .localCheckpoint()
+        ed.unpersist()
+        out
+      },
+      None)
   )
 }
