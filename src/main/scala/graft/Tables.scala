@@ -16,14 +16,23 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw int64
-      // nanos and truncate to microseconds — exactly what DuckDB does when
-      // it reads the same file, so oracle comparisons stay aligned.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+      // generations (which Spark's vectorized reader rejects outright —
+      // PARQUET_TYPE_ILLEGAL — so we read the raw int64 nanos and truncate
+      // to micros, exactly like DuckDB) and as TIMESTAMP(MICROS) in others
+      // (which reads directly as a timestamp). Handle both so the library
+      // doesn't care which vintage of the generator wrote the files; either
+      // way the column lands as session-TZ (UTC) TimestampType.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => // nanos vintage, surfaced as int64 by the flag
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => // micros vintage: NTZ → session-TZ timestamp (UTC session)
+          raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      }
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }

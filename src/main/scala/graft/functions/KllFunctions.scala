@@ -51,10 +51,16 @@ abstract class KllAggBase
   override def nullable: Boolean = false
 }
 
-/** kll_agg(value[, k]): KLL sketch of a double column. */
+/** kll_agg(value[, k]): KLL sketch of a numeric column. Mixes in the
+  * shim for `ExpectsInputTypes(DoubleType)` (private[sql] in Spark 4, see
+  * GraftSqlShims) so the analyzer inserts an implicit cast for
+  * int/long/float/decimal inputs — without it, a non-double column would
+  * reach `update` and ClassCastException at runtime (ADVICE r5). The
+  * sketch itself is double-valued, so the cast is the semantics.
+  */
 case class KllAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends KllAggBase {
+    extends KllAggBase with org.apache.spark.sql.graft.GraftExpectsDouble {
 
   override def update(b: KllDoublesSketch, input: org.apache.spark.sql.catalyst.InternalRow)
       : KllDoublesSketch = {
@@ -77,7 +83,7 @@ case class KllAgg(child: Expression, k: Int,
   */
 case class KllMergeAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends KllAggBase {
+    extends KllAggBase with org.apache.spark.sql.graft.GraftExpectsBinary {
 
   override def update(b: KllDoublesSketch, input: org.apache.spark.sql.catalyst.InternalRow)
       : KllDoublesSketch = {
@@ -102,7 +108,8 @@ case class KllMergeAgg(child: Expression, k: Int,
   * measurable — the heapify-per-call is on group-count cardinality.
   */
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback
+    with org.apache.spark.sql.graft.GraftExpectsBinaryDouble {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

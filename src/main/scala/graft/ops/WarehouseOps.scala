@@ -912,13 +912,17 @@ object WarehouseOps {
           col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           substring(md5(col("o_orderkey").cast(StringType)), 1, 1).as("h1"),
           substring(md5(col("o_orderkey").cast(StringType)), 2, 1).as("h2"))
-        val p162 = DecimalType(16, 2) // +1 widens (15,2)→(16,2); align both legs
+        // Arithmetic stays decimal-exact (+1 on DECIMAL(15,2) is lossless);
+        // the OUTPUT casts to DOUBLE per the suite convention — every
+        // oracled query emits DOUBLE, never DECIMAL, because the driver's
+        // cross-engine hash compare diverges on decimal cells even when
+        // values agree (the round-5 red row). SchemaHygieneSpec pins this.
         val base = keyed.filter(col("h1") <= "b")
           .select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").cast(p162).as("price"))
+            col("o_totalprice").cast(DoubleType).as("price"))
         val delta = keyed.filter(col("h1") >= "8")
           .select(col("o_orderkey"), col("o_custkey"),
-            (col("o_totalprice") + 1).cast(p162).as("price"),
+            (col("o_totalprice") + 1).cast(DoubleType).as("price"),
             when(col("h2") <= "3", "D").otherwise("U").as("op"))
         base.join(broadcast(delta.select(col("o_orderkey"))), Seq("o_orderkey"),
             "left_anti")
@@ -934,10 +938,10 @@ object WarehouseOps {
                        substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS h2
                 FROM orders),
               base AS (SELECT o_orderkey, o_custkey,
-                              CAST(o_totalprice AS DECIMAL(16,2)) AS price
+                              CAST(o_totalprice AS DOUBLE) AS price
                        FROM k WHERE h1 <= 'b'),
               delta AS (SELECT o_orderkey, o_custkey,
-                               CAST(o_totalprice + 1 AS DECIMAL(16,2)) AS price,
+                               CAST(o_totalprice + 1 AS DOUBLE) AS price,
                                CASE WHEN h2 <= '3' THEN 'D' ELSE 'U' END AS op
                         FROM k WHERE h1 >= '8')
               SELECT b.o_orderkey, b.o_custkey, b.price, 'base' AS src

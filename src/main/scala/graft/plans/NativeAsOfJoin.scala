@@ -180,6 +180,12 @@ object NativeAsOfJoin {
       rightTieBreak: Option[String] = None,
       toleranceMicros: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
+    // Same contract as ops.AsOfJoin.join — without this, the Exec's
+    // `case _ => nearest` dispatch would silently run nearest semantics
+    // for a typo like "fwd" (ADVICE r5), diverging from the DataFrame path.
+    if (!Set("backward", "forward", "nearest").contains(direction))
+      throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got $direction")
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted inverted index for the retrieval family — the lake-scale
+  * shape the in-query builders (`q_bm25`, `q_hybrid_rrf`) document: build
+  * the index ONCE as stored tables, and let every query be a pruned scan
+  * + broadcast join over the index, never a corpus pass.
+  *
+  * Layout (all parquet under `indexDir`):
+  *
+  *   postings/bucket=<0..63>/   (term, doc_id, tf, dl, df)
+  *   stats/                     (n_docs, avgdl)
+  *   _FINGERPRINT               freshness marker (see below)
+  *
+  * Two deliberate denormalizations make the read path a SINGLE pruned
+  * scan with no doc-side or term-side join:
+  *
+  *  - `dl` (document length) rides on every posting — the classic
+  *    impact-style index layout — so BM25's length normalization needs no
+  *    join against a corpus-sized doclen table;
+  *  - `df` (document frequency) rides on every posting too, so idf needs
+  *    no term-stats join either.
+  *
+  * Both cost index bytes (dl/df repeat per posting) and buy query-time
+  * shape: score = scan(pruned postings) × broadcast(stats 1 row).
+  *
+  * Partition pruning is the scale story: postings are hive-partitioned on
+  * `bucket = xxhash64(term) mod 64`, and a query for terms T scans only
+  * the buckets {hash(t) mod 64 | t ∈ T} — at 100 TB the index read is
+  * |T|/64 of the postings bytes (verified by RetrievalIndexSpec's
+  * PartitionFilters pin), and inside each bucket the parquet min/max on
+  * the sorted `term` column prunes row groups. On a real lake this table
+  * would also be Z-ordered/bucketed by term; the hive partition level is
+  * the engine-portable part.
+  *
+  * Freshness: `_FINGERPRINT` records (path, size, mtime) of the source
+  * `documents.parquet`; `ensure` rebuilds when it differs, so a
+  * regenerated corpus can't serve a stale index. All FS access goes
+  * through Hadoop's FileSystem — the same resolver Spark's reads/writes
+  * use — so hdfs://…/s3a://… index locations work unchanged.
+  */
+object TextIndexStore {
+
+  val Buckets = 64
+
+  /** Deterministic per-corpus index location (local default; any Hadoop
+    * FS URI works when passed explicitly).
+    */
+  def defaultIndexDir(sfDir: String): String =
+    "/tmp/graft_text_index/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def fingerprintOf(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val st = fs(spark, sfDir).getFileStatus(p)
+    s"${p.toString}|${st.getLen}|${st.getModificationTime}"
+  }
+
+  /** Driver-side xxhash64(term) mod Buckets — the same arithmetic the
+    * bucket column uses, evaluated without a job so query planning can
+    * compute the prune set for any term list.
+    */
+  def bucketOf(term: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term), StringType)),
+      42L) // Spark's default hash seed — matches the xxhash64() SQL function
+      .eval(null).asInstanceOf[Long]
+    (((h % Buckets) + Buckets) % Buckets).toInt
+  }
+
+  /** Build (or rebuild) the index from the corpus. One tokenize pass, two
+    * vocabulary-sized joins — paid once, amortized over every query.
+    */
+  def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+
+    val postings = tf
+      .join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(Buckets.toLong)))
+      // sort within each bucket file by term so parquet row-group min/max
+      // prunes inside the bucket as well
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+
+    val f = fs(spark, indexDir)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    f.delete(root, true)
+    postings.write.partitionBy("bucket").parquet(s"$indexDir/postings")
+    stats.write.parquet(s"$indexDir/stats")
+    tf.unpersist()
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT"), true)
+    try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build iff missing or stale; returns the index dir. */
+  def ensure(spark: SparkSession, sfDir: String,
+      indexDir0: String = null): String = synchronized {
+    val indexDir = Option(indexDir0).getOrElse(defaultIndexDir(sfDir))
+    val f = fs(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT")
+    val want = fingerprintOf(spark, sfDir)
+    val fresh = f.exists(marker) && {
+      val in = f.open(marker)
+      val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      have == want
+    }
+    if (!fresh) build(spark, sfDir, indexDir)
+    indexDir
+  }
+
+  /** BM25 over the STORED index: a partition-pruned postings scan (only
+    * the query terms' buckets), one broadcast of the 1-row stats table,
+    * zero corpus access. Same arithmetic as `q_bm25` (k1=1.2, b=0.75,
+    * ratio idf — every step one IEEE op, bit-identical cross-engine), so
+    * the two share an oracle and the oracle proves the stored path
+    * faithful to the in-query path.
+    */
+  def bm25(spark: SparkSession, indexDir: String, qterms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val qbuckets = qterms.map(bucketOf).distinct.map(_.toLong)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      // bucket is the hive partition column → PartitionFilters, pruned at
+      // planning; term is the sorted data column → row-group pruning
+      .filter(col("bucket").isin(qbuckets: _*) && col("term").isin(qterms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val scored = postings
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+          * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    // fixed-order expression sum over pivoted per-term scores (NOT a float
+    // SUM aggregate): double addition is not associative and aggregate
+    // order differs between engines — same convention as q_bm25
+    val perTerm = qterms.map(tm =>
+      coalesce(max(when(col("term") === tm, col("score"))), lit(0.0)))
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.reduceLeft(_ + _).as("bm25"))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -76,13 +76,17 @@ object SessionizeTws {
       }.reverse
 
     private def rearm(open: Seq[SessionAgg]): Unit = {
-      val prev = if (armed.exists()) armed.get() else 0L
+      // armed.exists() is the SOLE "a timer is registered" signal — no 0L
+      // sentinel, so an expiry that legitimately computes to epoch 0 (or
+      // any upstream clock bug producing 0) can't be conflated with
+      // "nothing armed" and left with its timer never deleted (ADVICE r5).
+      val prev: Option[Long] = if (armed.exists()) Some(armed.get()) else None
       if (open.isEmpty) {
-        if (prev != 0L) { getHandle.deleteTimer(prev); armed.clear() }
+        prev.foreach { p => getHandle.deleteTimer(p); armed.clear() }
       } else {
         val next = open.map(_.end_ms).min + gapMs
-        if (prev != next) {
-          if (prev != 0L) getHandle.deleteTimer(prev)
+        if (!prev.contains(next)) {
+          prev.foreach(getHandle.deleteTimer)
           getHandle.registerTimer(next)
           armed.update(next)
         }

@@ -68,8 +68,17 @@ object StreamingNearDedup {
       storeDir: String, outDir: String, minSigSim: Double): DataFrame = {
     val sig = signed(batch).persist()
     val bb = banded(sig)
+    // Probe the store through Hadoop's FileSystem — the same resolver the
+    // reads/writes below use — NOT java.io.File, which only sees the local
+    // disk: on an hdfs://…/s3a://… storeDir a local-file check is always
+    // false, so every batch would silently treat the store as empty and
+    // re-admit near-duplicates (ADVICE r5).
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storePath)
     val store: DataFrame =
-      if (new java.io.File(storeDir).exists())
+      if (storeExists)
         spark.read.parquet(storeDir)
           .select(col("band"), col("bh"), col("doc_id").as("old_id"),
             col("sig").as("old_sig"))

@@ -21,3 +21,29 @@ object GraftSqlShims {
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
+
+/** `ExpectsInputTypes` (and `AbstractDataType` in its signature) is
+  * private[sql] in Spark 4, so graft expressions can't implement declared
+  * input coercion directly. These same-package traits re-export the
+  * mechanism for the fixed signatures graft needs: mixing one in makes the
+  * analyzer insert implicit casts (int/long/float/decimal → double, etc.)
+  * and fail analysis — not runtime — on incompatible inputs.
+  */
+trait GraftExpectsDouble
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+}
+
+trait GraftExpectsBinary
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+}
+
+trait GraftExpectsBinaryDouble
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.DoubleType)
+}
