@@ -64,4 +64,16 @@ object EngineMetrics {
       broadcastExchanges =
         all.count(_.getClass.getSimpleName.startsWith("BroadcastExchange")))
   }
+
+  /** Execute `df` and return every node of the plan that ran (post-AQE,
+    * stage boundaries pierced) — for pins on node KINDS the aggregate
+    * Profile doesn't carry, e.g. "the iterations read InMemoryTableScan,
+    * not the parquet file" (the persisted-relation cost model of the
+    * graph family).
+    */
+  def ranPlanNodes(df: DataFrame): Seq[SparkPlan] = {
+    val qe = df.queryExecution
+    qe.executedPlan.execute().count()
+    nodes(qe.executedPlan)
+  }
 }

@@ -308,16 +308,23 @@ object Relational {
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Approximate distinct (HyperLogLog++) — the 100 TB-scale path where
-    // exact distinct would shuffle every key. Sketches differ across
-    // engines, so no SQL oracle (driver records rows-only); the ScalaTest
-    // spec bounds its error vs the exact count instead.
+    // exact distinct would shuffle every key. Oracled by the
+    // exact-by-construction-domain trick (same as q_approx_topk): the
+    // counted domain (user_id mod 32) is far below the sketch's
+    // linear-counting regime's resolution at rsd=0.01 (2^14 registers),
+    // where the estimate m*ln(m/V) rounds to the exact count — verified
+    // to hold with zero register-collision drift at sf0.001/0.01/0.1 —
+    // so DuckDB's exact COUNT(DISTINCT) hash-matches. The
+    // unbounded-domain production shape (approx over raw user_id) stays
+    // pinned by DedupSpec's 5%-error bound.
     Q("q_approx_distinct",
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+          .agg(approx_count_distinct(col("user_id") % 32, 0.01).as("approx_users"))
           .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id % 32) AS approx_users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Set ops: users that clicked vs users that purchased.
     Q("q_union",

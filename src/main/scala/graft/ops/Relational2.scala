@@ -349,17 +349,33 @@ object Relational2 {
               FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
               ORDER BY event_id""")),
 
-    // Approximate percentiles (KLL-style sketch) — the 100 TB path where
-    // the exact sort-based percentile is unaffordable. Sketches aren't
-    // engine-portable, so no oracle; the spec bounds error vs exact.
+    // Approximate percentiles (GK sketch) — the 100 TB path where the
+    // exact sort-based percentile is unaffordable. Oracled by the
+    // exact-by-construction-domain trick: values quantize to 5-wide
+    // buckets, so each distinct value spans thousands of ranks while the
+    // sketch's rank error is <= n/accuracy (= n/10000) ranks — the
+    // returned data point is therefore the same value PERCENTILE_DISC
+    // picks (verified to hold at sf0.001/0.01/0.1; at sf0.1 even 2-wide
+    // buckets flip, so 5 is not near the edge). percentile_approx always
+    // returns an ACTUAL data value, which is what makes the cross-engine
+    // compare exact — no interpolation arithmetic to drift. The
+    // raw-domain production shape stays pinned by DedupSpec's 2%-error
+    // bound.
     Q("q_approx_percentile",
       (s, dir) =>
         t(s, dir, "events")
+          .withColumn("qv", (floor(col("value") / 5) * 5).cast(DoubleType))
           .groupBy(col("event_type"))
-          .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
-            percentile_approx(col("value"), lit(0.9), lit(10000)).as("p90_approx"))
+          .agg(percentile_approx(col("qv"), lit(0.5), lit(10000)).as("p50_approx"),
+            percentile_approx(col("qv"), lit(0.9), lit(10000)).as("p90_approx"))
           .orderBy(col("event_type")),
-      None),
+      Some("""WITH q AS (SELECT event_type,
+                                CAST(floor(value / 5) * 5 AS DOUBLE) AS qv
+                         FROM events)
+              SELECT event_type,
+                     quantile_disc(qv, 0.5) AS p50_approx,
+                     quantile_disc(qv, 0.9) AS p90_approx
+              FROM q GROUP BY event_type ORDER BY event_type""")),
 
     // Exact percentiles (median / p90) per group — linear interpolation on
     // the sorted values in both engines.

@@ -362,44 +362,10 @@ object WarehouseOps {
     // No dangling nodes by construction (every node has degree >= 1).
     Q("q_pagerank",
       (s, dir) => {
-        val SCALE = 1000000000000L
-        val ev = t(s, dir, "events")
-          .select(col("event_type"), date_trunc("minute", col("ts")).as("h"),
-            col("user_id"))
-          .distinct()
-        val e2 = ev.as("a").join(ev.as("b"),
-            col("a.event_type") === col("b.event_type") &&
-              col("a.h") === col("b.h") &&
-              col("a.user_id") < col("b.user_id"))
-          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-          .distinct()
-        val ed = e2.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
-          .persist()
-        val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-        val n = deg.count()
-        if (n == 0L) { // empty graph (possible at tiny SFs): empty ranks
-          ed.unpersist(); deg.unpersist()
-          deg.selectExpr("src AS node", "d AS pr")
-        } else {
-        val base = 15L * SCALE / (100L * n)
-        var pr = deg.select(col("src").as("node"), col("d"),
-          lit(SCALE / n).as("pr"))
-        (1 to 3).foreach { _ =>
-          val share = pr.selectExpr("node", "pr div d AS share")
-          val incoming = ed.join(share, ed("src") === share("node"))
-            .groupBy(col("dst")).agg(sum(col("share")).as("s"))
-          pr = pr.select(col("node"), col("d"))
-            .join(incoming, pr("node") === incoming("dst"), "left")
-            .selectExpr("node", "d",
-              s"$base + (85 * coalesce(s, 0L)) div 100 AS pr")
-        }
-        val out = pr.select(col("node"), col("pr"))
-          .orderBy(col("pr").desc, col("node"))
-          .localCheckpoint()
-        ed.unpersist(); deg.unpersist()
+        val (ranks, persisted) = pagerankRanks(s, dir)
+        val out = ranks.localCheckpoint()
+        persisted.foreach(_.unpersist())
         out
-        }
       },
       Some("""WITH ev AS (
                 SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
@@ -1096,33 +1062,7 @@ object WarehouseOps {
     // oracle.
     Q("q_kcore",
       (s, dir) => {
-        val K = 8
-        val ev = t(s, dir, "events")
-          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
-            col("user_id"))
-          .distinct()
-        val e2 = ev.as("a").join(ev.as("b"),
-            col("a.event_type") === col("b.event_type") &&
-              col("a.h") === col("b.h") &&
-              col("a.user_id") < col("b.user_id"))
-          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-          .distinct()
-        var ed = e2.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
-          .persist()
-        var n = ed.count()
-        var done = n == 0L
-        while (!done) {
-          val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
-            .filter(col("d") >= K).select(col("src").as("node"))
-          val pruned = ed
-            .join(keep, ed("src") === keep("node"), "left_semi")
-            .join(keep, ed("dst") === keep("node"), "left_semi")
-            .persist()
-          val m = pruned.count()
-          if (m == n) { pruned.unpersist(); done = true }
-          else { ed.unpersist(); ed = pruned; n = m; done = m == 0L }
-        }
+        val (ed, _) = kcorePeel(s, dir, 8)
         val out = ed.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("core_degree"))
           .orderBy(col("node"))
@@ -1132,4 +1072,95 @@ object WarehouseOps {
       },
       None)
   )
+
+  /** The PageRank iteration pipeline, PRE-checkpoint — factored out of
+    * q_pagerank so EngineMetricsSpec can profile the runtime plan of the
+    * iterations themselves (the Q's localCheckpoint would otherwise hide
+    * them behind an RDD scan). Returns the ranks DataFrame plus the
+    * persisted relations the caller must unpersist after consuming it.
+    * Cost model being pinned: the 3 iterations re-read the PERSISTED edge
+    * list (InMemoryTableScan), never the events file — at 100 TB the
+    * difference between an iteration costing |edges| cached and costing a
+    * corpus re-scan per iteration.
+    */
+  private[graft] def pagerankRanks(s: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val SCALE = 1000000000000L
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("minute", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val e2 = ev.as("a").join(ev.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    val ed = e2.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    val n = deg.count()
+    if (n == 0L) { // empty graph (possible at tiny SFs): empty ranks
+      ed.unpersist(); deg.unpersist()
+      (deg.selectExpr("src AS node", "d AS pr"), Seq.empty)
+    } else {
+      val base = 15L * SCALE / (100L * n)
+      var pr = deg.select(col("src").as("node"), col("d"),
+        lit(SCALE / n).as("pr"))
+      (1 to 3).foreach { _ =>
+        val share = pr.selectExpr("node", "pr div d AS share")
+        val incoming = ed.join(share, ed("src") === share("node"))
+          .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+        pr = pr.select(col("node"), col("d"))
+          .join(incoming, pr("node") === incoming("dst"), "left")
+          .selectExpr("node", "d",
+            s"$base + (85 * coalesce(s, 0L)) div 100 AS pr")
+      }
+      (pr.select(col("node"), col("pr"))
+        .orderBy(col("pr").desc, col("node")), Seq(ed, deg))
+    }
+  }
+
+  /** The k-core peel loop — factored out of q_kcore so EngineMetricsSpec
+    * can pin its cost model: each round's surviving edge count (returned
+    * per round) must shrink monotonically, which IS the "round N+1 scans
+    * fewer rows than round N" guarantee — every round's degree-filter and
+    * semi-joins read only the previous round's persisted survivor set
+    * (persist-swap-unpersist), so round cost is proportional to the
+    * returned counts, O(peel-depth) rounds total, and only these counts
+    * ever cross the driver boundary. Returns the final (still-persisted)
+    * edge set — caller unpersists — plus the edge count before each round.
+    */
+  private[graft] def kcorePeel(s: SparkSession, dir: String, K: Int)
+      : (DataFrame, Seq[Long]) = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id"))
+      .distinct()
+    val e2 = ev.as("a").join(ev.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.h") === col("b.h") &&
+          col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    var ed = e2.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var n = ed.count()
+    val rounds = scala.collection.mutable.ArrayBuffer(n)
+    var done = n == 0L
+    while (!done) {
+      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= K).select(col("src").as("node"))
+      val pruned = ed
+        .join(keep, ed("src") === keep("node"), "left_semi")
+        .join(keep, ed("dst") === keep("node"), "left_semi")
+        .persist()
+      val m = pruned.count()
+      if (m == n) { pruned.unpersist(); done = true }
+      else { ed.unpersist(); ed = pruned; n = m; rounds += m; done = m == 0L }
+    }
+    (ed, rounds.toSeq)
+  }
 }

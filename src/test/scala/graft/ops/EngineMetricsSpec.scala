@@ -30,6 +30,44 @@ class EngineMetricsSpec extends SparkSpec {
       s"salted join must shuffle both full sides: $p")
   }
 
+  test("pagerank iterations re-read the persisted edge list, not the events scan") {
+    // sf0.01: the minute-grain co-occurrence graph is empty at sf0.001
+    // (the query's empty-graph branch would be the whole plan)
+    val (ranks, persisted) = WarehouseOps.pagerankRanks(spark, sf001)
+    try {
+      val nodes = EngineMetrics.ranPlanNodes(ranks)
+      // the iterations' run must contain ZERO events file scans: the edge
+      // build already materialized into the persisted ed/deg relations
+      // when they were counted, so every iteration reads caches only — at
+      // 100 TB the difference between an iteration costing |edges| and a
+      // corpus re-read per round
+      val fileScans = nodes.count(n =>
+        n.getClass.getSimpleName == "FileSourceScanExec" &&
+          n.toString.contains("events"))
+      assert(fileScans == 0,
+        s"iterations must not re-scan the events file, got $fileScans")
+      // ...and the iterations' edge-list reads hit the persisted relation
+      val cachedScans = nodes.count(
+        _.getClass.getSimpleName == "InMemoryTableScanExec")
+      assert(cachedScans >= 3,
+        s"3 iterations must re-read the cached edge list, got $cachedScans")
+    } finally persisted.foreach(_.unpersist())
+  }
+
+  test("k-core: every peel round scans strictly fewer edges than the last") {
+    // K=8 (the query's own setting) peels 4 rounds at sf0.001
+    // (152 -> 138 -> 124 -> 98 edges); below K=8 the sf0.001 graph is
+    // already a core and nothing peels
+    val (ed, rounds) = WarehouseOps.kcorePeel(spark, sf0001, 8)
+    try {
+      assert(rounds.length >= 2,
+        s"peel must iterate at this K/SF to pin anything: $rounds")
+      rounds.sliding(2).foreach { case Seq(a, b) =>
+        assert(b < a, s"round edge counts must strictly shrink: $rounds")
+      }
+    } finally ed.unpersist()
+  }
+
   test("q1_agg: zero spill at test scale, one shuffle boundary pair") {
     val p = prof("q1_agg")
     assert(p.spillBytes == 0, s"hash agg must not spill at sf0.001: $p")
