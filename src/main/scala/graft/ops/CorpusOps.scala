@@ -562,6 +562,48 @@ object CorpusOps {
               FROM rb FULL OUTER JOIN rj ON rb.doc_id = rj.doc_id
               ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
+    // Hybrid RRF over the STORED index (sources.TextIndexStore) — both
+    // retrievers consume the same partition-pruned postings scan; the
+    // Jaccard denominator joins the doc-keyed docstats table against the
+    // broadcast df-bounded candidate set. Zero corpus access (pinned by
+    // RetrievalIndexSpec). Shares q_hybrid_rrf's oracle verbatim — the
+    // oracle proves the stored path returns the identical fused ranking.
+    Q("q_hybrid_rrf_stored",
+      (s, dir) => {
+        val idx = graft.sources.TextIndexStore.ensure(s, dir)
+        graft.sources.TextIndexStore.hybridRrf(s, idx, Seq("hash", "join", "vector"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+                   stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+                   dfq AS (SELECT term, count(*) AS df FROM tf
+                           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.term,
+                                     tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / stats.avgdl)))
+                                       * ((stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS score
+                              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats),
+                   bm AS (SELECT doc_id,
+                                 coalesce(MAX(CASE WHEN term = 'hash' THEN score END), 0.0)
+                                 + coalesce(MAX(CASE WHEN term = 'join' THEN score END), 0.0)
+                                 + coalesce(MAX(CASE WHEN term = 'vector' THEN score END), 0.0) AS bm25
+                          FROM scored GROUP BY doc_id),
+                   rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+                          FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+                   nd AS (SELECT doc_id, COUNT(*) AS n_terms FROM tf GROUP BY 1),
+                   iq AS (SELECT doc_id, COUNT(*) AS inter FROM tf
+                          WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   jac AS (SELECT iq.doc_id,
+                                  CAST(iq.inter AS DOUBLE) / (nd.n_terms + 3 - iq.inter) AS jac
+                           FROM iq JOIN nd USING (doc_id)),
+                   rj AS (SELECT doc_id, row_number() OVER (ORDER BY jac DESC, doc_id) AS r
+                          FROM jac ORDER BY jac DESC, doc_id LIMIT 50)
+              SELECT COALESCE(rb.doc_id, rj.doc_id) AS doc_id,
+                     COALESCE(1000000000 // (60 + rb.r), 0)
+                       + COALESCE(1000000000 // (60 + rj.r), 0) AS rrf
+              FROM rb FULL OUTER JOIN rj ON rb.doc_id = rj.doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
+
     // Token co-occurrence lift (ratio PMI, no log — integer numerator and
     // denominator, ONE double division, bit-identical cross-engine):
     // lift(a,b) = N·df(a,b) / (df(a)·df(b)). The pair space is generated

@@ -13,6 +13,8 @@ import org.apache.spark.sql.types._
   *
   *   postings/bucket=<0..63>/   (term, doc_id, tf, dl, df)
   *   stats/                     (n_docs, avgdl)
+  *   docstats/                  (doc_id, n_terms, dl) — doc-keyed retriever
+  *                              stats (Jaccard denominators), doc_id-sorted
   *   _FINGERPRINT               freshness marker (see below)
   *
   * Two deliberate denormalizations make the read path a SINGLE pruned
@@ -56,10 +58,16 @@ object TextIndexStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Bumped when the index LAYOUT changes (e.g. v2 added docstats):
+    * the version is part of the fingerprint, so an index built by an
+    * older layout reads as stale and rebuilds instead of failing reads.
+    */
+  private val FormatVersion = 2
+
   private def fingerprintOf(spark: SparkSession, sfDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val st = fs(spark, sfDir).getFileStatus(p)
-    s"${p.toString}|${st.getLen}|${st.getModificationTime}"
+    s"v$FormatVersion|${p.toString}|${st.getLen}|${st.getModificationTime}"
   }
 
   /** Driver-side xxhash64(term) mod Buckets — the same arithmetic the
@@ -99,12 +107,19 @@ object TextIndexStore {
       // prunes inside the bucket as well
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
+    // per-doc stats (v2): n_terms (distinct-term count — the Jaccard
+    // retriever's denominator) + dl; doc_id-sorted so a candidate join
+    // row-group-prunes
+    val docstats = tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("dl"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
 
     val f = fs(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(indexDir)
     f.delete(root, true)
     postings.write.partitionBy("bucket").parquet(s"$indexDir/postings")
     stats.write.parquet(s"$indexDir/stats")
+    docstats.write.parquet(s"$indexDir/docstats")
     tf.unpersist()
     val out = f.create(new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
@@ -156,6 +171,54 @@ object TextIndexStore {
       .agg(perTerm.reduceLeft(_ + _).as("bm25"))
       .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid BM25 + token-set-Jaccard retrieval fused by reciprocal-rank
+    * (the q_hybrid_rrf semantics) over the STORED index: both retrievers
+    * read the same pruned postings scan; the Jaccard denominator comes
+    * from the doc-keyed `docstats` table joined only against the
+    * df-bounded candidate set (broadcast candidates, stream docstats) —
+    * so the whole query touches |query buckets|/64 of the postings plus
+    * one doc-stats scan, and the corpus never.
+    */
+  def hybridRrf(spark: SparkSession, indexDir: String, qterms: Seq[String],
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qbuckets = qterms.map(bucketOf).distinct.map(_.toLong)
+    val tfq = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(qbuckets: _*) && col("term").isin(qterms: _*))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    // retriever 1: BM25 (identical arithmetic to bm25() above)
+    val scored = tfq
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf") * 2.2 / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+          * ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    val perTerm = qterms.map(tm =>
+      coalesce(max(when(col("term") === tm, col("score"))), lit(0.0)))
+    val bm = scored.groupBy(col("doc_id"))
+      .agg(perTerm.reduceLeft(_ + _).as("bm25"))
+    val rb = bm.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+    // retriever 2: Jaccard(query set, doc's distinct-term set); inter
+    // comes from the pruned postings, n_terms from docstats — the
+    // candidate side broadcasts, the doc-stats table streams
+    val iq = tfq.groupBy(col("doc_id")).agg(count(lit(1)).as("inter"))
+    val docstats = spark.read.parquet(s"$indexDir/docstats")
+    val jac = docstats.join(broadcast(iq), Seq("doc_id"))
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / (col("n_terms") + lit(qterms.size) - col("inter")))
+    val rj = jac.orderBy(col("jac").desc, col("doc_id")).limit(50)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("jac").desc, col("doc_id"))))
+    // fusion: integer-division RRF on the two 50-row rank lists
+    rb.select(col("doc_id"), col("r").as("rb"))
+      .join(rj.select(col("doc_id"), col("r").as("rj")), Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "CAST(coalesce(1000000000 div (60 + rb), 0) + coalesce(1000000000 div (60 + rj), 0) AS LONG) AS rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 }

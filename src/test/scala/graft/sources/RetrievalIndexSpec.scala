@@ -76,6 +76,17 @@ class RetrievalIndexSpec extends SparkSpec {
     assert(stored == direct)
   }
 
+  test("stored-path hybrid RRF reads only the index and matches the in-query fusion") {
+    val df = TextIndexStore.hybridRrf(spark, idx, Seq("hash", "join", "vector"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_text_index") && !plan.contains("documents.parquet"),
+      s"stored-path RRF plan must scan the index, not the corpus:\n$plan")
+    val stored = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = graft.SparkEntry.queries("q_hybrid_rrf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stored == direct)
+  }
+
   test("fingerprint keeps a fresh index; ensure is idempotent") {
     val p = new org.apache.hadoop.fs.Path(s"$idx/postings")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
