@@ -654,19 +654,28 @@ object WarehouseOps {
 
     // Mergeable distinct sketches (Apache DataSketches HLL): per-day
     // sketches union into a per-type total WITHOUT re-reading the facts —
-    // the incremental-rollup contract exact distinct cannot offer (sketch
-    // bytes are engine-version-specific, so no SQL oracle; the ScalaTest
-    // spec bounds the estimate against the exact count).
+    // the incremental-rollup contract exact distinct cannot offer. Oracled
+    // by the exact-by-construction-domain trick: DataSketches HLL keeps an
+    // EXACT coupon list below its dense-promotion threshold (~hundreds of
+    // items at the default lgK), so over a 32-value domain every daily
+    // sketch AND their union report the exact distinct count (verified at
+    // sf0.001/0.01/0.1) and DuckDB's COUNT(DISTINCT) hash-matches. The
+    // mergeable-rollup structure (daily sketch images → union agg) is
+    // unchanged — that's what's being proven; the unbounded-domain
+    // production shape stays pinned by the estimate-error spec.
     Q("q_hll_union",
       (s, dir) =>
         t(s, dir, "events")
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .agg(hll_sketch_agg(col("user_id") % 32).as("sk"))
           .groupBy(col("event_type"))
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
             count(lit(1)).as("n_daily_sketches"))
           .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type,
+                     COUNT(DISTINCT user_id % 32) AS approx_users,
+                     COUNT(DISTINCT date_trunc('day', ts)) AS n_daily_sketches
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // Mergeable QUANTILE rollups — the percentile sibling of q_hll_union.
     // approx_percentile's state is not a storable value (daily percentiles

@@ -22,27 +22,29 @@ object GraftSqlShims {
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
 
-/** `ExpectsInputTypes` (and `AbstractDataType` in its signature) is
+/** `ImplicitCastInputTypes` (and `AbstractDataType` in its signature) is
   * private[sql] in Spark 4, so graft expressions can't implement declared
   * input coercion directly. These same-package traits re-export the
   * mechanism for the fixed signatures graft needs: mixing one in makes the
-  * analyzer insert implicit casts (int/long/float/decimal → double, etc.)
-  * and fail analysis — not runtime — on incompatible inputs.
+  * analyzer INSERT implicit casts (int/long/float/decimal → double, etc.)
+  * and fail analysis — not runtime — on genuinely incompatible inputs.
+  * (`ExpectsInputTypes` alone only validates; the Cast-inserting rule,
+  * ImplicitTypeCasts, keys on the ImplicitCastInputTypes subtrait.)
   */
 trait GraftExpectsDouble
-    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.DoubleType)
 }
 
 trait GraftExpectsBinary
-    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.BinaryType)
 }
 
 trait GraftExpectsBinaryDouble
-    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.BinaryType,
       org.apache.spark.sql.types.DoubleType)

@@ -53,6 +53,21 @@ class KllSpec extends SparkSpec {
     }
   }
 
+  test("non-double numeric inputs coerce at analysis (no runtime cast crash)") {
+    // kll_agg declares DoubleType input via the ExpectsInputTypes shim, so
+    // an int/long column gets an analyzer-inserted cast instead of a
+    // ClassCastException inside update (ADVICE r5)
+    val df = spark.range(1000).selectExpr("CAST(id AS INT) AS i", "id AS l")
+    val r = df.agg(
+      KllFunctions.kllQuantile(spark,
+        KllFunctions.kllAgg(spark, col("i")), 0.5).as("qi"),
+      KllFunctions.kllQuantile(spark,
+        KllFunctions.kllAgg(spark, col("l")), 0.5).as("ql"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 500.0) < 50, r.toString)
+    assert(math.abs(r.getDouble(1) - 500.0) < 50, r.toString)
+  }
+
   test("sketch images survive a store-and-reload round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
     // store daily sketches (the rollup table a warehouse would keep)...

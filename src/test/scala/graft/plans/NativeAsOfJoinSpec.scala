@@ -91,6 +91,17 @@ class NativeAsOfJoinSpec extends SparkSpec {
       .condition.toString.contains("rand"))
   }
 
+  test("an unknown direction throws, same contract as the DataFrame path") {
+    // without this, the Exec's dispatch would silently run NEAREST
+    // semantics for a typo like "fwd" (ADVICE r5)
+    val e = Tables.load(spark, sf0001, "events")
+    val l = e.select(col("event_id"), col("user_id"), col("ts"))
+    intercept[IllegalArgumentException] {
+      NativeAsOfJoin.join(l, l, Seq("user_id"), "ts", "ts", Seq("ts"),
+        direction = "fwd")
+    }
+  }
+
   test("physical plan declares key clustering (co-partitions like SMJ)") {
     val e = Tables.load(spark, sf0001, "events")
     val l = e.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts"))

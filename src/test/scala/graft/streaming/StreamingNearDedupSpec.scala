@@ -49,6 +49,24 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 7L), s"kept=${kept.toSeq}")
   }
 
+  test("a URI-schemed store dir still sees earlier batches (Hadoop FS probe)") {
+    // storeDir as a file: URI — java.io.File("file:/...").exists() is
+    // always false, so the pre-fix code silently treated the store as
+    // empty every batch and re-admitted near-duplicates (ADVICE r5); the
+    // Hadoop FileSystem probe resolves the scheme like the reads/writes do
+    val (store0, out, ckpt) = dirs()
+    val store = "file:" + store0
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingNearDedup.start(in.toDF().toDF("doc_id", "text"), store, out, ckpt)
+    in.addData((1L, base))
+    q.processAllAvailable()
+    in.addData((10L, nearDup)) // cross-batch near-dup: must be DROPPED
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L), s"kept=${kept.toSeq}")
+  }
+
   test("replaying a batch id converges: store and output overwrite, not double") {
     val (store, out, ckpt) = dirs()
     val mkBatch = (id: Long) => Seq((1L, base), (2L, other)).toDF("doc_id", "text")
