@@ -852,14 +852,19 @@ object WarehouseOps {
     // re-reading either half's facts, which is the whole point at 100 TB:
     // the facts are petabytes, the sketch table is kilobytes. Theta (not
     // HLL) because HLL union-only algebra cannot express intersection.
-    // Estimates are exact below the sketch's nominal k=4096 entries;
-    // ThetaSpec pins the set algebra against the exact twin above.
+    // Oracled by the exact-by-construction-domain trick: a theta sketch
+    // is a KMV sample that stays EXACT below its nominal k=4096 entries,
+    // so over the 1024-value domain every per-half sketch, intersection
+    // and union report exact set cardinalities (verified at sf0.001/
+    // 0.01/0.1) and DuckDB's exact set algebra hash-matches. The
+    // raw-domain audience semantics stay oracled via the exact twin
+    // above; ThetaSpec pins the estimate error beyond the exact regime.
     Q("q_theta_overlap",
       (s, dir) => {
         val mid = lit("2024-01-16 00:00:00").cast(TimestampType)
         t(s, dir, "events")
           .groupBy(col("event_type"), (col("ts") < mid).as("first_half"))
-          .agg(graft.functions.ThetaFunctions.thetaAgg(s, col("user_id")).as("sk"))
+          .agg(graft.functions.ThetaFunctions.thetaAgg(s, col("user_id") % 1024).as("sk"))
           .groupBy(col("event_type"))
           .agg(graft.functions.ThetaFunctions.thetaIntersectAgg(s, col("sk")).as("inter"),
             graft.functions.ThetaFunctions.thetaUnionAgg(s, col("sk")).as("uni"))
@@ -870,7 +875,15 @@ object WarehouseOps {
               .cast(LongType).as("approx_either"))
           .orderBy(col("event_type"))
       },
-      None),
+      Some("""WITH u AS (
+                SELECT event_type, user_id % 1024 AS ub,
+                       MAX(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS f1,
+                       MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS f2
+                FROM events GROUP BY 1, 2)
+              SELECT event_type,
+                     COUNT(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 END) AS approx_both,
+                     COUNT(*) AS approx_either
+              FROM u GROUP BY event_type ORDER BY event_type""")),
 
     // MERGE upsert (the CDC-apply algebra): base snapshot ⟕ delta batch →
     // new snapshot. Matched delta rows replace (op='U') or remove
