@@ -1128,8 +1128,13 @@ object TextDedup {
     // the exact Jaccard pairs (precision 1, measured recall) instead.
     // The "shuffle the hash, not the body" form of exact dedup: groups on
     // xxhash64(text) so the exchange carries 16-byte rows regardless of
-    // document size — the variant actually run at 100 TB. Engine-specific
-    // hash => no SQL oracle; DedupSpec proves it equals q_dedup_exact.
+    // document size — the variant actually run at 100 TB. The hash never
+    // reaches the OUTPUT (keeper_id, n_copies only), so the engine-
+    // specific hash doesn't block an oracle: GROUP BY the text itself
+    // partitions identically unless xxhash64 collides on the corpus —
+    // which DedupSpec independently disproves by pinning equality with
+    // q_dedup_exact (and a collision would flip this gate row red, which
+    // is the correct behavior for a collision).
     Q("q_dedup_exact_hash",
       (s, dir) =>
         t(s, dir, "documents")
@@ -1138,7 +1143,8 @@ object TextDedup {
           .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
           .select(col("keeper_id"), col("n_copies"))
           .orderBy(col("keeper_id")),
-      None),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+              FROM documents GROUP BY text ORDER BY keeper_id""")),
 
     Q("q_dedup_minhash",
       (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6)
