@@ -66,18 +66,17 @@ object CorpusOps {
     Q("q_tfidf",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // persisted: tf feeds BOTH the df aggregation and the scoring join,
-        // and cross-subtree plans re-execute (no CSE) — without this the
-        // corpus is tokenized and aggregated twice (at warehouse scale tf
-        // materializes to a table)
-        val tf = tokens(docs).groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .persist()
+        // the session-shared materialized tf: it feeds BOTH the df
+        // aggregation and the scoring join here (cross-subtree plans
+        // re-execute — no CSE), and the other retrieval queries reuse the
+        // same relation (at warehouse scale tf materializes to a table —
+        // sources.TextIndexStore is that form)
+        val tf = sharedTf(s, dir)
         val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-        val out = tf.join(dft, Seq("term"))
+        tf.join(dft, Seq("term"))
           .crossJoin(broadcast(n))
           .withColumn("score",
             col("tf").cast(DoubleType) * col("n_docs") / col("df"))
@@ -85,9 +84,6 @@ object CorpusOps {
           .filter(col("rn") <= 3)
           .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
           .orderBy(col("doc_id"), col("term"))
-          .localCheckpoint()
-        tf.unpersist()
-        out
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
                    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
@@ -614,7 +610,9 @@ object CorpusOps {
     Q("q_cooccur_lift",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val dt = tokens(docs).distinct().persist()
+        // the distinct (doc, term) set IS the shared tf's key set — reuse
+        // the session-materialized relation instead of re-tokenizing
+        val dt = sharedTf(s, dir).select(col("doc_id"), col("term"))
         val dfr = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val out = dt.as("a")
@@ -633,8 +631,6 @@ object CorpusOps {
           .select(col("term_a"), col("term_b"), col("df_ab"), col("lift"))
           .orderBy(col("lift").desc, col("term_a"), col("term_b"))
           .limit(20)
-          .localCheckpoint()
-        dt.unpersist()
         out
       },
       Some("""WITH dt AS (SELECT DISTINCT doc_id, term
