@@ -478,6 +478,68 @@ object WarehouseOps {
     // join), and the fact stream joins it on user_id. Week arithmetic
     // stays integral (datediff/7 on Monday-truncated dates), so the only
     // double is the final single-division retention ratio.
+    // Ordered 3-step conversion funnel (signup -> click -> purchase, each
+    // step within 7 days of the previous): the sequential-pattern operator
+    // retention/attribution don't cover — step N's qualifying window
+    // DEPENDS on the user's step-N-1 time, so this is not a conditional
+    // aggregation but a chain of user-keyed min-aggregates, each joined
+    // back to the (pre-filtered) event stream. Scale shape: every
+    // aggregate and join keys on user_id — three co-partitioned shuffles
+    // of per-stage survivor sets that only SHRINK down the funnel; the
+    // per-stage event scans are type-filtered before any join (predicate
+    // reaches the scan), and no window function ever sees the full
+    // stream. Output is 3 rows; the one double op is the final
+    // conversion division of two exact longs.
+    Q("q_funnel_steps",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val step = expr("INTERVAL 7 DAYS")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+          .persist()
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + step)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+          .persist()
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + step)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val counts =
+          s1.agg(count(lit(1)).as("users")).withColumn("step", lit(1L))
+            .unionAll(s2.agg(count(lit(1)).as("users")).withColumn("step", lit(2L)))
+            .unionAll(s3.agg(count(lit(1)).as("users")).withColumn("step", lit(3L)))
+        val base = s1.agg(count(lit(1)).as("step1_users"))
+        val out = counts.crossJoin(broadcast(base))
+          .select(col("step"),
+            col("users"),
+            (col("users").cast(DoubleType) / col("step1_users")).as("conversion"))
+          .orderBy(col("step"))
+          .localCheckpoint()
+        s1.unpersist(); s2.unpersist()
+        out
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                          WHERE event_type = 'signup' GROUP BY 1),
+                   s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                          FROM events e JOIN s1 USING (user_id)
+                          WHERE e.event_type = 'click'
+                            AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+                          GROUP BY 1),
+                   s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                          FROM events e JOIN s2 USING (user_id)
+                          WHERE e.event_type = 'purchase'
+                            AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+                          GROUP BY 1),
+                   c AS (SELECT 1 AS step, COUNT(*) AS users FROM s1
+                         UNION ALL SELECT 2, COUNT(*) FROM s2
+                         UNION ALL SELECT 3, COUNT(*) FROM s3)
+              SELECT CAST(step AS BIGINT) AS step, users,
+                     CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conversion
+              FROM c ORDER BY step""")),
+
     Q("q_retention",
       (s, dir) => {
         val ev = t(s, dir, "events")
