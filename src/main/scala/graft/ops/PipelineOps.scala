@@ -161,6 +161,46 @@ object PipelineOps {
                 FROM documents)
               WHERE rn <= 10 ORDER BY source, rn""")),
 
+    // Temperature-scaled source mixing (UniMax/multilingual-sampling
+    // shape): per-source keep rates are DERIVED FROM THE DATA — weight
+    // w_s = n_s^0.5 (alpha=0.5 flattens the source distribution), quota_s
+    // = T*w_s/SUM(w) for a total target T = half the corpus, keep
+    // fraction = min(1, quota_s/n_s) — unlike q_source_mix's fixed
+    // thresholds, this is the rate computation a real training mix runs.
+    // Selection stays md5-deterministic (hash-fraction < rate), so it is
+    // replay-stable and oracle-exact. Determinism discipline: the weights
+    // round to DECIMAL(18,6) before summing (exact, order-independent sum
+    // — a double SUM over sources would expose aggregation-order LSBs),
+    // and the rate expression mirrors the oracle's parenthesization so
+    // every double op is the same IEEE sequence on both engines. Scale
+    // shape: stats are source-cardinality (broadcast); the corpus pass is
+    // one scan + per-row hash compare, no shuffle before the declared sort.
+    Q("q_temperature_mix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("w", round(sqrt(col("n")), 6).cast(DecimalType(18, 6)))
+        val tots = stats.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
+        docs.join(broadcast(stats), Seq("source"))
+          .crossJoin(broadcast(tots))
+          .withColumn("rate", least(lit(1.0),
+            (lit(0.5) * col("tn") * (col("w").cast(DoubleType) / col("tw").cast(DoubleType))) / col("n")))
+          .filter(
+            conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+              .cast(LongType).cast(DoubleType) / lit(4294967296.0) < col("rate"))
+          .select(col("source"), col("doc_id"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""WITH stats AS (SELECT source, COUNT(*) AS n,
+                                    CAST(round(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS w
+                             FROM documents GROUP BY 1),
+                   tot AS (SELECT SUM(w) AS tw, SUM(n) AS tn FROM stats)
+              SELECT d.source, d.doc_id
+              FROM documents d JOIN stats USING (source), tot
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+                    < least(1.0, (0.5 * tn * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / n)
+              ORDER BY source, doc_id""")),
+
     // Source mixing: src0/src1 keep ~100%, src2 ~50%, everything else ~10%.
     Q("q_source_mix",
       (s, dir) => sourceMix(t(s, dir, "documents"),
