@@ -41,17 +41,39 @@ object CorpusOps {
     * distinct (doc, term) of the corpus slice under test, spilling to
     * disk if memory-tight.
     */
-  private val tfCache =
-    scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+  // Keyed on the SESSION OBJECT via a WeakHashMap — reference identity
+  // can't collide the way System.identityHashCode can, and a stopped
+  // session's entries become collectable instead of pinning DataFrames
+  // forever — and guarded by the same (len, mtime) corpus fingerprint
+  // TextIndexStore uses: the driver regenerates /root/testdata between
+  // rounds, and a vintage change must evict (and unpersist) the stale tf
+  // rather than serve it to q_tfidf/q_bm25/q_hybrid_rrf/q_cooccur_lift.
+  private val tfCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, (String, DataFrame)]]()
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${st.getLen}|${st.getModificationTime}"
+  }
   private def sharedTf(s: SparkSession, dir: String): DataFrame =
     tfCache.synchronized {
-      tfCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val tf = tokens(t(s, dir, "documents"))
-          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        tf.count() // materialize eagerly so reuse is a cache read
-        tf
-      })
+      val perSession = Option(tfCache.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, (String, DataFrame)]
+        tfCache.put(s, m)
+        m
+      }
+      val want = corpusFingerprint(s, dir)
+      perSession.get(dir) match {
+        case Some((have, tf)) if have == want => tf
+        case stale =>
+          stale.foreach { case (_, old) => old.unpersist() }
+          val tf = tokens(t(s, dir, "documents"))
+            .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          tf.count() // materialize eagerly so reuse is a cache read
+          perSession(dir) = (want, tf)
+          tf
+      }
     }
 
   val queries: Seq[Q] = Seq(

@@ -168,18 +168,21 @@ object PipelineOps {
     // fraction = min(1, quota_s/n_s) — unlike q_source_mix's fixed
     // thresholds, this is the rate computation a real training mix runs.
     // Selection stays md5-deterministic (hash-fraction < rate), so it is
-    // replay-stable and oracle-exact. Determinism discipline: the weights
-    // round to DECIMAL(18,6) before summing (exact, order-independent sum
-    // — a double SUM over sources would expose aggregation-order LSBs),
-    // and the rate expression mirrors the oracle's parenthesization so
-    // every double op is the same IEEE sequence on both engines. Scale
+    // replay-stable and oracle-exact. Determinism discipline: the weight
+    // is INTEGER-exact on both engines — w = floor(sqrt(n)*1e6) as BIGINT
+    // (IEEE sqrt and one multiply are bit-identical everywhere; floor of
+    // a double is too, unlike round(), whose half-up tie handling differs
+    // between Spark's BigDecimal path and DuckDB's float path) — summed
+    // as longs (exact, order-independent), and the rate expression
+    // mirrors the oracle's parenthesization so every double op is the
+    // same IEEE sequence on both engines. Scale
     // shape: stats are source-cardinality (broadcast); the corpus pass is
     // one scan + per-row hash compare, no shuffle before the declared sort.
     Q("q_temperature_mix",
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-          .withColumn("w", round(sqrt(col("n")), 6).cast(DecimalType(18, 6)))
+          .withColumn("w", floor(sqrt(col("n")) * lit(1e6)).cast(LongType))
         val tots = stats.agg(sum(col("w")).as("tw"), sum(col("n")).as("tn"))
         docs.join(broadcast(stats), Seq("source"))
           .crossJoin(broadcast(tots))
@@ -192,7 +195,7 @@ object PipelineOps {
           .orderBy(col("source"), col("doc_id"))
       },
       Some("""WITH stats AS (SELECT source, COUNT(*) AS n,
-                                    CAST(round(sqrt(COUNT(*)), 6) AS DECIMAL(18,6)) AS w
+                                    CAST(floor(sqrt(COUNT(*)) * 1e6) AS BIGINT) AS w
                              FROM documents GROUP BY 1),
                    tot AS (SELECT SUM(w) AS tw, SUM(n) AS tn FROM stats)
               SELECT d.source, d.doc_id

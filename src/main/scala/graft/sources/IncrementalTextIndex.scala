@@ -70,20 +70,21 @@ object IncrementalTextIndex {
         sum(col("dl")).as("sum_dl"))
       .withColumn("__batch_id", lit(batchId))
 
-    val mode = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(mode)
-    spark.conf.set(mode, "dynamic")
-    try {
-      postings.write.mode("overwrite").partitionBy("bucket", "__batch_id")
-        .parquet(s"$indexDir/postings")
-      termdelta.write.mode("overwrite").partitionBy("bucket", "__batch_id")
-        .parquet(s"$indexDir/termdelta")
-      corpusstats.write.mode("overwrite").partitionBy("__batch_id")
-        .parquet(s"$indexDir/corpusstats")
-    } finally prev match {
-      case Some(p) => spark.conf.set(mode, p)
-      case None => spark.conf.unset(mode)
-    }
+    // Per-writer option, not a session-conf set/restore: concurrent
+    // writers on one SparkSession could interleave the restore and run a
+    // write in static mode, deleting every untouched index partition.
+    postings.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "__batch_id")
+      .parquet(s"$indexDir/postings")
+    termdelta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket", "__batch_id")
+      .parquet(s"$indexDir/termdelta")
+    corpusstats.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(s"$indexDir/corpusstats")
     tf.unpersist()
     ()
   }

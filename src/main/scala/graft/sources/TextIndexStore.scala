@@ -48,11 +48,20 @@ object TextIndexStore {
 
   val Buckets = 64
 
-  /** Deterministic per-corpus index location (local default; any Hadoop
-    * FS URI works when passed explicitly).
+  /** Deterministic per-corpus index location. The root comes from Spark
+    * conf — `graft.index.dir` if set, else the first `spark.local.dir`
+    * entry — so a multi-tenant cluster isolates index stores per app
+    * instead of sharing a literal `/tmp` path; `/tmp` remains only the
+    * last-resort default (matching Spark's own `spark.local.dir` default).
+    * Any Hadoop FS URI works when a dir is passed explicitly.
     */
-  def defaultIndexDir(sfDir: String): String =
-    "/tmp/graft_text_index/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  def defaultIndexDir(spark: SparkSession, sfDir: String): String = {
+    val root = spark.conf.getOption("graft.index.dir")
+      .orElse(spark.sparkContext.getConf.getOption("spark.local.dir")
+        .map(_.split(",")(0).stripSuffix("/")))
+      .getOrElse("/tmp")
+    root + "/graft_text_index/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -114,31 +123,57 @@ object TextIndexStore {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("dl"))
       .repartition(1).sortWithinPartitions(col("doc_id"))
 
+    // Stage into a private temp dir, then swap into place with a single
+    // FS rename: a concurrent reader (bench + check.py overlap is a
+    // documented condition on this box) either sees the complete old
+    // index or the complete new one, never a half-built tree. The
+    // in-JVM `ensure` lock can't give that guarantee across processes.
     val f = fs(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(indexDir)
-    f.delete(root, true)
-    postings.write.partitionBy("bucket").parquet(s"$indexDir/postings")
-    stats.write.parquet(s"$indexDir/stats")
-    docstats.write.parquet(s"$indexDir/docstats")
+    val tmp = new org.apache.hadoop.fs.Path(
+      indexDir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+    postings.write.partitionBy("bucket").parquet(s"$tmp/postings")
+    stats.write.parquet(s"$tmp/stats")
+    docstats.write.parquet(s"$tmp/docstats")
     tf.unpersist()
-    val out = f.create(new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT"), true)
+    // _FINGERPRINT is written LAST: a tree without it always reads stale
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
+    f.mkdirs(root.getParent)
+    f.delete(root, true)
+    if (!f.rename(tmp, root)) {
+      // lost the swap race to a concurrent builder of the same corpus —
+      // its tree is equivalent (same deterministic build); drop ours and
+      // let ensure's post-build re-verify adjudicate
+      f.delete(tmp, true)
+    }
   }
 
-  /** Build iff missing or stale; returns the index dir. */
-  def ensure(spark: SparkSession, sfDir: String,
-      indexDir0: String = null): String = synchronized {
-    val indexDir = Option(indexDir0).getOrElse(defaultIndexDir(sfDir))
+  private def isFresh(spark: SparkSession, indexDir: String,
+      want: String): Boolean = {
     val f = fs(spark, indexDir)
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_FINGERPRINT")
-    val want = fingerprintOf(spark, sfDir)
-    val fresh = f.exists(marker) && {
+    f.exists(marker) && {
       val in = f.open(marker)
       val have = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       have == want
     }
-    if (!fresh) build(spark, sfDir, indexDir)
+  }
+
+  /** Build iff missing or stale; returns the index dir. Re-verifies the
+    * fingerprint after a build (the swap can lose a race to a concurrent
+    * process) and retries once, so a caller never proceeds on a tree that
+    * doesn't match the current corpus vintage.
+    */
+  def ensure(spark: SparkSession, sfDir: String,
+      indexDir0: String = null): String = synchronized {
+    val indexDir = Option(indexDir0).getOrElse(defaultIndexDir(spark, sfDir))
+    val want = fingerprintOf(spark, sfDir)
+    if (!isFresh(spark, indexDir, want)) {
+      build(spark, sfDir, indexDir)
+      if (!isFresh(spark, indexDir, want)) build(spark, sfDir, indexDir)
+    }
     indexDir
   }
 

@@ -110,19 +110,18 @@ object StreamingNearDedup {
       .select(col("doc_id"), col("text"), col("sig"))
       .localCheckpoint() // sever lineage before the two writes below
     sig.unpersist()
-    val mode = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(mode)
-    spark.conf.set(mode, "dynamic")
-    try {
-      banded(kept).select(col("band"), col("bh"), col("doc_id"), col("sig"),
-          lit(batchId).as("__batch_id"))
-        .write.mode("overwrite").partitionBy("__batch_id").parquet(storeDir)
-      kept.select(col("doc_id"), col("text"), lit(batchId).as("__batch_id"))
-        .write.mode("overwrite").partitionBy("__batch_id").parquet(outDir)
-    } finally prev match {
-      case Some(p) => spark.conf.set(mode, p)
-      case None => spark.conf.unset(mode)
-    }
+    // Per-writer option, not a session-conf set/restore: a concurrent
+    // writer on the same SparkSession could interleave the restore and
+    // run in static mode, wiping the other batches' store partitions.
+    banded(kept).select(col("band"), col("bh"), col("doc_id"), col("sig"),
+        lit(batchId).as("__batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(storeDir)
+    kept.select(col("doc_id"), col("text"), lit(batchId).as("__batch_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(outDir)
     kept
   }
 

@@ -47,14 +47,12 @@ object StreamingTopKJob {
           Window.partitionBy(col("group"))))
         .filter(col("n_seen") === col("__max_seen"))
         .drop("__max_seen")
-      val mode = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(mode)
-      spark.conf.set(mode, "dynamic")
-      try latest.write.mode("overwrite").partitionBy("group").parquet(outDir)
-      finally prev match {
-        case Some(p) => spark.conf.set(mode, p)
-        case None => spark.conf.unset(mode)
-      }
+      // Per-writer option, not a session-conf set/restore: two concurrent
+      // foreachBatch writers on one SparkSession could interleave the
+      // restore and run a write in static mode, wiping untouched partitions.
+      latest.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("group").parquet(outDir)
     }
   }
 

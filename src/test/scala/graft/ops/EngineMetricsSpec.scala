@@ -35,6 +35,11 @@ class EngineMetricsSpec extends SparkSpec {
     // (the query's empty-graph branch would be the whole plan)
     val (ranks, persisted) = WarehouseOps.pagerankRanks(spark, sf001)
     try {
+      // data-vintage guard: the driver regenerates testdata between
+      // rounds — if a regeneration empties the minute-grain graph there
+      // are no iterations to pin; cancel instead of failing on no defect
+      assume(persisted.nonEmpty,
+        "minute-grain co-occurrence graph is empty at sf0.01 for this testdata vintage")
       val nodes = EngineMetrics.ranPlanNodes(ranks)
       // the iterations' run must contain ZERO events file scans: the edge
       // build already materialized into the persisted ed/deg relations
@@ -55,13 +60,25 @@ class EngineMetricsSpec extends SparkSpec {
   }
 
   test("k-core: every peel round scans strictly fewer edges than the last") {
-    // K=8 (the query's own setting) peels 4 rounds at sf0.001
-    // (152 -> 138 -> 124 -> 98 edges); below K=8 the sf0.001 graph is
-    // already a core and nothing peels
-    val (ed, rounds) = WarehouseOps.kcorePeel(spark, sf0001, 8)
+    import org.apache.spark.sql.functions._
+    // K is DERIVED from the current data vintage (the driver regenerates
+    // /root/testdata between rounds, so a fixed K can silently stop
+    // peeling): one above the graph's minimum degree guarantees round 1
+    // peels whenever the graph is non-empty. The production query keeps
+    // its fixed K; this pin is about the peel loop's runtime property.
+    val (full, _) = WarehouseOps.kcorePeel(spark, sf0001, 0) // K=0: no peel, full graph back
+    val minDeg = try {
+      val r = full.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(min(col("d"))).collect().head
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    } finally full.unpersist()
+    assume(minDeg >= 0,
+      "sf0.001 co-occurrence graph is empty for this testdata vintage — nothing to peel")
+    val k = (minDeg + 1).min(Int.MaxValue.toLong).toInt
+    val (ed, rounds) = WarehouseOps.kcorePeel(spark, sf0001, k)
     try {
       assert(rounds.length >= 2,
-        s"peel must iterate at this K/SF to pin anything: $rounds")
+        s"K=$k exceeds the minimum degree, so round 1 must peel: $rounds")
       rounds.sliding(2).foreach { case Seq(a, b) =>
         assert(b < a, s"round edge counts must strictly shrink: $rounds")
       }
