@@ -94,4 +94,25 @@ missing = set(oracle) - set(declared)
 if missing:
     print("oracle entries with no result dir (query crashed?):", sorted(missing))
     fails += 1
+
+# Plan-fingerprint drift vs the committed artifact (PLANS.json, generated
+# from the sf0.01 gate run): an accidental plan change — lost broadcast,
+# new shuffle — surfaces here as one line instead of a 190-plan read.
+# Informational, not a gate failure: plans legitimately change with code;
+# the point is that they never change SILENTLY.
+if "sf0.01" in sfdir and os.path.exists(f"{outdir}/plans.json"):
+    new_plans = json.load(open(f"{outdir}/plans.json"))
+    if os.path.exists("/root/repo/PLANS.json"):
+        old_plans = json.load(open("/root/repo/PLANS.json"))
+        changed = sorted(k for k in new_plans if k in old_plans and old_plans[k] != new_plans[k])
+        added = sorted(k for k in new_plans if k not in old_plans)
+        gone = sorted(k for k in old_plans if k not in new_plans)
+        if changed or added or gone:
+            print(f"PLAN-DIFF changed={changed} added={added} removed={gone}"
+                  f" -- review, then: cp {outdir}/plans.json /root/repo/PLANS.json")
+        else:
+            print("PLAN-DIFF clean (all plan shapes match PLANS.json)")
+    else:
+        print(f"PLAN-DIFF no committed PLANS.json yet -- seed it: cp {outdir}/plans.json /root/repo/PLANS.json")
+
 sys.exit(1 if fails else 0)

@@ -36,13 +36,51 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Normalized physical-plan fingerprint, dumped per query alongside the
+    // results: lets the gate replica diff plans round-over-round (an
+    // accidental lost broadcast / new shuffle surfaces as one changed
+    // line in check.py instead of a 190-plan read). Expression ids, plan
+    // ids, file paths and size stats are normalized away so the
+    // fingerprint tracks plan SHAPE only.
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      // executedPlan, not sparkPlan: EnsureRequirements has inserted the
+      // exchanges by then, so the fingerprint sees shuffle/broadcast
+      // structure (pre-execution, so the AQE wrapper prints its initial
+      // plan — deterministic for a given code + conf)
+      val plan = df.queryExecution.executedPlan
+      val norm = plan.toString
+        .replaceAll("#\\d+L?", "#")
+        .replaceAll("plan_id=\\d+", "plan_id=")
+        .replaceAll("(file|hdfs|s3a?):[^,\\)\\]\\s]+", "path:_")
+        .replaceAll("\\(\\d+ paths?\\)", "(_ paths)")
+        .replaceAll("\\b\\d+(\\.\\d+)? ?(B|KiB|MiB|GiB)\\b", "_")
+        // JVM object-identity tokens (arrays/objects without a toString,
+        // e.g. reference objects inside custom expressions print as
+        // [F@1a2b3c) — vary per JVM run, carry no plan shape
+        .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@_")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val fp = md.digest(norm.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+      val s = plan.toString
+      def n(pat: String) = pat.r.findAllIn(s).length
+      s"$fp|ex${n("Exchange hashpartitioning") + n("Exchange rangepartitioning")}|bc${n("BroadcastExchange")}|sc${n("Scan ")}"
+    }
+    val plans = scala.collection.mutable.TreeMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        try plans(name) = planFingerprint(df)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name plan fingerprint failed: ${e.getMessage}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/plans.json"),
+      plans.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -67,6 +67,66 @@ object Multimodal {
     }
   }
 
+  /** Typed metadata from a REAL image decode (see decodeImagesBatched). */
+  final case class ImageMeta(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      pixel_crc: Long) // CRC32 over row-major ARGB bytes of the DECODED pixels
+
+  /** REAL DECODER behind the same batched seam as decodeBatched:
+    * `javax.imageio` ships with the JDK (zero new dependencies) and
+    * decodes PNG/JPEG/BMP/GIF payloads for real — so the decode path is
+    * public-knowledge working code, not only a stub; decodeStub remains
+    * for the synthetic (non-image) media table. `pixel_crc` fingerprints
+    * the DECODED pixels rather than the container bytes — the content
+    * hash a media-dedup pass wants, since the same pixels re-encoded
+    * (different compression level, stripped metadata) yield different
+    * container bytes but the same pixel CRC.
+    *
+    * `batchInit` runs once per `batchSize` rows — the seam's codec-init
+    * amortization contract, observable (MultimodalSpec pins the call
+    * count with an accumulator). Undecodable payloads are SKIPPED, the
+    * R2 bad-record contract (the reference skips malformed records
+    * rather than failing the batch —
+    * src/lambda_processor/processor_stock_quotes.py:56-62).
+    */
+  def decodeImagesBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[ImageMeta] = {
+    implicit val enc = Encoders.product[ImageMeta]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit() // per-batch decoder initialization happens HERE, once
+        val crc = new java.util.zip.CRC32() // reused across the batch
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None // not a decodable image: skip, don't fail
+          else {
+            crc.reset()
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                crc.update(p >>> 24)
+                crc.update((p >>> 16) & 0xff)
+                crc.update((p >>> 8) & 0xff)
+                crc.update(p & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageMeta(id, img.getWidth, img.getHeight,
+              bytes.length.toLong, crc.getValue))
+          }
+        }
+      }
+    }
+  }
+
   /** STUB RESIZE — deterministic fake: a real implementation decodes,
     * scales, re-encodes; the stub truncates/pads to the target byte budget
     * (w*h/8) so downstream size accounting is exercised for real. Batched

@@ -85,8 +85,20 @@ object Similarity {
     val rnd = new scala.util.Random(42)
     val planes: Seq[Seq[Float]] =
       Seq.fill(nPlanes)(Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
-    val codes = emb.withColumn("code",
-        VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable))
+    // planesPerTable == 0 is the EXACT REGIME: zero hyperplanes means a
+    // zero-bit signature, so every (non-null) vector lands in the one
+    // universal bucket and banding is provably lossless — candidate
+    // recall is 1.0 BY CONSTRUCTION, for any data, and the pipeline's
+    // output equals the brute-force oracle while still exercising the
+    // full LSH plumbing (code column, bucket explode, bucket join,
+    // candidate dedup, exact re-rank). The q_hll_union convention:
+    // oracle the exact regime, spec-pin the raw production parameters.
+    val codes = (if (planesPerTable == 0)
+        emb.withColumn("code",
+          when(col("embedding").isNotNull, array(lit(0))))
+      else
+        emb.withColumn("code",
+          VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable)))
       .select(col("vec_id"), col("embedding"), col("code"))
     val e = withNorm(s, codes)
     val buckets = e.select(col("vec_id"), col("embedding"), col("norm"),
@@ -124,9 +136,15 @@ object Similarity {
     // dedup, so the bucket self-join shuffles 16-byte rows, not vectors
     // (carrying the arrays through was ~900 MB of shuffle at sf0.1, 9 s;
     // this shape is ~1 s). All bucket codes come from one fused
-    // MultiPlaneCode pass over the vector.
-    val buckets = emb.withColumn("code",
-        VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable))
+    // MultiPlaneCode pass over the vector. planesPerTable == 0 is the
+    // EXACT REGIME (one universal bucket, banding provably lossless —
+    // same convention as lshTopK): candidates = all pairs, output = the
+    // exact near-dup set, and the pipeline is oracle-able.
+    val buckets = (if (planesPerTable == 0)
+        emb.withColumn("code", when(col("embedding").isNotNull, array(lit(0))))
+      else
+        emb.withColumn("code",
+          VectorFunctions.multiPlaneCode(col("embedding"), planes, planesPerTable)))
       .select(col("vec_id"), posexplode(col("code")).as(Seq("tbl", "bkt")))
     val cand = buckets.select(col("vec_id").as("a_id"), col("tbl"), col("bkt"))
       .join(buckets.select(col("vec_id").as("b_id"), col("tbl"), col("bkt")),
@@ -356,6 +374,96 @@ object Similarity {
                   FROM e a CROSS JOIN cent c) WHERE rn = 1)"""
   }
 
+  // DuckDB mirror of the full IVF query: the kmeans CTEs give the refined
+  // centroids (cent) and every vector's cell (asg); each query probes its
+  // `nprobe` top-dot centroids (ties -> larger cell, the NearestCells
+  // convention), candidates are the probed cells' members, and the final
+  // ranking is the exact index-ordered cosine — the same SQL serves the
+  // in-query and stored-index forms, proving the stored path faithful.
+  private def sqlIvfTopK(nlist: Int, nprobe: Int, nQueries: Int, k: Int): String = {
+    def dc(a: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH ${sqlKmeansCtes(nlist)},
+           probe AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT a.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                       FROM e a CROSS JOIN cent c WHERE a.vec_id < $nQueries)
+                     WHERE rn <= $nprobe),
+           cand AS (SELECT p.q_id, s.vec_id AS n_id
+                    FROM probe p JOIN asg s ON s.cell = p.cell
+                    WHERE s.vec_id <> p.q_id)
+         SELECT q_id, rank, n_id, cosine FROM (
+           SELECT c.q_id, c.n_id,
+                  ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine,
+                  row_number() OVER (PARTITION BY c.q_id
+                    ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, c.n_id) AS rank
+           FROM cand c JOIN embeddings a ON a.vec_id = c.q_id
+                       JOIN embeddings b ON b.vec_id = c.n_id)
+         WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  // DuckDB mirror of the full IVF-PQ query — the kmeans CTEs (centroids,
+  // cell assignments) + the q_pq_codes CTEs (codebook, argmin-L2 codes)
+  // + the ADC pipeline: per-query decimal-exact partial-dot LUT, summed
+  // approximate scores over the probed cells' code rows, top k x rerank
+  // pool, exact cosine re-rank. Every approximate score is an exact
+  // DECIMAL sum, so the approximate RANKING is engine-independent and
+  // the whole pipeline oracles — IVF-PQ is deterministic end-to-end,
+  // not seed-dependent.
+  private def sqlIvfPqTopK(nlist: Int, nprobe: Int, nQueries: Int, k: Int,
+      nSub: Int, nCent: Int, rerank: Int): String = {
+    val subDim = 64 / nSub
+    def dc(a: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH ${sqlKmeansCtes(nlist)},
+           cb AS (SELECT s.s, CAST(c.vec_id AS INT) AS cid,
+                         list_transform(range(1, ${subDim + 1}), i -> c.embedding[s.s*$subDim + i]) AS cv
+                  FROM e c CROSS JOIN (SELECT unnest(range(0, $nSub)) AS s) s
+                  WHERE c.vec_id < $nCent),
+           dist AS (SELECT a.vec_id, cb.s, cb.cid,
+                           list_reduce(list_prepend(0.0, list_transform(range(1, ${subDim + 1}),
+                             i -> (a.embedding[cb.s*$subDim + i]::DOUBLE - cb.cv[i]::DOUBLE)
+                                * (a.embedding[cb.s*$subDim + i]::DOUBLE - cb.cv[i]::DOUBLE))),
+                             (acc, x) -> acc + x) AS d
+                    FROM e a CROSS JOIN cb),
+           code AS (SELECT vec_id, s, cid FROM (
+                      SELECT vec_id, s, cid,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d ASC, cid ASC) AS rn
+                      FROM dist) WHERE rn = 1),
+           probe AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT a.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                       FROM e a CROSS JOIN cent c WHERE a.vec_id < $nQueries)
+                     WHERE rn <= $nprobe),
+           lut AS (SELECT q.vec_id AS q_id, cb.s, cb.cid,
+                          CAST(list_reduce(list_prepend(0.0, list_transform(range(1, ${subDim + 1}),
+                            i -> q.embedding[cb.s*$subDim + i]::DOUBLE * cb.cv[i]::DOUBLE)),
+                            (acc, x) -> acc + x) AS DECIMAL(24,9)) AS pdot
+                   FROM e q CROSS JOIN cb WHERE q.vec_id < $nQueries),
+           approx AS (SELECT p.q_id, sa.vec_id AS n_id, SUM(l.pdot) AS ad
+                      FROM probe p JOIN asg sa ON sa.cell = p.cell
+                           JOIN code cd ON cd.vec_id = sa.vec_id
+                           JOIN lut l ON l.q_id = p.q_id AND l.s = cd.s AND l.cid = cd.cid
+                      WHERE sa.vec_id <> p.q_id
+                      GROUP BY 1, 2),
+           pool AS (SELECT q_id, n_id FROM (
+                      SELECT q_id, n_id,
+                             row_number() OVER (PARTITION BY q_id
+                               ORDER BY ad DESC, n_id) AS rn
+                      FROM approx) WHERE rn <= ${k * rerank})
+         SELECT q_id, rank, n_id, cosine FROM (
+           SELECT p.q_id, p.n_id,
+                  ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine,
+                  row_number() OVER (PARTITION BY p.q_id
+                    ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, p.n_id) AS rank
+           FROM pool p JOIN embeddings a ON a.vec_id = p.q_id
+                       JOIN embeddings b ON b.vec_id = p.n_id)
+         WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
   // DuckDB mirror of the double-promoted, index-ordered fold.
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
@@ -385,22 +493,65 @@ object Similarity {
                  WHERE a.vec_id < 20)
                WHERE rank <= 5 ORDER BY q_id, rank""")),
 
-    // Sketch-dependent: no SQL oracle; SimilaritySpec measures recall vs
-    // the brute-force result.
+    // LSH top-k in the EXACT REGIME (planesPerTable = 0: one universal
+    // bucket, banding provably lossless for any data — see lshTopK), so
+    // the full LSH pipeline is oracled end-to-end against the brute-force
+    // SQL. The raw production parameters (16 tables x 4 planes) stay
+    // recall-spec-pinned in SimilaritySpec — the q_hll_union convention
+    // for sketch families: oracle the exact regime, spec the raw one.
     Q("q_sim_topk_lsh",
-      (s, dir) => lshTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
+      (s, dir) => lshTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5,
+          tables = 1, planesPerTable = 0)
         .orderBy(col("q_id"), col("rank")),
-      None),
+      Some(s"""SELECT q_id, rank, n_id, cosine FROM (
+                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                        ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine,
+                        row_number() OVER (PARTITION BY a.vec_id
+                          ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, b.vec_id) AS rank
+                 FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+                 WHERE a.vec_id < 20 AND a.embedding IS NOT NULL
+                   AND b.embedding IS NOT NULL)
+               WHERE rank <= 5 ORDER BY q_id, rank""")),
 
+    // IVF is deterministic end-to-end (seeded k-means, dot-ordered probe,
+    // exact re-rank), so unlike a seeded sketch it ADMITS a full SQL
+    // mirror — oracled since round 7 rather than spec-pinned.
     Q("q_sim_topk_ivf",
       (s, dir) => ivfTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
-      None),
+      Some(sqlIvfTopK(nlist = 16, nprobe = 4, nQueries = 20, k = 5))),
 
+    // IVF top-k over the STORED vector index (sources.VectorIndexStore) —
+    // the lake-scale ANN shape: centroids + cell-partitioned inverted
+    // lists are built ONCE per corpus, and the query is a cell-PRUNED
+    // lists scan (PartitionFilters on the hive `cell` column, pinned by
+    // VectorIndexSpec) with ZERO corpus access — query vectors and
+    // candidates both come from the index. Shares q_sim_topk_ivf's
+    // oracle verbatim: the oracle proves the stored path bit-identical
+    // to the in-query path.
+    Q("q_sim_topk_ivf_stored",
+      (s, dir) => {
+        val idx = graft.sources.VectorIndexStore.ensure(s, dir)
+        graft.sources.VectorIndexStore.ivfTopK(s, idx, nQueries = 20, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(sqlIvfTopK(nlist = 16, nprobe = 4, nQueries = 20, k = 5))),
+
+    // LSH near-dup in the EXACT REGIME (planesPerTable = 0, same
+    // convention as q_sim_topk_lsh): banding is provably lossless, so the
+    // bucket-join pipeline is oracled against the exact all-pairs SQL;
+    // the raw 16x4 production shape stays precision/recall-spec-pinned
+    // in SimilaritySpec.
     Q("q_embed_neardup_lsh",
-      (s, dir) => embedNearDupLsh(s, t(s, dir, "embeddings"), 0.5)
+      (s, dir) => embedNearDupLsh(s, t(s, dir, "embeddings"), 0.5,
+          tables = 1, planesPerTable = 0)
         .orderBy(col("a_id"), col("b_id")),
-      None),
+      Some(s"""SELECT a_id, b_id, cosine FROM (
+                 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                 WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL)
+               WHERE cosine >= 0.5 ORDER BY a_id, b_id""")),
 
     // Deterministic k-means assignment (seed = first 8 ids, one
     // decimal-exact Lloyd refinement) — the clustering stage SemDeDup and
@@ -464,12 +615,27 @@ object Similarity {
               FROM code GROUP BY vec_id ORDER BY vec_id""")),
 
     // IVF-PQ top-k: compressed candidates + ADC scoring + exact re-rank.
-    // Sketch-dependent (no SQL oracle); PipelineOpsSpec measures recall
-    // vs the brute-force result.
+    // Deterministic end-to-end (seeded codebook, decimal-exact partial
+    // dots), so it admits a full SQL mirror — oracled since round 7;
+    // SimilaritySpec additionally measures recall vs the brute force.
     Q("q_ivfpq_topk",
       (s, dir) => ivfPqTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
-      None),
+      Some(sqlIvfPqTopK(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
+        nSub = 8, nCent = 16, rerank = 4))),
+
+    // IVF-PQ over the STORED vector index: candidates from the
+    // cell-pruned codes table, ADC LUT from the stored codebook, exact
+    // re-rank against the pruned lists — zero corpus access (plan-pinned
+    // by VectorIndexSpec), same oracle as the in-query form.
+    Q("q_ivfpq_topk_stored",
+      (s, dir) => {
+        val idx = graft.sources.VectorIndexStore.ensure(s, dir)
+        graft.sources.VectorIndexStore.ivfPqTopK(s, idx, nQueries = 20, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(sqlIvfPqTopK(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
+        nSub = 8, nCent = 16, rerank = 4))),
 
     // Per-vector uint8 quantization audit (min/max affine scheme): scale
     // and RMS reconstruction error per embedding — the compression-loss

@@ -252,7 +252,8 @@ object TextDedup {
     * band-bucket collisions — this is the 100 TB path.
     */
   def minhashPairs(docs: DataFrame, minJaccard: Double,
-      bands: Int = 16, rows: Int = 4): DataFrame = {
+      bands: Int = 16, rows: Int = 4,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
     val numHashes = bands * rows
     // One shingling pass, persisted as doc-level hash ARRAYS — both the
     // signature pass and the (exploded) verification probes re-read the
@@ -267,16 +268,30 @@ object TextDedup {
     // is order-preserving and degenerates to single-hash minhash; ANSI
     // mode also forbids the wrapping 64-bit arithmetic a mod-prime family
     // would need.)
-    val sig = sh.select(col("doc_id"), col("n_sh"),
-        graft.functions.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
+    //
+    // rows == 0 is the EXACT REGIME (the q_sim_topk_lsh convention): a
+    // zero-row band means a zero-length signature, so every doc shares
+    // one universal bucket and banding is provably lossless for any
+    // data. Because verification below is the EXACT Jaccard anyway, the
+    // output equals the exact pair set — oracle-able. maxBucket must be
+    // lifted with it: the skew guard would otherwise drop the universal
+    // bucket and return nothing.
+    val sig = (if (rows == 0)
+        sh.select(col("doc_id"), col("n_sh"),
+          lit(null).cast(ArrayType(LongType)).as("sig"))
+      else
+        sh.select(col("doc_id"), col("n_sh"),
+          graft.functions.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig")))
       .persist()
-    val banded = sig.select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, xxhash64(slice(sig, b * $rows + 1, $rows)) AS bh))"))
-          .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val banded = if (rows == 0)
+        sig.select(col("doc_id"), lit(0).as("band"), lit(0L).as("bh"))
+      else sig.select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, xxhash64(slice(sig, b * $rows + 1, $rows)) AS bh))"))
+            .as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val small = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
       .select(col("band"), col("bh"))
     val pruned = banded.join(broadcast(small), Seq("band", "bh"))
     val cand = pruned.as("x").join(pruned.as("y"),
@@ -1146,10 +1161,17 @@ object TextDedup {
       Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
               FROM documents GROUP BY text ORDER BY keeper_id""")),
 
+    // MinHash+LSH in the EXACT REGIME (rows = 0: one universal bucket,
+    // banding provably lossless; verification is the exact Jaccard
+    // already) — oracled against the same SQL as the exact n-gram pair
+    // queries, proving the banding+verify pipeline faithful end-to-end.
+    // The raw 16x4 production shape stays precision/recall-spec-pinned
+    // in DedupSpec.
     Q("q_dedup_minhash",
-      (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6)
+      (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6,
+          bands = 1, rows = 0, maxBucket = Int.MaxValue)
         .orderBy(col("a_id"), col("b_id")),
-      None),
+      Some(ngramOracleSql)),
 
     Q("q_dedup_simhash",
       (s, dir) => simhashPairs(t(s, dir, "documents"), 3)

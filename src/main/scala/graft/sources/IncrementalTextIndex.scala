@@ -120,6 +120,57 @@ object IncrementalTextIndex {
       .limit(k)
   }
 
+  /** Compact the merge-on-read deltas into the BATCH index layout
+    * (TextIndexStore's postings/stats/docstats) WITHOUT re-reading the
+    * corpus — the LSM fold the header promises. After compaction the
+    * store is served by the exact read path the stored-index queries use
+    * (`TextIndexStore.bm25` / `hybridRrf`, i.e. q_bm25_stored /
+    * q_hybrid_rrf_stored), with read cost back to one pruned scan
+    * instead of growing with batch count: the streaming job maintains
+    * deltas, a periodic compaction (scheduled like LakeMaintenance's
+    * small-file pass) publishes the query-optimal image. Scores are
+    * bit-identical across the three forms — df folds to the same count,
+    * avgdl is the same one double division — pinned by
+    * IncrementalIndexSpec.
+    *
+    * Same stage-and-atomic-swap as TextIndexStore.build, so readers of
+    * `storeDir` never see a half-compacted tree. The fingerprint marks
+    * the store as stream-built: `TextIndexStore.ensure` would treat it
+    * as stale against a corpus file, which is correct — a stream-built
+    * store has no single source file to be fresh against.
+    */
+  def compactTo(spark: SparkSession, indexDir: String, storeDir: String): Unit = {
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val dfAll = spark.read.parquet(s"$indexDir/termdelta")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = spark.read.parquet(s"$indexDir/corpusstats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast(DoubleType) / sum(col("n_docs"))).as("avgdl"))
+    val merged = postings.select(col("term"), col("doc_id"), col("tf"),
+        col("dl"), col("bucket"))
+      .join(dfAll, Seq("term"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+    // each doc lives in exactly one batch, so per-doc stats fold without
+    // double-count: n_terms = its posting count, dl rides on every posting
+    val docstats = postings.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), max(col("dl")).as("dl"))
+      .repartition(1).sortWithinPartitions(col("doc_id"))
+    val f = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(
+      storeDir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+    merged.write.partitionBy("bucket").parquet(s"$tmp/postings")
+    stats.write.parquet(s"$tmp/stats")
+    docstats.write.parquet(s"$tmp/docstats")
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
+    try out.write(s"stream-compacted|$indexDir".getBytes("UTF-8")) finally out.close()
+    f.mkdirs(root.getParent)
+    f.delete(root, true)
+    if (!f.rename(tmp, root)) f.delete(tmp, true)
+  }
+
   /** Wire a (doc_id, text) document stream into continuous index
     * maintenance — the lake job: each micro-batch lands as its own index
     * partitions, and the index is queryable between batches.

@@ -34,4 +34,67 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decodeStub(1L, "image", "hello".getBytes)
     assert(a == b && a.n_bytes == 5 && a.width == 21)
   }
+
+  /** Deterministic test image: a w x h gradient-ish RGB pattern. */
+  private def testImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31 + y * 17 + seed * 101) & 0xffffff))
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private def crcOf(img: java.awt.image.BufferedImage): Long = {
+    val crc = new java.util.zip.CRC32()
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      crc.update(p >>> 24); crc.update((p >>> 16) & 0xff)
+      crc.update((p >>> 8) & 0xff); crc.update(p & 0xff)
+    }
+    crc.getValue
+  }
+
+  test("ImageIO decoder: real PNG/JPEG bytes decode to true dims and pixel checksum") {
+    import spark.implicits._
+    val png = testImage(23, 11, seed = 1)
+    val jpg = testImage(16, 9, seed = 2)
+    val jpgBytes = encode(jpg, "jpg")
+    // expected JPEG pixels = what the same codec decodes (JPEG is lossy,
+    // so the reference checksum comes from a driver-side decode of the
+    // same bytes); PNG is lossless, so its reference checksum comes
+    // straight from the original image
+    val jpgDecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpgBytes))
+    val rows = Seq(
+      (1L, encode(png, "png")),
+      (2L, jpgBytes),
+      (3L, "not an image at all".getBytes("UTF-8"))) // must be skipped, not fail
+    val metas = Multimodal.decodeImagesBatched(
+        rows.toDF("media_id", "bytes"), batchSize = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet == Set(1L, 2L), "undecodable payload must be skipped")
+    assert(metas(1L).width == 23 && metas(1L).height == 11)
+    assert(metas(1L).pixel_crc == crcOf(png), "PNG round-trip is lossless")
+    assert(metas(2L).width == 16 && metas(2L).height == 9)
+    assert(metas(2L).pixel_crc == crcOf(jpgDecoded))
+  }
+
+  test("ImageIO decoder: per-batch init runs once per batch, not per row") {
+    import spark.implicits._
+    val bytes = encode(testImage(8, 8, seed = 3), "png")
+    val df = (1L to 10L).map(i => (i, bytes)).toDF("media_id", "bytes")
+      .repartition(1)
+    val batches = spark.sparkContext.longAccumulator("batches")
+    Multimodal.decodeImagesBatched(df, batchSize = 4,
+      batchInit = () => batches.add(1)).count()
+    // 10 rows / batchSize 4 in one partition = 3 batches — per-batch
+    // amortization, the seam's contract (per-row init would read 10)
+    assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
+  }
 }

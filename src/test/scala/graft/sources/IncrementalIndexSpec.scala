@@ -74,6 +74,32 @@ class IncrementalIndexSpec extends SparkSpec {
       "incremental read path must never touch the corpus")
   }
 
+  test("compaction folds deltas into the batch layout served by the stored-index read path") {
+    val dir = tmp()
+    val (b0, b1) = halves()
+    IncrementalTextIndex.appendBatch(spark, b0, 0L, s"$dir/idx")
+    IncrementalTextIndex.appendBatch(spark, b1, 1L, s"$dir/idx")
+    IncrementalTextIndex.compactTo(spark, s"$dir/idx", s"$dir/store")
+    // the compacted store is read by TextIndexStore.bm25 — the exact
+    // q_bm25_stored read path — and scores bit-identically to both the
+    // merge-on-read form and a from-corpus batch rebuild
+    val compacted = TextIndexStore.bm25(spark, s"$dir/store", qterms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val incr = IncrementalTextIndex.bm25(spark, s"$dir/idx", qterms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == incr, s"compacted=$compacted\nincr=$incr")
+    val full = TextIndexStore.ensure(spark, sf0001)
+    val batch = TextIndexStore.bm25(spark, full, qterms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == batch)
+    // hybrid RRF exercises docstats too — the whole store layout is live
+    val rrfStore = TextIndexStore.hybridRrf(spark, s"$dir/store", qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rrfBatch = TextIndexStore.hybridRrf(spark, full, qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rrfStore == rrfBatch)
+  }
+
   test("streaming job maintains the index across micro-batches") {
     val dir = tmp()
     val in = MemoryStream[(Long, String)]
