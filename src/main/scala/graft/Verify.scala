@@ -58,6 +58,10 @@ object Verify {
         // e.g. reference objects inside custom expressions print as
         // [F@1a2b3c) — vary per JVM run, carry no plan shape
         .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@_")
+        // JVM lambda class names (typed-aggregator plans print e.g.
+        // TopKAggregator$$Lambda$2345/0x00007f...) — per-run identities
+        .replaceAll("\\$\\$Lambda\\$?\\d*(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda\\$_")
+        .replaceAll("/0x[0-9a-fA-F]+", "/0x_")
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val fp = md.digest(norm.getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString

@@ -276,42 +276,63 @@ object TextDedup {
     // output equals the exact pair set — oracle-able. maxBucket must be
     // lifted with it: the skew guard would otherwise drop the universal
     // bucket and return nothing.
-    val sig = (if (rows == 0)
-        sh.select(col("doc_id"), col("n_sh"),
-          lit(null).cast(ArrayType(LongType)).as("sig"))
-      else
-        sh.select(col("doc_id"), col("n_sh"),
-          graft.functions.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig")))
-      .persist()
-    val banded = if (rows == 0)
-        sig.select(col("doc_id"), lit(0).as("band"), lit(0L).as("bh"))
-      else sig.select(col("doc_id"),
+    // Verification inputs: SORTED arrays for the allocation-free
+    // sorted_intersect_count codegen kernel — equal to
+    // size(array_intersect) on these distinct sets (property-pinned),
+    // but a two-pointer long merge instead of a per-pair hash set +
+    // materialized intersection array. The LENGTH-RATIO prune is
+    // lossless (jaccard >= j forces min(na,nb) >= j*max(na,nb), the
+    // set-similarity-join standard bound ngramJaccardPairs also applies)
+    // and fuses BEFORE the kernel runs.
+    val shSorted = sh.select(col("doc_id"), col("n_sh"),
+      array_sort(col("hs")).as("hs"))
+    val ratioOk = least(col("na"), col("nb")).cast(DoubleType) >=
+      lit(minJaccard) * greatest(col("na"), col("nb"))
+    val av = shSorted.select(col("doc_id").as("a_id"), col("n_sh").as("na"),
+      col("hs").as("ha"))
+    val bv = shSorted.select(col("doc_id").as("b_id"), col("n_sh").as("nb"),
+      col("hs").as("hb"))
+    val scored = if (rows == 0) {
+      // The universal bucket means every row shares ONE join key — an
+      // equi-join on it would run all pair generation in a single
+      // partition, and attaching arrays to a 12.5M-pair relation via
+      // size-misestimated joins plans sort-merge. Instead: the
+      // q_embed_neardup shape — one broadcast cross join of the
+      // sorted-array relation against itself with the id order + ratio
+      // prune as a DOWNSTREAM filter (a filter fuses into whole-stage
+      // codegen with the kernel; the same predicate as a BNLJ join
+      // condition evaluates interpreted per combination and was ~5x
+      // slower). repartition() first: the corpus file may be a single
+      // split, and BNLJ parallelism is the stream side's.
+      av.repartition().crossJoin(broadcast(bv))
+        .filter(col("a_id") < col("b_id") && ratioOk)
+    } else {
+      val sig = sh.select(col("doc_id"),
+        graft.functions.TextFunctions.minhashSignature(col("hs"), numHashes).as("sig"))
+      val banded = sig.select(col("doc_id"),
           explode(expr(
             s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, xxhash64(slice(sig, b * $rows + 1, $rows)) AS bh))"))
             .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
-    val small = banded.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
-      .select(col("band"), col("bh"))
-    val pruned = banded.join(broadcast(small), Seq("band", "bh"))
-    val cand = pruned.as("x").join(pruned.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    // Exact verification on the persisted hash ARRAYS (hs is the doc's
-    // DISTINCT shingle set): size(array_intersect) equals the posting-
-    // join intersection count, but only CANDIDATE docs' arrays move —
-    // band-pruned candidate volume, not the full posting list.
-    val common = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("ha")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("hb")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        size(array_intersect(col("ha"), col("hb"))).cast(LongType).as("c"))
-    val counts = sig.select(col("doc_id"), col("n_sh"))
-    val verified = common
-      .join(broadcast(counts.select(col("doc_id").as("a_id"), col("n_sh").as("na"))), Seq("a_id"))
-      .join(broadcast(counts.select(col("doc_id").as("b_id"), col("n_sh").as("nb"))), Seq("b_id"))
+      val small = banded.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+        .select(col("band"), col("bh"))
+      val pruned = banded.join(broadcast(small), Seq("band", "bh"))
+      val cand = pruned.as("x").join(pruned.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      // candidate volume is band-pruned here, so attach-then-filter is
+      // cheap — but the array sides must broadcast EXPLICITLY (their
+      // size estimate inherits the corpus text column and overshoots)
+      cand.join(broadcast(av), Seq("a_id"))
+        .join(broadcast(bv), Seq("b_id"))
+        .filter(ratioOk)
+    }
+    val verified = scored
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
+        graft.functions.TextFunctions.sortedIntersectCount(col("ha"), col("hb")).as("c"))
       .withColumn("jaccard",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= minJaccard)
@@ -319,7 +340,6 @@ object TextDedup {
     // persist -> materialize -> unpersist: no caches outlive the query
     val out = verified.localCheckpoint()
     sh.unpersist()
-    sig.unpersist()
     out
   }
 

@@ -25,6 +25,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(joined.count() == docs.count())
   }
 
+  test("SortedIntersectCount == size(array_intersect) on the corpus' sorted shingle sets") {
+    val docs = Tables.load(spark, sf0001, "documents").select("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      array_sort(TextFunctions.shingleHashes(col("text"))).as("hs"))
+    // every within-stride pair (bounded cross join): kernel count must
+    // equal the built-in's on these distinct sorted sets
+    val a = sh.select(col("doc_id").as("a_id"), col("hs").as("ha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("hs").as("hb"))
+    val pairs = a.join(b, col("a_id") % 25 === col("b_id") % 25 && col("a_id") < col("b_id"))
+      .select(
+        TextFunctions.sortedIntersectCount(col("ha"), col("hb")).as("fast"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("SortedIntersectCount edge cases: empty, disjoint, identical, interleaved") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0L),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0L),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),
+      (Seq(-5L, 0L, 7L, 9L), Seq(-5L, 7L, 8L), 2L),
+      (Seq(Long.MinValue, Long.MaxValue), Seq(Long.MinValue, 0L, Long.MaxValue), 2L))
+    val df = cases.toDF("a", "b", "want")
+      .select(TextFunctions.sortedIntersectCount(col("a"), col("b")).as("got"), col("want"))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("WordShingleHashes edge cases: short texts, empty string, repeated spaces") {
     import spark.implicits._
     val df = Seq(
