@@ -32,6 +32,14 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // exercise the injected function/strategy path, same as a cluster would
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // plan-fingerprint stability: FileScan metadata strings truncate at
+      // spark.sql.maxMetadataStringLength CHARS before normalization can
+      // strip expression-id digits — and exprIds grow with session query
+      // count, so a string near the boundary flips truncation depending
+      // on how many queries ran before it (a spurious PLAN-DIFF). Raise
+      // the cap so metadata text is complete, then normalization makes
+      // it run-invariant.
+      .config("spark.sql.maxMetadataStringLength", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,7 +50,7 @@ object Verify {
     // line in check.py instead of a 190-plan read). Expression ids, plan
     // ids, file paths and size stats are normalized away so the
     // fingerprint tracks plan SHAPE only.
-    def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    def planFingerprint(name: String, df: org.apache.spark.sql.DataFrame): String = {
       // executedPlan, not sparkPlan: EnsureRequirements has inserted the
       // exchanges by then, so the fingerprint sees shuffle/broadcast
       // structure (pre-execution, so the AQE wrapper prints its initial
@@ -65,6 +73,14 @@ object Verify {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       val fp = md.digest(norm.getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
+      // diagnosis affordance: dump the normalized text a fingerprint
+      // hashes, so a spurious PLAN-DIFF can be root-caused by diffing
+      // two dumps instead of guessing which token escaped normalization
+      if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) {
+        val d = Paths.get(s"$outDir/plantext")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve(s"$name.txt"), norm)
+      }
       val s = plan.toString
       def n(pat: String) = pat.r.findAllIn(s).length
       s"$fp|ex${n("Exchange hashpartitioning") + n("Exchange rangepartitioning")}|bc${n("BroadcastExchange")}|sc${n("Scan ")}"
@@ -73,7 +89,7 @@ object Verify {
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        try plans(name) = planFingerprint(df)
+        try plans(name) = planFingerprint(name, df)
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name plan fingerprint failed: ${e.getMessage}")
         }

@@ -351,10 +351,11 @@ object Similarity {
   // vectors, argmax-dot assign (ties -> larger cell, mirroring the
   // reversed struct sort), decimal-exact refined means cast to FLOAT,
   // then the final argmax-dot assignment.
-  private def sqlKmeansCtes(k: Int): String = {
+  private def sqlKmeansCtes(k: Int,
+      pred: String = "embedding IS NOT NULL"): String = {
     def d(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
-    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings WHERE $pred),
         seed AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS c FROM e WHERE vec_id < $k),
         s0 AS (SELECT vec_id, cell FROM (
                  SELECT a.vec_id, s.cell,
@@ -392,6 +393,42 @@ object Similarity {
                      WHERE rn <= $nprobe),
            cand AS (SELECT p.q_id, s.vec_id AS n_id
                     FROM probe p JOIN asg s ON s.cell = p.cell
+                    WHERE s.vec_id <> p.q_id)
+         SELECT q_id, rank, n_id, cosine FROM (
+           SELECT c.q_id, c.n_id,
+                  ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine,
+                  row_number() OVER (PARTITION BY c.q_id
+                    ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, c.n_id) AS rank
+           FROM cand c JOIN embeddings a ON a.vec_id = c.q_id
+                       JOIN embeddings b ON b.vec_id = c.n_id)
+         WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  // DuckDB mirror of the INCREMENTAL IVF query: the vintage (centroids)
+  // comes from clustering only the BASE predicate's vectors, but the
+  // whole corpus — base + appended — is assigned onto those frozen
+  // centroids for candidate generation, exactly the frozen-vintage
+  // append semantics of sources.IncrementalVectorIndex.
+  private def sqlIvfIncrTopK(nlist: Int, nprobe: Int, nQueries: Int, k: Int,
+      basePred: String): String = {
+    def dc(a: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH ${sqlKmeansCtes(nlist, s"embedding IS NOT NULL AND ($basePred)")},
+           all_e AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE embedding IS NOT NULL),
+           asg_all AS (SELECT vec_id, cell FROM (
+                         SELECT a.vec_id, c.cell,
+                                row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                         FROM all_e a CROSS JOIN cent c) WHERE rn = 1),
+           probe AS (SELECT vec_id AS q_id, cell FROM (
+                       SELECT a.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                       FROM all_e a CROSS JOIN cent c WHERE a.vec_id < $nQueries)
+                     WHERE rn <= $nprobe),
+           cand AS (SELECT p.q_id, s.vec_id AS n_id
+                    FROM probe p JOIN asg_all s ON s.cell = p.cell
                     WHERE s.vec_id <> p.q_id)
          SELECT q_id, rank, n_id, cosine FROM (
            SELECT c.q_id, c.n_id,
@@ -628,6 +665,32 @@ object Similarity {
     // cell-pruned codes table, ADC LUT from the stored codebook, exact
     // re-rank against the pruned lists — zero corpus access (plan-pinned
     // by VectorIndexSpec), same oracle as the in-query form.
+    // IVF over the INCREMENTALLY MAINTAINED vector index
+    // (sources.IncrementalVectorIndex): the vintage is frozen on the
+    // even-id half of the corpus (baseBuild: centroids + codebook), the
+    // odd-id half arrives as an APPEND assigned onto the frozen
+    // centroids, and the query runs over the merged per-batch
+    // partitions. The oracle mirrors exactly that: cluster the base
+    // predicate, assign the whole corpus onto those centroids — so the
+    // green row proves the frozen-vintage append semantics, not just
+    // the read path. A fresh temp index per invocation keeps the query
+    // self-contained (replay-safe: stale batches can never leak in).
+    Q("q_sim_topk_ivf_incr",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_ivf_incr")
+          .toString + "/idx"
+        graft.sources.IncrementalVectorIndex.baseBuild(
+          s, emb.filter(col("vec_id") % 2 === 0), idx)
+        graft.sources.IncrementalVectorIndex.appendBatch(
+          s, emb.filter(col("vec_id") % 2 =!= 0), 1L, idx)
+        graft.sources.IncrementalVectorIndex.ivfTopK(s, idx, nQueries = 20, k = 5)
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(sqlIvfIncrTopK(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
+        basePred = "vec_id % 2 = 0"))),
+
     Q("q_ivfpq_topk_stored",
       (s, dir) => {
         val idx = graft.sources.VectorIndexStore.ensure(s, dir)
