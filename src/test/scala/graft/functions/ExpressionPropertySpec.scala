@@ -88,6 +88,20 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       codes == expect
     }
 
+  property("SortedIntersectCount == toSet.intersect reference on sorted distinct arrays") =
+    forAll(Gen.listOf(Gen.chooseNum(-50L, 50L)), Gen.listOf(Gen.chooseNum(-50L, 50L))) {
+      (a0, b0) =>
+        val a = a0.distinct.sorted
+        val b = b0.distinct.sorted
+        val got = SortedIntersectCount(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            a, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            b, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+          .eval(null).asInstanceOf[Long]
+        got == a.toSet.intersect(b.toSet).size.toLong
+    }
+
   property("KarpRabinFingerprint == codepoint fold (acc*31+cp mod 1e9+7) reference") =
     forAll(text) { t =>
       // the reference is the interpreted-HOF recurrence it replaced:
