@@ -102,7 +102,13 @@ if missing:
 # the point is that they never change SILENTLY.
 if "sf0.01" in sfdir and os.path.exists(f"{outdir}/plans.json"):
     new_plans = json.load(open(f"{outdir}/plans.json"))
-    if os.path.exists("/root/repo/PLANS.json"):
+    committed = json.load(open("/root/repo/PLANS.json")) if os.path.exists("/root/repo/PLANS.json") else {}
+    if committed and len(new_plans) < 0.9 * len(committed):
+        # targeted Verify run: most queries absent by design — a
+        # "removed" wall would be noise, so diff only the present ones
+        changed = sorted(k for k in new_plans if k in committed and committed[k] != new_plans[k])
+        print(f"PLAN-DIFF (targeted run, {len(new_plans)} queries) changed={changed}")
+    elif os.path.exists("/root/repo/PLANS.json"):
         old_plans = json.load(open("/root/repo/PLANS.json"))
         changed = sorted(k for k in new_plans if k in old_plans and old_plans[k] != new_plans[k])
         added = sorted(k for k in new_plans if k not in old_plans)

@@ -204,6 +204,91 @@ object PipelineOps {
                     < least(1.0, (0.5 * tn * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / n)
               ORDER BY source, doc_id""")),
 
+    // Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    // Spirakis A-ES): per source, keep the top-20 docs by the key
+    // u^(1/w) — equivalently ln(u)/w, monotone — where u is the doc's
+    // md5-fraction and w = n_chars (the quality/size proxy a curation
+    // pass samples proportional to). Deterministic: u is hash-derived,
+    // so replays/retries converge, unlike rand()-weighted sampling.
+    // Determinism discipline: the key is quantized to an INTEGER —
+    // floor(ln(u)/w * 1e9) as BIGINT — before ranking and output (ln is
+    // not guaranteed bit-identical across libm implementations; at 1e-9
+    // granularity a boundary flip needs a ~1e-8-relative coincidence,
+    // the q_kl_sources DECIMAL(24,9) convention), ties broken by doc_id
+    // in both engines. Scale shape: one keyed shuffle on source, per-key
+    // sort-based rank — the weighted stratified-sample plan.
+    Q("q_weighted_sample",
+      (s, dir) => {
+        val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType).cast(DoubleType) + 1.0) / 4294967296.0
+        val skey = floor(log(u) / col("n_chars").cast(DoubleType) * lit(1e9))
+          .cast(LongType)
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("skey").desc, col("doc_id"))
+        t(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .select(col("source"), col("doc_id"), skey.as("skey"))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 20)
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, doc_id, skey, rn FROM (
+                SELECT source, doc_id, skey,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY skey DESC, doc_id) AS BIGINT) AS rn
+                FROM (SELECT source, doc_id,
+                             CAST(floor(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+                                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS skey
+                      FROM documents WHERE n_chars > 0))
+              WHERE rn <= 20 ORDER BY source, rn""")),
+
+    // Deterministic round-robin source interleave: round r of the
+    // training order carries each source's r-th document (doc_id order),
+    // so sources alternate evenly instead of concatenating — the "shuffle
+    // sources, not just rows" property a mixed pretraining corpus wants
+    // even before the epoch-level q_epoch_shuffle runs. One keyed window
+    // per source; the interleaved ORDER is the deliverable (a range
+    // exchange at scale), no global row_number is materialized.
+    Q("q_interleave_sources",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"))
+          .withColumn("round", row_number().over(w).cast(LongType) - 1)
+          .select(col("round"), col("source"), col("doc_id"))
+          .orderBy(col("round"), col("source"), col("doc_id"))
+      },
+      Some("""SELECT CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - 1 AS round,
+                     source, doc_id
+              FROM documents ORDER BY round, source, doc_id""")),
+
+    // Length-bucketed batch assignment: docs grouped into 16-token-wide
+    // length buckets, then packed 8 per batch in doc_id order — the
+    // padding-efficiency batching step before a trainer (same-length
+    // sequences batch together, so pad waste is bounded by the bucket
+    // width). Integer arithmetic end to end; one keyed shuffle on the
+    // bucket, per-bucket sort-based rank.
+    Q("q_length_buckets",
+      (s, dir) => {
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("bucket", expr("n_tok div 16"))
+          .withColumn("rn", row_number().over(w).cast(LongType) - 1)
+          .select(col("bucket"), expr("rn div 8").as("batch_id"),
+            (col("rn") % 8).as("pos_in_batch"), col("doc_id"), col("n_tok"))
+          .orderBy(col("bucket"), col("batch_id"), col("pos_in_batch"))
+      },
+      Some("""SELECT bucket, rn // 8 AS batch_id, rn % 8 AS pos_in_batch, doc_id, n_tok
+              FROM (SELECT doc_id, n_tok, bucket,
+                           CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) - 1 AS rn
+                    FROM (SELECT doc_id,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket
+                          FROM documents))
+              ORDER BY bucket, batch_id, pos_in_batch""")),
+
     // Source mixing: src0/src1 keep ~100%, src2 ~50%, everything else ~10%.
     Q("q_source_mix",
       (s, dir) => sourceMix(t(s, dir, "documents"),
