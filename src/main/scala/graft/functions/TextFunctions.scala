@@ -537,6 +537,95 @@ object KarpRabinFingerprint {
   }
 }
 
+/** Hashed-feature linear text classifier score in one pass over the
+  * UTF-8 bytes (the fasttext-style "score every document with a tiny
+  * linear model" curation step, with a deterministic public weight
+  * scheme so the oracle can mirror it). Per word (split on 0x20, empty
+  * segments skipped): the word's Karp-Rabin codepoint fold
+  * `acc = (acc*31 + cp) % 1e9+7` (identical recurrence to
+  * [[KarpRabinFingerprint]]) is bucketed into 256 features
+  * (`acc % 256`), each feature carrying the fixed integer weight
+  * `(bucket * 2654435761) % 2001 - 1000` (Knuth multiplicative hash →
+  * [-1000, 1000]); the result is the integer weight sum — the caller
+  * divides by `1000 * n_words` for the [-1, 1] score, keeping every
+  * engine-crossing value integer-exact.
+  *
+  * Equals the DuckDB form
+  * `list_sum(list_transform(list_filter(string_split(text,' '), w -> w <> ''),
+  *    w -> ((list_reduce(list_prepend(0::BIGINT,
+  *            list_transform(string_split(w,''), c -> ascii(c)::BIGINT)),
+  *          (a,x) -> (a*31+x) % 1000000007) % 256) * 2654435761) % 2001 - 1000))`.
+  */
+case class LinearTextScore(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"linear_text_score expects a string column, got ${child.dataType.catalogString}")
+
+  def computeRow(s: UTF8String): Long = LinearTextScore.compute(s)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("linScorer", this, classOf[LinearTextScore].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LinearTextScore =
+    copy(child = newChild)
+
+  override def prettyName: String = "linear_text_score"
+}
+
+object LinearTextScore {
+
+  private val Mod = 1000000007L
+  private val Knuth = 2654435761L
+
+  def compute(s: UTF8String): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var score = 0L
+    var acc = 0L
+    var sawChar = false
+    var i = 0
+    while (i < len) {
+      val b0 = Platform.getByte(base, off + i) & 0xFF
+      if (b0 == 0x20) {
+        if (sawChar) score += (acc % 256L) * Knuth % 2001L - 1000L
+        acc = 0L
+        sawChar = false
+        i += 1
+      } else {
+        var cp = 0
+        var nb = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; nb = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; nb = 3 }
+        else { cp = b0 & 0x07; nb = 4 }
+        var j = 1
+        while (j < nb && i + j < len) {
+          cp = (cp << 6) | (Platform.getByte(base, off + i + j) & 0x3F)
+          j += 1
+        }
+        acc = (acc * 31L + cp) % Mod
+        sawChar = true
+        i += nb
+      }
+    }
+    if (sawChar) score += (acc % 256L) * Knuth % 2001L - 1000L
+    score
+  }
+}
+
 /** Per-document word statistics in one pass over the UTF-8 bytes:
   * struct<n_tokens, n_uniq, sum_len, stop_hits> (all long) where words
   * are the `split(text, " ")` segments (every 0x20 byte is a separator,
@@ -732,6 +821,11 @@ object TextFunctions {
   def karpRabinFingerprint(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       KarpRabinFingerprint(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Hashed-feature linear classifier integer score (one byte pass). */
+  def linearTextScore(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      LinearTextScore(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
 
   /** One-pass word stats struct (n_tokens, n_uniq, sum_len, stop_hits). */
   def wordStats(c: Column, stopwords: Seq[String]): Column =

@@ -380,6 +380,53 @@ object StatsOps {
                      (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
                       sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
                        AS autocorr_lag1
-              FROM a ORDER BY event_type"""))
+              FROM a ORDER BY event_type""")),
+
+    // CUSUM change-point detection per event_type: the classic "where did
+    // the level shift" scan. The drift statistic is kept integer-exact —
+    // values become cents (round half-up, identical on both engines for
+    // 2-decimal inputs), and |i*total - n*cum| is pure BIGINT arithmetic,
+    // so the argmax is deterministic with an event_id tiebreak. Plan: one
+    // hash shuffle on event_type, two window passes over it, no joins.
+    Q("q_cusum_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val st = ev
+          .withColumn("i", row_number().over(wOrd).cast(LongType))
+          .withColumn("cum", sum(col("cents")).over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("total", sum(col("cents")).over(wAll))
+          .withColumn("stat",
+            abs(col("i") * col("total") - col("n") * col("cum")))
+        val wPick = Window.partitionBy(col("event_type"))
+          .orderBy(col("stat").desc, col("event_id").asc)
+        st.withColumn("rn", row_number().over(wPick))
+          .where(col("rn") === 1)
+          .select(col("event_type"), col("event_id").as("cp_event_id"),
+            col("ts").as("cp_ts"), col("stat").as("cusum_stat"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+              w AS (SELECT event_type, event_id, ts,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS i,
+                     CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS cum,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n,
+                     CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT) AS total
+              FROM e),
+              st AS (SELECT event_type, event_id, ts,
+                     abs(i * total - n * cum) AS stat,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(i * total - n * cum) DESC, event_id ASC) AS rn
+              FROM w)
+              SELECT event_type, event_id AS cp_event_id, ts AS cp_ts,
+                     CAST(stat AS BIGINT) AS cusum_stat
+              FROM st WHERE rn = 1 ORDER BY event_type"""))
   )
 }

@@ -331,6 +331,166 @@ object TextOps {
                      list_reduce(list_prepend(0::BIGINT,
                        list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
                        (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // Markup stripping (crawl boilerplate removal): documents carry no
+    // HTML, so a deterministic wrapper is synthesized per row (the
+    // q_url_parse fixture pattern — the synthesis IS the fixture), then
+    // stripped with one tag-regex pass + entity unescape. Pure per-row
+    // codegen — streams at input bandwidth; the synthesized tags exercise
+    // attribute quoting, nesting, and an entity in one shape.
+    Q("q_html_strip",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val html = concat(lit("<div id=\"d"), col("doc_id").cast(StringType),
+          lit("\"><p>"),
+          expr("replace(text, 'table', '<b>table</b>')"),
+          lit(" &amp; more</p></div>"))
+        val clean = expr(
+          "replace(regexp_replace(html, '<[^>]+>', ''), '&amp;', '&')")
+        docs.withColumn("html", html)
+          .select(col("doc_id"),
+            length(col("html")).cast(LongType).as("len_html"),
+            clean.as("clean"),
+            length(clean).cast(LongType).as("len_clean"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                     '<div id="d' || doc_id || '"><p>' ||
+                       replace(text, 'table', '<b>table</b>') ||
+                       ' &amp; more</p></div>' AS html
+              FROM documents)
+              SELECT doc_id, CAST(length(html) AS BIGINT) AS len_html,
+                     replace(regexp_replace(html, '<[^>]+>', '', 'g'), '&amp;', '&') AS clean,
+                     CAST(length(replace(regexp_replace(html, '<[^>]+>', '', 'g'), '&amp;', '&')) AS BIGINT) AS len_clean
+              FROM h ORDER BY doc_id""")),
+
+    // Sentence segmentation stats: a deterministic terminator is
+    // synthesized (every ' row ' becomes '. '), then the per-document
+    // sentence list is analyzed entirely with array HOFs — count, total
+    // and max words, mean sentence length — zero explode, zero shuffle
+    // before the declared sort. Integer totals; the mean is one IEEE
+    // division so both engines agree bitwise.
+    Q("q_sentences",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("sents",
+            split(expr("replace(text, ' row ', '. ')"), "\\. "))
+          .select(col("doc_id"),
+            size(col("sents")).cast(LongType).as("n_sentences"),
+            expr("aggregate(sents, 0L, (a, x) -> a + size(split(x, ' ')))")
+              .as("total_words"),
+            expr("array_max(transform(sents, x -> size(split(x, ' '))))")
+              .cast(LongType).as("max_words"))
+          .withColumn("avg_words",
+            col("total_words").cast(DoubleType) / col("n_sentences"))
+          .orderBy(col("doc_id")),
+      Some("""WITH s AS (SELECT doc_id,
+                     regexp_split_to_array(replace(text, ' row ', '. '), '\. ') AS ls
+              FROM documents)
+              SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_sentences,
+                     CAST(list_sum(list_transform(ls, x -> len(string_split(x, ' ')))) AS BIGINT) AS total_words,
+                     CAST(list_max(list_transform(ls, x -> len(string_split(x, ' ')))) AS BIGINT) AS max_words,
+                     CAST(list_sum(list_transform(ls, x -> len(string_split(x, ' ')))) AS DOUBLE) / len(ls) AS avg_words
+              FROM s ORDER BY doc_id""")),
+
+    // Flesch-style readability: words, synthesized sentences (same ' row '
+    // terminator as q_sentences), and a vowel-group syllable heuristic via
+    // one regexp_count pass. The score is a fixed left-associated double
+    // expression — two IEEE divisions, two multiplies, two subtractions —
+    // identical trees on both engines, so no rounding is needed.
+    Q("q_readability",
+      (s, dir) => {
+        val words = size(split(col("text"), " ")).cast(LongType)
+        val sents = size(split(expr("replace(text, ' row ', '. ')"), "\\. "))
+          .cast(LongType)
+        val vg = regexp_count(col("text"), lit("[aeiou]+")).cast(LongType)
+        t(s, dir, "documents")
+          .select(col("doc_id"), words.as("words"), sents.as("sentences"),
+            vg.as("vowel_groups"))
+          .withColumn("flesch",
+            lit(206.835)
+              - lit(1.015) * (col("words").cast(DoubleType) / col("sentences"))
+              - lit(84.6) * (col("vowel_groups").cast(DoubleType) / col("words")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                     CAST(len(regexp_split_to_array(replace(text, ' row ', '. '), '\. ')) AS BIGINT) AS sentences,
+                     CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_groups
+              FROM documents)
+              SELECT doc_id, words, sentences, vowel_groups,
+                     206.835::DOUBLE
+                       - 1.015::DOUBLE * (CAST(words AS DOUBLE) / sentences)
+                       - 84.6::DOUBLE * (CAST(vowel_groups AS DOUBLE) / words) AS flesch
+              FROM w ORDER BY doc_id""")),
+
+    // Sequence packing composition map (GPT-style document concatenation):
+    // documents are laid end-to-end in doc_id order and cut into fixed
+    // 256-token training sequences; each output row is one (document,
+    // sequence) overlap with its token count — the lineage map a trainer
+    // needs to attribute a loss spike back to source documents. Offsets
+    // come from the two-phase running sum (tokenShards, budget=256), so
+    // no global single-partition scan; the explode is O(total_tokens/256).
+    Q("q_pack_sequences",
+      (s, dir) => {
+        val L = 256L
+        tokenShards(t(s, dir, "documents"), budget = L)
+          .withColumn("seq_last",
+            floor((col("offset") + col("n_tokens") - 1) / L.toDouble)
+              .cast(LongType))
+          .withColumn("seq", explode(sequence(col("shard"), col("seq_last"))))
+          .select(col("doc_id"), col("seq"),
+            (least(col("offset") + col("n_tokens"), (col("seq") + 1) * L)
+              - greatest(col("offset"), col("seq") * L)).as("tok_in_seq"))
+          .orderBy(col("doc_id"), col("seq"))
+      },
+      Some("""WITH o AS (SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)),
+              b AS (SELECT doc_id, off, n_tokens,
+                     CAST(FLOOR(off / 256.0) AS BIGINT) AS s0,
+                     CAST(FLOOR((off + n_tokens - 1) / 256.0) AS BIGINT) AS s1
+              FROM o)
+              SELECT doc_id, seq,
+                     CAST(least(off + n_tokens, (seq + 1) * 256) - greatest(off, seq * 256) AS BIGINT) AS tok_in_seq
+              FROM (SELECT doc_id, off, n_tokens, unnest(range(s0, s1 + 1)) AS seq FROM b)
+              ORDER BY doc_id, seq""")),
+
+    // Model-based quality scoring (the fasttext-style curation
+    // classifier): a 256-feature hashed linear model with a fixed public
+    // weight scheme, evaluated in ONE codegen byte pass per document
+    // (functions.LinearTextScore — per-word Karp-Rabin fold -> bucket ->
+    // Knuth-hash weight, integer sum). The only double op is the final
+    // normalization division, so both engines agree bitwise; the keep
+    // decision is the score sign. At 100 TB this is a pure map —
+    // streams at input bandwidth, no shuffle before the declared sort.
+    Q("q_quality_classifier",
+      (s, dir) => {
+        val nWords = size(split(col("text"), " ")).cast(LongType)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.linearTextScore(col("text"))
+              .as("score_int"),
+            nWords.as("n_words"))
+          .withColumn("score",
+            col("score_int").cast(DoubleType) / (lit(1000.0) * col("n_words")))
+          .withColumn("keep", col("score_int") > 0L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sc AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(
+                       list_filter(string_split(text, ' '), w -> w <> ''),
+                       w -> ((list_reduce(list_prepend(0::BIGINT,
+                               list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                             (a, x) -> (a * 31 + x) % 1000000007) % 256)
+                             * 2654435761) % 2001 - 1000)) AS BIGINT) AS score_int,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+              FROM documents)
+              SELECT doc_id, score_int, n_words,
+                     CAST(score_int AS DOUBLE) / (1000.0::DOUBLE * n_words) AS score,
+                     score_int > 0 AS keep
+              FROM sc ORDER BY doc_id"""))
   )
 }

@@ -171,4 +171,13 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
         .toLongArray().toSeq
       got == expect
     }
+
+  property("LinearTextScore == per-word KarpRabin/bucket/Knuth-weight reference") =
+    forAll(text) { t =>
+      val expect = t.split(" ", -1).toSeq.filter(_.nonEmpty).map { w =>
+        val h = w.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31L + cp) % 1000000007L)
+        (h % 256L) * 2654435761L % 2001L - 1000L
+      }.sum
+      LinearTextScore.compute(UTF8String.fromString(t)) == expect
+    }
 }
