@@ -127,6 +127,62 @@ object Multimodal {
     }
   }
 
+  /** Typed metadata from a REAL audio decode (see decodeAudioBatched). */
+  final case class AudioMeta(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      pcm_crc: Long) // CRC32 over the DECODED PCM byte stream
+
+  /** REAL AUDIO DECODER behind the same batched seam — the audio sibling
+    * of decodeImagesBatched: `javax.sound.sampled` ships with the JDK
+    * (pure-Java WAV/AIFF/AU container parsing, no native codecs needed),
+    * so the audio decode path is working public-knowledge code too.
+    * `pcm_crc` fingerprints the decoded PCM frames, not the container
+    * bytes — the same "content hash survives re-encoding" property the
+    * image pixel_crc gives media dedup. duration_ms is integer-exact
+    * (frames * 1000 / rate in long arithmetic). Undecodable payloads are
+    * SKIPPED (the R2 bad-record contract), and `batchInit` observes the
+    * once-per-batch codec-init amortization exactly like the image seam.
+    */
+  def decodeAudioBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit() // per-batch decoder initialization happens HERE, once
+        val crc = new java.util.zip.CRC32() // reused across the batch
+        val buf = new Array[Byte](8192)
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              crc.reset()
+              var n = ais.read(buf)
+              while (n > 0) { crc.update(buf, 0, n); n = ais.read(buf) }
+              val frames = ais.getFrameLength
+              val rate = math.round(fmt.getSampleRate).toInt
+              Some(AudioMeta(id, rate, fmt.getChannels,
+                fmt.getSampleSizeInBits, frames,
+                frames * 1000L / rate, crc.getValue))
+            } finally ais.close()
+          } catch {
+            // not a decodable audio container: skip, don't fail the batch
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        }
+      }
+    }
+  }
+
   /** STUB RESIZE — deterministic fake: a real implementation decodes,
     * scales, re-encodes; the stub truncates/pads to the target byte budget
     * (w*h/8) so downstream size accounting is exercised for real. Batched

@@ -374,6 +374,77 @@ object Temporal {
               FROM events e JOIN events v
                 ON e.user_id = v.user_id AND e.event_type = 'error' AND v.event_type = 'view'
                AND v.ts >= e.ts - INTERVAL 10 MINUTE AND v.ts <= e.ts
-              ORDER BY user_id, error_id, view_id"""))
+              ORDER BY user_id, error_id, view_id""")),
+
+    // Linear interpolation fill over a sparse daily series (every-3rd-day
+    // anchors synthesized from the dense events table — the fixture-
+    // synthesis stance of q_url_parse): gap days get
+    // prev + (next-prev) * frac via IGNORE-NULLS carry windows. Anchor
+    // values are integer cents so every engine-crossing value before the
+    // one mirrored double expression is exact. The un-partitioned carry
+    // windows run over CALENDAR cardinality (O(days), like the
+    // q_token_shards chunk prefix sum) — never over events; at 100 TB
+    // the calendar is still tiny.
+    Q("q_interpolate",
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast(LongType)).as("cents"))
+        val anch = daily
+          .withColumn("dd", datediff(col("day"), lit("1970-01-01")))
+          .filter(col("dd") % 3 === 0)
+        val cal = anch.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 day"))).as("day"))
+        val wPrev = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.orderBy(col("day"))
+          .rowsBetween(0, Window.unboundedFollowing)
+        cal.join(anch.select(col("day"), col("cents")), Seq("day"), "left")
+          .withColumn("dd", datediff(col("day"), lit("1970-01-01")))
+          .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("cents").isNotNull, col("dd")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("cents").isNotNull, col("dd")),
+            ignoreNulls = true).over(wNext))
+          .withColumn("filled",
+            when(col("cents").isNotNull, col("cents").cast(DoubleType))
+              .otherwise(col("pv").cast(DoubleType)
+                + (col("nv") - col("pv")).cast(DoubleType)
+                  * ((col("dd") - col("pd")).cast(DoubleType)
+                    / (col("nd") - col("pd")).cast(DoubleType))))
+          .select(col("day"), col("cents").as("observed"), col("filled"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY 1),
+              anch AS (
+                SELECT day, cents,
+                       datediff('day', DATE '1970-01-01', CAST(day AS DATE)) AS dd
+                FROM daily
+                WHERE datediff('day', DATE '1970-01-01', CAST(day AS DATE)) % 3 = 0),
+              cal AS (
+                SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+                FROM (SELECT min(day) AS mn, max(day) AS mx FROM anch)),
+              j AS (
+                SELECT cal.day, anch.cents,
+                       datediff('day', DATE '1970-01-01', CAST(cal.day AS DATE)) AS dd
+                FROM cal LEFT JOIN anch ON cal.day = anch.day),
+              w AS (
+                SELECT day, cents, dd,
+                  last_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN cents IS NOT NULL THEN dd END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  first_value(cents IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN cents IS NOT NULL THEN dd END IGNORE NULLS) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                FROM j)
+              SELECT day, cents AS observed,
+                CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                     ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+                            * (CAST(dd - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                END AS filled
+              FROM w ORDER BY day"""))
   )
 }

@@ -97,4 +97,63 @@ class MultimodalSpec extends SparkSpec {
     // amortization, the seam's contract (per-row init would read 10)
     assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
   }
+
+  /** Deterministic 16-bit little-endian PCM WAV; returns (container bytes,
+    * raw PCM bytes) so the CRC contract is checkable against the source.
+    */
+  private def testWav(frames: Int, rate: Float, channels: Int,
+      seed: Int): (Array[Byte], Array[Byte]) = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](frames * 2 * channels)
+    var i = 0
+    while (i < frames * channels) {
+      val v = (math.sin(i * 0.1 + seed) * 1000).toInt.toShort
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, data)
+  }
+
+  private def crcBytes(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+  }
+
+  test("javax.sound decoder: real WAV parse — format fields, exact duration, PCM crc") {
+    import spark.implicits._
+    val (mono, monoPcm) = testWav(800, 8000f, 1, seed = 1)
+    val (stereo, stereoPcm) = testWav(441, 44100f, 2, seed = 2)
+    val rows = Seq(
+      (1L, mono),
+      (2L, stereo),
+      (3L, "not audio at all".getBytes("UTF-8"))) // must be skipped
+    val metas = Multimodal.decodeAudioBatched(
+        rows.toDF("media_id", "bytes"), batchSize = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet == Set(1L, 2L), "undecodable payload must be skipped")
+    assert(metas(1L).sample_rate == 8000 && metas(1L).channels == 1
+      && metas(1L).bits == 16 && metas(1L).n_frames == 800L)
+    assert(metas(1L).duration_ms == 100L) // 800 frames at 8 kHz
+    assert(metas(1L).pcm_crc == crcBytes(monoPcm),
+      "decoded PCM must round-trip the source samples")
+    assert(metas(2L).sample_rate == 44100 && metas(2L).channels == 2
+      && metas(2L).n_frames == 441L && metas(2L).duration_ms == 10L)
+    assert(metas(2L).pcm_crc == crcBytes(stereoPcm))
+  }
+
+  test("javax.sound decoder: per-batch init runs once per batch") {
+    import spark.implicits._
+    val (wav, _) = testWav(80, 8000f, 1, seed = 3)
+    val df = (1L to 10L).map(i => (i, wav)).toDF("media_id", "bytes")
+      .repartition(1)
+    val batches = spark.sparkContext.longAccumulator("audio_batches")
+    Multimodal.decodeAudioBatched(df, batchSize = 4,
+      batchInit = () => batches.add(1)).count()
+    assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
+  }
 }
