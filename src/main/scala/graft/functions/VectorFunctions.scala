@@ -401,6 +401,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"karp_rabin_fingerprint takes 1 argument, got ${exprs.length}")
         KarpRabinFingerprint(exprs.head)
       }))
+    // linear_text_score(text) — hashed-feature linear classifier integer score
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("linear_text_score"),
+      new ExpressionInfo(classOf[LinearTextScore].getName, "linear_text_score"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"linear_text_score takes 1 argument, got ${exprs.length}")
+        LinearTextScore(exprs.head)
+      }))
     // word_stats(text, 'stop,words') — one-pass token statistics struct;
     // the stopword list is a literal comma-separated string
     e.injectFunction((

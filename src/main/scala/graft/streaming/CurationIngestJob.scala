@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.LongType
+
+/** End-to-end streaming corpus ingest — the composition the individual
+  * streaming pieces exist FOR, as one runnable job: incoming documents
+  * pass the model-based quality gate (the same codegen
+  * `LinearTextScore` + token-count rules the batch `q_quality_classifier`
+  * / `q_quality_gate` apply), survivors dedup exactly on content hash
+  * (`StreamingExactDedup` — O(1) RocksDB state per distinct hash,
+  * first-seen-wins across batches), and the curated stream lands in a
+  * source-partitioned parquet lake through the checkpointed file sink
+  * (exactly-once: the sink's transaction log makes replayed batches
+  * idempotent, so the lake converges to the same content under any
+  * micro-batch slicing — spec-pinned).
+  *
+  * Scale: the gate is a pure map (streams at input bandwidth); the only
+  * shuffle is the 8-byte content-hash exchange for dedup; document
+  * bodies cross the wire once. State never grows with stream length,
+  * only with distinct-content count (TTL-able via StreamingExactDedup).
+  */
+object CurationIngestJob {
+
+  final case class IncomingDoc(doc_id: Long, text: String, source: String)
+  final case class CuratedDoc(doc_id: Long, text: String, source: String,
+      n_tokens: Long, score: Long)
+
+  /** The curation transform: quality gate then exact content dedup.
+    * Pure function of the input stream — reusable against any source.
+    */
+  def curate(docs: Dataset[IncomingDoc], minTokens: Long = 3L): Dataset[CuratedDoc] = {
+    implicit val enc = Encoders.product[CuratedDoc]
+    val gated = docs.toDF()
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("score",
+        graft.functions.TextFunctions.linearTextScore(col("text")))
+      .where(col("n_tokens") >= minTokens && col("score") > 0L)
+      .select(col("doc_id"), col("text"), col("source"),
+        col("n_tokens"), col("score"))
+      .as[CuratedDoc]
+    StreamingExactDedup(gated, d =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), 42L))
+  }
+
+  /** Start the ingest job writing the curated lake. The parquet sink's
+    * checkpoint gives exactly-once; partitioning by source keeps the
+    * lake layout query-prunable (the W1/W2 partitioned-sink shape).
+    */
+  def start(docs: Dataset[IncomingDoc], outDir: String,
+      checkpointDir: String, minTokens: Long = 3L): StreamingQuery =
+    curate(docs, minTokens).writeStream
+      .format("parquet")
+      .partitionBy("source")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** Read the curated lake back (batch side). */
+  def lake(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+}

@@ -78,6 +78,19 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT marker_hits('the a le the', 'the,a', 'le,les') AS h")
         .head.getSeq[Long](0)
       assert(mh == Seq(3L, 1L))
+      // linear_text_score: SQL-callable, equals the per-word HOF reference
+      val lts = spark.sql("SELECT linear_text_score('score these words') AS s")
+        .head.getLong(0)
+      val ltsRef = spark.sql(
+        """SELECT aggregate(transform(
+                    filter(split('score these words', ' '), w -> w != ''),
+                    w -> (aggregate(transform(split(w, ''),
+                            c -> CAST(ascii(c) AS BIGINT)),
+                          0L, (acc, x) -> (acc * 31 + x) % 1000000007)
+                          % 256) * 2654435761 % 2001 - 1000),
+                  0L, (acc, x) -> acc + x) AS s""")
+        .head.getLong(0)
+      assert(lts == ltsRef)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

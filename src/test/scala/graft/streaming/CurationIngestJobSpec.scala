@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import CurationIngestJob.IncomingDoc
+
+/** The composed ingest pipeline: gate → dedup → exactly-once lake.
+  * Kept/dropped sets follow the deterministic classifier, duplicates are
+  * dropped across batches, and the lake CONVERGES — replaying the same
+  * events under a different micro-batch slicing yields identical content.
+  */
+class CurationIngestJobSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def score(t: String): Long =
+    graft.functions.LinearTextScore.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+
+  /** The job's keep rule, restated independently for the expectation. */
+  private def keeps(t: String): Boolean =
+    t.split(" ").length >= 3 && score(t) > 0L
+
+  /** First occurrence per distinct text among the kept docs. */
+  private def expected(docs: Seq[IncomingDoc]): Set[(Long, String)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.filter(d => keeps(d.text) && seen.add(d.text))
+      .map(d => d.doc_id -> d.text).toSet
+  }
+
+  // classifier sign is deterministic; find fixtures on each side once
+  private val keepText: String = Seq(
+    "spark table scan fast", "batch window merge sort value",
+    "key hash join row agg", "stream data column filter group")
+    .find(t => score(t) > 0L).get
+  private val dropText: String = Seq(
+    "slow line part big small", "the a the a the",
+    "customer query order vector", "row row row row window")
+    .find(t => score(t) <= 0L).get
+
+  private def ingest(name: String, slices: Seq[Seq[IncomingDoc]]): Set[(Long, String)] = {
+    val dir = Files.createTempDirectory(s"curation_$name").toString
+    var out: Set[(Long, String)] = Set.empty
+    withRocksDBStateStore {
+      val in = MemoryStream[IncomingDoc]
+      val q = CurationIngestJob.start(in.toDS(), s"$dir/lake", s"$dir/ckpt")
+      try slices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+      finally q.stop()
+      out = CurationIngestJob.lake(spark, s"$dir/lake")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+    }
+    out
+  }
+
+  test("gate drops junk, dedup drops repeats across batches, lake holds the rest") {
+    val docs = Seq(
+      IncomingDoc(1, keepText, "s0"),
+      IncomingDoc(2, dropText, "s0"),    // classifier- (or rule-) dropped
+      IncomingDoc(3, "tiny doc", "s1"),  // under min tokens
+      IncomingDoc(4, keepText, "s1"),    // cross-batch duplicate content
+      IncomingDoc(5, keepText + " extended run", "s1"))
+    // the fixture must actually exercise every path
+    assert(!keeps(dropText) && !keeps("tiny doc") && keeps(keepText))
+    val want = expected(docs)
+    assert(want.exists(_._1 == 1L) && !want.exists(_._1 == 4L),
+      "dup must resolve to the first occurrence")
+    val got = ingest("basic", Seq(docs.take(3), docs.drop(3)))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("lake content is invariant to micro-batch slicing") {
+    val docs = Seq(
+      IncomingDoc(1, keepText, "s0"),
+      IncomingDoc(2, dropText, "s0"),
+      IncomingDoc(3, keepText, "s1"), // dup of 1 — 1 wins in both slicings
+      IncomingDoc(4, keepText + " second body", "s1"),
+      IncomingDoc(5, keepText + " third body", "s0"))
+    val one = ingest("one", Seq(docs))
+    val perDoc = ingest("per", docs.map(Seq(_)))
+    // compare TEXT sets: within one batch a same-content pair resolves to
+    // an arbitrary member (content equal, so the lake text is identical
+    // either way) — doc_id identity is only deterministic across batches
+    assert(one.map(_._2) == perDoc.map(_._2), s"one=$one per=$perDoc")
+    assert(one.size == perDoc.size)
+    assert(one.map(_._2) == expected(docs).map(_._2),
+      s"one=$one want=${expected(docs)}")
+  }
+}
