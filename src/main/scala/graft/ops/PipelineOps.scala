@@ -365,6 +365,59 @@ object PipelineOps {
               SELECT doc_id, count(*) AS n_tokens,
                      CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
               FROM tok JOIN scored USING (token)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Bigram conditional surprisal per doc — the CCNet-style LM
+    // perplexity filter one order up from q_unigram_logprob: the corpus
+    // trains p(w2|w1) = cnt(w1 w2)/cnt(w1·) and each document is scored
+    // by its mean bigram NLL. Same determinism treatment: per-distinct-
+    // bigram -ln(p) rounds to DECIMAL(24,9) BEFORE the per-doc sum, so
+    // aggregation order cannot move a bit. Plan: one bigram explode
+    // (lambda over the split array — no self-join), vocab²-sized count
+    // tables (broadcastable), corpus streams through the scoring join.
+    Q("q_bigram_logprob",
+      (s, dir) => {
+        val big = t(s, dir, "documents")
+          .withColumn("arr", split(col("text"), " "))
+          .where(size(col("arr")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(slice(arr, 1, size(arr) - 1), " +
+              "(x, i) -> concat(x, ' ', arr[i + 1]))")).as("bigram"))
+        val cnt2 = big.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+        val cnt1 = cnt2
+          .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+          .agg(sum(col("c2")).as("c1"))
+        val scored = cnt2
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .join(cnt1, Seq("w1"))
+          .withColumn("nll",
+            (-log(col("c2").cast(DoubleType) / col("c1")))
+              .cast(DecimalType(24, 9)))
+          .select(col("bigram"), col("nll"))
+        big.join(broadcast(scored), Seq("bigram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 2),
+              big AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(ls)),
+                               i -> ls[i] || ' ' || ls[i + 1])) AS bigram
+                      FROM d),
+              c2t AS (SELECT bigram, count(*) AS c2 FROM big GROUP BY bigram),
+              c1t AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                             CAST(sum(c2) AS BIGINT) AS c1
+                      FROM c2t GROUP BY 1),
+              scored AS (SELECT bigram,
+                                CAST(-ln(CAST(c2 AS DOUBLE) / c1) AS DECIMAL(24,9)) AS nll
+                         FROM c2t JOIN c1t
+                           ON string_split(c2t.bigram, ' ')[1] = c1t.w1)
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+              FROM big JOIN scored USING (bigram)
               GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -428,5 +428,42 @@ object StatsOps {
               SELECT event_type, event_id AS cp_event_id, ts AS cp_ts,
                      CAST(stat AS BIGINT) AS cusum_stat
               FROM st WHERE rn = 1 ORDER BY event_type"""))
+  ,
+
+    // Rolling median (11-tap) per event_type — the robust sliding
+    // smoother an outlier-heavy stream wants where q_window_moving_avg
+    // is skew-sensitive. Spark refuses median/percentile over a window
+    // FRAME (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    // materialized as 11 lag taps in ONE window pass and the median read
+    // off the sorted tap array — semantics identical to DuckDB's framed
+    // median. Inputs are cents (integers), so the median is an integer
+    // or an exact .5 — bit-identical across engines with no decimal
+    // scaffolding. One event_type shuffle, one ordered window.
+    Q("q_rolling_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val taps = (0 to 10).map(i => lag(col("cents"), i).over(w))
+        val n = size(col("win"))
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .withColumn("win",
+            array_sort(filter(array(taps: _*), x => x.isNotNull)))
+          .withColumn("med",
+            when(n % 2 === 1,
+              element_at(col("win"),
+                ((n + 1) / 2).cast(IntegerType)).cast(DoubleType))
+              .otherwise((element_at(col("win"), (n / 2).cast(IntegerType))
+                + element_at(col("win"), (n / 2).cast(IntegerType) + 1))
+                / lit(2.0)))
+          .select(col("event_type"), col("event_id"), col("med"))
+          .orderBy(col("event_type"), col("event_id"))
+      },
+      Some("""SELECT event_type, event_id,
+                     median(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS med
+              FROM events ORDER BY event_type, event_id"""))
   )
 }
