@@ -165,11 +165,18 @@ object Multimodal {
             try {
               val fmt = ais.getFormat
               crc.reset()
+              var pcmBytes = 0L
               var n = ais.read(buf)
-              while (n > 0) { crc.update(buf, 0, n); n = ais.read(buf) }
-              val frames = ais.getFrameLength
+              while (n > 0) { crc.update(buf, 0, n); pcmBytes += n; n = ais.read(buf) }
+              // some containers report NOT_SPECIFIED (-1) frame length;
+              // derive it from the decoded byte count instead
+              val frames =
+                if (ais.getFrameLength >= 0L) ais.getFrameLength
+                else if (fmt.getFrameSize > 0) pcmBytes / fmt.getFrameSize
+                else 0L
               val rate = math.round(fmt.getSampleRate).toInt
-              Some(AudioMeta(id, rate, fmt.getChannels,
+              if (rate <= 0) None // malformed header: skip, don't divide
+              else Some(AudioMeta(id, rate, fmt.getChannels,
                 fmt.getSampleSizeInBits, frames,
                 frames * 1000L / rate, crc.getValue))
             } finally ais.close()

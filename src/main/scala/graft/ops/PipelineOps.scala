@@ -373,8 +373,10 @@ object PipelineOps {
     // by its mean bigram NLL. Same determinism treatment: per-distinct-
     // bigram -ln(p) rounds to DECIMAL(24,9) BEFORE the per-doc sum, so
     // aggregation order cannot move a bit. Plan: one bigram explode
-    // (lambda over the split array — no self-join), vocab²-sized count
-    // tables (broadcastable), corpus streams through the scoring join.
+    // (lambda over the split array — no self-join); the score table is
+    // bounded by DISTINCT-bigram count, which unlike the unigram vocab
+    // is not broadcast-safe at corpus scale — no broadcast hint, AQE
+    // picks BHJ when it fits and a shuffle join when it does not.
     Q("q_bigram_logprob",
       (s, dir) => {
         val big = t(s, dir, "documents")
@@ -394,7 +396,7 @@ object PipelineOps {
             (-log(col("c2").cast(DoubleType) / col("c1")))
               .cast(DecimalType(24, 9)))
           .select(col("bigram"), col("nll"))
-        big.join(broadcast(scored), Seq("bigram"))
+        big.join(scored, Seq("bigram"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
