@@ -160,29 +160,43 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            import javax.sound.sampled.{AudioFormat, AudioSystem}
+            val raw = AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
             try {
-              val fmt = ais.getFormat
-              crc.reset()
-              var pcmBytes = 0L
-              var n = ais.read(buf)
-              while (n > 0) { crc.update(buf, 0, n); pcmBytes += n; n = ais.read(buf) }
-              // some containers report NOT_SPECIFIED (-1) frame length;
-              // derive it from the decoded byte count instead
-              val frames =
-                if (ais.getFrameLength >= 0L) ais.getFrameLength
-                else if (fmt.getFrameSize > 0) pcmBytes / fmt.getFrameSize
-                else 0L
-              val rate = math.round(fmt.getSampleRate).toInt
-              if (rate <= 0) None // malformed header: skip, don't divide
-              else Some(AudioMeta(id, rate, fmt.getChannels,
-                fmt.getSampleSizeInBits, frames,
-                frames * 1000L / rate, crc.getValue))
-            } finally ais.close()
+              // the stream yields frames in the file's STORED encoding —
+              // hashing those would fingerprint the encoding, not the
+              // audio (u-law vs PCM of the same content would differ).
+              // Transcode to canonical signed-16-bit little-endian PCM
+              // first, so pcm_crc is container- AND encoding-independent.
+              val src = raw.getFormat
+              val rate = math.round(src.getSampleRate).toInt
+              if (rate <= 0 || src.getChannels <= 0) None // malformed header
+              else {
+                val canon = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                  src.getSampleRate, 16, src.getChannels,
+                  2 * src.getChannels, src.getSampleRate, false)
+                val ais =
+                  if (src.matches(canon)) raw
+                  else AudioSystem.getAudioInputStream(canon, raw)
+                crc.reset()
+                var pcmBytes = 0L
+                var n = ais.read(buf)
+                while (n > 0) { crc.update(buf, 0, n); pcmBytes += n; n = ais.read(buf) }
+                // some containers report NOT_SPECIFIED (-1) frame length;
+                // derive it from the decoded byte count instead
+                val frames =
+                  if (ais.getFrameLength >= 0L) ais.getFrameLength
+                  else pcmBytes / (2L * src.getChannels)
+                Some(AudioMeta(id, rate, src.getChannels, 16, frames,
+                  frames * 1000L / rate, crc.getValue))
+              }
+            } finally raw.close()
           } catch {
-            // not a decodable audio container: skip, don't fail the batch
+            // not a decodable audio container (or no converter to PCM):
+            // skip, don't fail the batch
             case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: IllegalArgumentException => None
             case _: java.io.IOException => None
           }
         }

@@ -379,12 +379,18 @@ object PipelineOps {
     // picks BHJ when it fits and a shuffle join when it does not.
     Q("q_bigram_logprob",
       (s, dir) => {
+        // persisted: big feeds the LM counts AND the scoring join, and
+        // cnt2 feeds cnt1 AND scored — without this the tokenize+explode
+        // subtree re-executes per consumer (3 corpus scans; the
+        // tokenShards persist rationale). localCheckpoint on the small
+        // per-doc result materializes before the unpersist.
         val big = t(s, dir, "documents")
           .withColumn("arr", split(col("text"), " "))
           .where(size(col("arr")) >= 2)
           .select(col("doc_id"),
             explode(expr("transform(slice(arr, 1, size(arr) - 1), " +
               "(x, i) -> concat(x, ' ', arr[i + 1]))")).as("bigram"))
+          .persist()
         val cnt2 = big.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
         val cnt1 = cnt2
           .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
@@ -396,11 +402,14 @@ object PipelineOps {
             (-log(col("c2").cast(DoubleType) / col("c1")))
               .cast(DecimalType(24, 9)))
           .select(col("bigram"), col("nll"))
-        big.join(scored, Seq("bigram"))
+        val out = big.join(scored, Seq("bigram"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
           .orderBy(col("doc_id"))
+          .localCheckpoint()
+        big.unpersist()
+        out
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls
                          FROM documents

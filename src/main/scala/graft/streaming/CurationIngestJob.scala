@@ -41,9 +41,16 @@ object CurationIngestJob {
       .select(col("doc_id"), col("text"), col("source"),
         col("n_tokens"), col("score"))
       .as[CuratedDoc]
-    StreamingExactDedup(gated, d =>
-      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text), 42L))
+    // 128-bit content key (two independent-seed XXH64s): at crawl scale
+    // a 64-bit key expects birthday collisions, each silently dropping a
+    // distinct document with no verify pass to catch it — this job has
+    // no downstream exact anti-join, so it pays 8 more state bytes/key
+    // for a ~10^-18 expected collision count instead.
+    StreamingExactDedup.apply128(gated, { d =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(d.text)
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L),
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 1042L))
+    })
   }
 
   /** Start the ingest job writing the curated lake. The parquet sink's

@@ -23,15 +23,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * duplicates by definition (exact content equality), so emit order
   * inside the batch is irrelevant.
   */
-class FirstSeenProcessor[T](ttl: TTLConfig)
-    extends StatefulProcessor[Long, T, T] {
+class FirstSeenProcessor[K, T](ttl: TTLConfig)
+    extends StatefulProcessor[K, T, T] {
 
   @transient private var seen: ValueState[Boolean] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttl)
 
-  override def handleInputRows(key: Long, rows: Iterator[T],
+  override def handleInputRows(key: K, rows: Iterator[T],
       timerValues: TimerValues): Iterator[T] =
     if (seen.exists()) Iterator.empty
     else {
@@ -52,7 +52,24 @@ object StreamingExactDedup {
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     ds.groupByKey(contentKey)(Encoders.scalaLong)
-      .transformWithState(new FirstSeenProcessor[T](ttl), timeMode,
+      .transformWithState(new FirstSeenProcessor[Long, T](ttl), timeMode,
+        OutputMode.Append())
+  }
+
+  /** 128-bit-key variant: two independent-seed hashes as the state key.
+    * At 10^10 documents the 64-bit key expects millions of birthday
+    * collisions (each silently dropping a distinct document); a 128-bit
+    * composite pushes the expected collision count to ~10^-18 — the
+    * right default when the caller cannot afford ANY false drop and an
+    * exact-verify pass (the q_dedup_incremental anti-join) is not in
+    * the loop.
+    */
+  def apply128[T: Encoder](ds: Dataset[T], contentKey: T => (Long, Long),
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[T] = {
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    ds.groupByKey(contentKey)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .transformWithState(new FirstSeenProcessor[(Long, Long), T](ttl), timeMode,
         OutputMode.Append())
   }
 }

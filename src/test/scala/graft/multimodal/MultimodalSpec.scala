@@ -146,6 +146,33 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(2L).pcm_crc == crcBytes(stereoPcm))
   }
 
+  test("javax.sound decoder: pcm_crc is encoding-independent (u-law transcodes to canonical PCM)") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 8-bit u-law content: hashing the STORED frames would fingerprint
+    // the companded bytes; the decoder must transcode to canonical
+    // signed-16-bit PCM first, so the crc equals an independent
+    // transcode of the same stream
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ulawData = Array.tabulate[Byte](800)(i => ((i * 7 + 13) % 256 - 128).toByte)
+    def ulawStream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(ulawData), ulawFmt, 800L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawStream, AudioFileFormat.Type.AU, bos)
+    val au = bos.toByteArray
+    val canon = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ref = AudioSystem.getAudioInputStream(canon, ulawStream).readAllBytes()
+    val meta = Multimodal.decodeAudioBatched(
+        Seq((1L, au)).toDF("media_id", "bytes"))
+      .collect().head
+    assert(meta.bits == 16 && meta.sample_rate == 8000
+      && meta.channels == 1 && meta.n_frames == 800L)
+    assert(meta.pcm_crc == crcBytes(ref),
+      "crc must hash the TRANSCODED PCM, not the stored u-law frames")
+  }
+
   test("javax.sound decoder: per-batch init runs once per batch") {
     import spark.implicits._
     val (wav, _) = testWav(80, 8000f, 1, seed = 3)

@@ -47,7 +47,7 @@ class TextCurationSpec extends SparkSpec {
     // integer identity instead)
     assert(s.where(col("max_words") > col("total_words")).count() == 0L)
     assert(s.where(col("n_sentences") < 1L).count() == 0L)
-    assert(s.where(col("avg_words") * col("n_sentences") - col("total_words") > lit(1e-6)).count() == 0L)
+    assert(s.where(abs(col("avg_words") * col("n_sentences") - col("total_words")) > lit(1e-6)).count() == 0L)
   }
 
   test("cusum changepoint picks the argmax row of the drift statistic") {
