@@ -9,13 +9,18 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata (builder brief "multimodal columns").
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub — but everything Spark-side is real
-  * and tested: the schema, the binary column handling, the batched
-  * partition-local decode shape (the JVM analogue of a vectorized
-  * mapInPandas: decoders amortize model/codec init per batch, not per
-  * row), and the partitioning story (media rows hash-partition by id;
-  * bytes never shuffle through a groupBy).
+  * The generic `decodeBatched` over the synthetic media table is a
+  * clearly-marked deterministic stub, but the image and audio decode
+  * paths are REAL JDK codecs behind the same batched seam
+  * (`decodeImagesBatched`: javax.imageio; `decodeAudioBatched`:
+  * javax.sound with canonical-PCM transcode) — and everything
+  * Spark-side is real and tested: the schema, the binary column
+  * handling, the batched partition-local decode shape (the JVM
+  * analogue of a vectorized mapInPandas: decoders amortize codec init
+  * per batch, not per row), the partitioning story (media rows
+  * hash-partition by id; bytes never shuffle through a groupBy), and
+  * content-level dedup over the decoded fingerprints
+  * (`mediaContentDedup`).
   */
 object Multimodal {
 
@@ -202,6 +207,33 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** CONTENT-level media dedup — what the real decoders exist for:
+    * `q_media_dedup` catches byte-identical payloads, but the same
+    * pixels re-encoded (PNG vs BMP, compression level, stripped
+    * metadata) or the same audio re-containered (WAV vs AU, u-law vs
+    * PCM) produce different bytes and identical DECODED content. This
+    * keys images by (dims, pixel_crc) and audio by (rate, channels,
+    * frames, pcm_crc) — both CRCs computed over canonical decoded
+    * form — and keeps the lowest media_id per content key. Undecodable
+    * rows are dropped by the decoders (R2 contract). One shuffle on the
+    * small content-key relation; payload bytes never shuffle.
+    */
+  def mediaContentDedup(media: DataFrame): DataFrame = {
+    val img = decodeImagesBatched(media.filter(col("kind") === "image"))
+      .toDF().select(col("media_id"),
+        concat_ws(":", lit("img"), col("width"), col("height"),
+          col("pixel_crc")).as("content_key"))
+    val aud = decodeAudioBatched(media.filter(col("kind") === "audio"))
+      .toDF().select(col("media_id"),
+        concat_ws(":", lit("aud"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("pcm_crc")).as("content_key"))
+    img.unionByName(aud)
+      .groupBy(col("content_key"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper_id"))
   }
 
   /** STUB RESIZE — deterministic fake: a real implementation decodes,

@@ -1154,7 +1154,46 @@ object WarehouseOps {
         ed.unpersist()
         out
       },
-      None)
+      None),
+
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands pattern on the CALENDAR axis (q_sessionize is the
+    // same pattern on the time-gap axis): distinct active days collapse
+    // to islands via the dd − row_number() trick, islands aggregate to
+    // run lengths, users take their max. Integer day arithmetic end to
+    // end. Plan: one distinct shuffle on (user, day), one user-keyed
+    // window, two small aggregates — O(active-days) intermediate, never
+    // O(events).
+    Q("q_streaks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("dd"))
+        val days = t(s, dir, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("dd"))
+          .distinct()
+        days
+          .withColumn("grp", col("dd") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("longest_streak"),
+            sum(col("len")).as("n_active_days"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dd
+                FROM events),
+              isl AS (
+                SELECT user_id, dd,
+                       dd - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dd) AS grp
+                FROM days),
+              runs AS (
+                SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+              SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+                     CAST(sum(len) AS BIGINT) AS n_active_days
+              FROM runs GROUP BY user_id ORDER BY user_id"""))
   )
 
   /** The PageRank iteration pipeline, PRE-checkpoint — factored out of

@@ -173,6 +173,32 @@ class MultimodalSpec extends SparkSpec {
       "crc must hash the TRANSCODED PCM, not the stored u-law frames")
   }
 
+  test("mediaContentDedup: re-encoded pixels and re-containered audio dedup on content") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // same pixels, two lossless encodings -> one content key
+    val imgA = testImage(12, 7, seed = 9)
+    val png = encode(imgA, "png")
+    val bmp = encode(imgA, "bmp")
+    val otherPng = encode(testImage(12, 7, seed = 10), "png")
+    // same audio content, two containers (WAV and AU) -> one content key
+    val (wav, pcm) = testWav(400, 8000f, 1, seed = 4)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 400L),
+      AudioFileFormat.Type.AU, bos)
+    val au = bos.toByteArray
+    val rows = Seq(
+      (1L, "image", png), (2L, "image", bmp), (3L, "image", otherPng),
+      (10L, "audio", wav), (11L, "audio", au),
+      (20L, "audio", "junk payload".getBytes("UTF-8"))) // dropped by decoder
+    val out = Multimodal.mediaContentDedup(
+        rows.toDF("media_id", "kind", "bytes"))
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set(1L -> 2L, 3L -> 1L, 10L -> 2L), s"got $out")
+  }
+
   test("javax.sound decoder: per-batch init runs once per batch") {
     import spark.implicits._
     val (wav, _) = testWav(80, 8000f, 1, seed = 3)
