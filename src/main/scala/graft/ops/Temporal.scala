@@ -445,6 +445,37 @@ object Temporal {
                      ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
                             * (CAST(dd - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
                 END AS filled
-              FROM w ORDER BY day"""))
+              FROM w ORDER BY day""")),
+
+    // Daily VWAP per event_type — the volume-weighted average that plain
+    // q_ohlc_daily/avg cannot express, with the weight pulled from the
+    // JSON props column (the reference's records carry exactly this
+    // shape). Price×volume products are integer cents×units, summed as
+    // longs (exact, order-free); the single division at the end is the
+    // one mirrored double op. One shuffle on (type, day) — partial
+    // aggregation keeps shuffled bytes O(groups).
+    Q("q_vwap_daily",
+      (s, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        t(s, dir, "events")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+            round(col("value") * 100).cast(LongType).as("cents"), k.as("vol"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("cents") * col("vol")).as("pv"),
+            sum(col("vol")).as("volume"))
+          .withColumn("vwap",
+            col("pv").cast(DoubleType) / (lit(100.0) * col("volume")))
+          .select(col("event_type"), col("day"), col("volume"), col("vwap"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH g AS (
+                SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                                * CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS pv,
+                       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS volume
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, day, volume,
+                     CAST(pv AS DOUBLE) / (100.0::DOUBLE * volume) AS vwap
+              FROM g ORDER BY event_type, day"""))
   )
 }
