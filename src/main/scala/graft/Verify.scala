@@ -62,6 +62,11 @@ object Verify {
       val plan = df.queryExecution.executedPlan
       val norm = plan.toString
         .replaceAll("#\\d+L?", "#")
+        // lambda variable NAMES carry a session-global counter in the
+        // name itself (`lambda x_1#` vs `lambda x_3#` for identical
+        // plans) — the digit sits before the #, so the exprId rule
+        // misses it (observed round 7: q_rolling_median content drift)
+        .replaceAll("\\blambda ([A-Za-z]+)_\\d+#", "lambda $1_#")
         .replaceAll("plan_id=\\d+", "plan_id=")
         .replaceAll("(file|hdfs|s3a?):[^,\\)\\]\\s]+", "path:_")
         .replaceAll("\\(\\d+ paths?\\)", "(_ paths)")
