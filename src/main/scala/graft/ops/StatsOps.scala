@@ -430,6 +430,49 @@ object StatsOps {
               FROM st WHERE rn = 1 ORDER BY event_type"""))
   ,
 
+    // URL canonicalization dedup — the crawl-frontier step BEFORE any
+    // content dedup runs: the same page arrives as mixed-case hosts,
+    // www-prefixed variants, trailing slashes, and tracking-param
+    // permutations; canonicalize (lowercase host, strip www., trim the
+    // trailing slash, keep only the id param) and group. The synthesized
+    // URL is the fixture (q_url_parse stance) and deliberately collides
+    // doc_id % 100 so the dedup has real groups. Pure per-row regex
+    // canonicalization (codegen) + one grouped aggregate.
+    Q("q_url_dedup",
+      (s, dir) => {
+        val url = concat(lit("https://WWW."), upper(col("source")),
+          lit(".Example.com/d/"), (col("doc_id") % 100).cast(StringType),
+          lit("/?utm_source=s"), (col("doc_id") % 3).cast(StringType),
+          lit("&id="), (col("doc_id") % 100).cast(StringType),
+          lit("&utm_campaign=c"))
+        val host = lower(regexp_extract(col("url"), "^https?://([^/]+)", 1))
+        val idp = regexp_extract(col("url"), "id=([0-9]+)", 1)
+        t(s, dir, "documents")
+          .withColumn("url", url)
+          .withColumn("canonical",
+            concat(regexp_replace(host, "^www\\.", ""),
+              expr("trim(TRAILING '/' FROM regexp_extract(url, '^https?://[^/]+([^?]*)', 1))"),
+              lit("?id="), idp))
+          .groupBy(col("canonical"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+          .orderBy(col("keeper_id"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                     'https://WWW.' || upper(source) || '.Example.com/d/' || (doc_id % 100) ||
+                       '/?utm_source=s' || (doc_id % 3) || '&id=' || (doc_id % 100) ||
+                       '&utm_campaign=c' AS url
+              FROM documents),
+              c AS (SELECT doc_id,
+                     lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host0,
+                     regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+                     regexp_extract(url, 'id=([0-9]+)', 1) AS id_param
+              FROM u)
+              SELECT regexp_replace(host0, '^www\.', '') || rtrim(path, '/')
+                       || '?id=' || id_param AS canonical,
+                     CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                     count(*) AS n_dups
+              FROM c GROUP BY 1 ORDER BY keeper_id""")),
+
     // Rolling median (11-tap) per event_type — the robust sliding
     // smoother an outlier-heavy stream wants where q_window_moving_avg
     // is skew-sensitive. Spark refuses median/percentile over a window

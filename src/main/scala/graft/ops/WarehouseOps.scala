@@ -1193,7 +1193,42 @@ object WarehouseOps {
                 SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
               SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
                      CAST(sum(len) AS BIGINT) AS n_active_days
-              FROM runs GROUP BY user_id ORDER BY user_id"""))
+              FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    // Daily new-vs-returning user split — the growth-accounting readout
+    // next to q_retention: each user's first-seen day marks them "new"
+    // exactly once; every later active day counts them returning. Two
+    // user-keyed aggregates co-partitioned on user_id (first-day and
+    // distinct active days shuffle together), then one day-grained
+    // rollup — intermediates are O(users + user-days), never O(events).
+    Q("q_new_vs_returning",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(date_trunc("day", min(col("ts"))).as("first_day"))
+        val active = ev
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        active.join(firstDay, Seq("user_id"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("active_users"),
+            sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+              .as("new_users"))
+          .withColumn("returning_users",
+            col("active_users") - col("new_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (SELECT user_id,
+                     CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS first_day
+              FROM events GROUP BY 1),
+              act AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+              FROM events)
+              SELECT act.day, count(*) AS active_users,
+                     CAST(sum(CASE WHEN act.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+                     CAST(count(*) - sum(CASE WHEN act.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+              FROM act JOIN f USING (user_id)
+              GROUP BY act.day ORDER BY act.day"""))
   )
 
   /** The PageRank iteration pipeline, PRE-checkpoint — factored out of
