@@ -1193,6 +1193,42 @@ object TextDedup {
         .orderBy(col("a_id"), col("b_id")),
       Some(ngramOracleSql)),
 
+    // STORED-signature near-dedup (sources.SignatureStore — the dedup
+    // sibling of the text/vector index stores): the corpus shingles and
+    // signs ONCE into a persisted store; the query shingles only the
+    // probe batch (every 5th doc — the "re-crawl delta") and verifies
+    // candidates against the stored sorted arrays, never re-shingling
+    // the corpus. Exact regime (1 band × 0 rows): banding provably
+    // lossless, so the output equals the exact probe×corpus Jaccard
+    // pair set — the same oracle family as q_dedup_minhash, restricted
+    // to the probe orientation. The production 16×4 store is pinned by
+    // SignatureStoreSpec: stored matches == in-query minhashPairs
+    // pairs, plus bucket partition-pruning and staleness-rebuild pins.
+    Q("q_dedup_minhash_stored",
+      (s, dir) => {
+        val idx = graft.sources.SignatureStore.ensure(s, dir, bands = 1, rows = 0)
+        val probes = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        graft.sources.SignatureStore
+          .nearDupMatches(s, idx, probes, 0.6, bands = 1, rows = 0)
+          .orderBy(col("probe_id"), col("match_id"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              pr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+              p AS (
+                SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
+                       len(list_intersect(a.sh, b.sh)) AS c,
+                       len(a.sh) AS na, len(b.sh) AS nb
+                FROM pr a JOIN d b ON a.doc_id <> b.doc_id)
+              SELECT probe_id, match_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+              FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
+              ORDER BY probe_id, match_id""")),
+
     Q("q_dedup_simhash",
       (s, dir) => simhashPairs(t(s, dir, "documents"), 3)
         .orderBy(col("a_id"), col("b_id")),
