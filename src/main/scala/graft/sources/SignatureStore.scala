@@ -66,7 +66,7 @@ object SignatureStore {
   }
 
   /** Corpus shingle arrays, sorted for the verify kernel. */
-  private def sortedArrays(docs: DataFrame): DataFrame =
+  private[sources] def sortedArrays(docs: DataFrame): DataFrame =
     docs
       .withColumn("hs0", graft.functions.TextFunctions.shingleHashes(col("text")))
       .select(col("doc_id"), size(col("hs0")).as("n_sh"),
@@ -76,7 +76,7 @@ object SignatureStore {
     * exact regime: one universal bucket (bh = 0), banding provably
     * lossless — the q_dedup_minhash convention.
     */
-  private def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[sources] def banded(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     if (rows == 0)
       sigs.select(col("doc_id"), lit(0).as("band"), lit(0L).as("bh"))
     else
@@ -157,8 +157,21 @@ object SignatureStore {
     */
   def nearDupMatches(spark: SparkSession, indexDir: String, probes: DataFrame,
       minJaccard: Double, bands: Int, rows: Int,
-      maxBucket: Int = 1000): DataFrame = {
-    val storeArrays = spark.read.parquet(s"$indexDir/arrays")
+      maxBucket: Int = 1000): DataFrame =
+    matchAgainst(spark, probes, minJaccard, bands, rows, maxBucket,
+      bucketsFor = bs => spark.read.parquet(s"$indexDir/buckets")
+        .filter(col("bucket").isin(bs: _*)),
+      storeArrays = spark.read.parquet(s"$indexDir/arrays"))
+
+  /** Layout-agnostic match core, shared with the streaming-maintained
+    * sibling ([[IncrementalSignatureStore]]): `bucketsFor` returns the
+    * bucket rows for the probes' bucket ids (partition pruning is the
+    * implementation's concern), `storeArrays` the (doc_id, n_sh, hs)
+    * verify arrays.
+    */
+  private[sources] def matchAgainst(spark: SparkSession, probes: DataFrame,
+      minJaccard: Double, bands: Int, rows: Int, maxBucket: Int,
+      bucketsFor: Seq[Long] => DataFrame, storeArrays: DataFrame): DataFrame = {
     // the probe batch materializes ONCE (it is small by definition, and
     // it feeds both the banded candidate join and the verify attach —
     // cross-subtree plans re-execute, so without this the probe source
@@ -187,8 +200,7 @@ object SignatureStore {
         val probeBuckets = pb
           .select(pmod(col("bh"), lit(Buckets.toLong)).as("bucket"))
           .distinct().collect().map(_.getLong(0))
-        val buckets = spark.read.parquet(s"$indexDir/buckets")
-          .filter(col("bucket").isin(probeBuckets: _*))
+        val buckets = bucketsFor(probeBuckets.toSeq)
         val hot = buckets.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
           .select(col("band"), col("bh"))

@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The maintained-signature-store contract: per-batch appends are
+  * replay-convergent, the union of batches probes identically to the
+  * batch-built store, and compaction is match-set-neutral.
+  */
+class IncrementalSignatureStoreSpec extends SparkSpec {
+
+  private val (bands, rows) = (16, 4)
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private def probes = docs.filter(col("doc_id") % 5 === 0)
+
+  private def matchSet(dir: String): Set[(Long, Long, Double)] =
+    IncrementalSignatureStore.nearDupMatches(spark, dir, probes,
+        0.6, bands, rows, maxBucket = graft.ops.TextDedup.MaxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("two appended batches probe identically to the batch-built store") {
+    val dir = Files.createTempDirectory("sig_incr").toString
+    IncrementalSignatureStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 2 === 0), 1L, dir, bands, rows)
+    IncrementalSignatureStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1), 2L, dir, bands, rows)
+    val incr = matchSet(dir)
+    val batchIdx = SignatureStore.ensure(spark, sf0001, bands, rows)
+    val batch = SignatureStore.nearDupMatches(spark, batchIdx, probes,
+        0.6, bands, rows, maxBucket = graft.ops.TextDedup.MaxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr == batch,
+      s"incr=${incr.size} batch=${batch.size}; " +
+        s"missing=${(batch -- incr).take(3)} extra=${(incr -- batch).take(3)}")
+    assert(incr.nonEmpty, "fixture must produce at least one match")
+
+    // replay convergence: re-appending a batch rewrites its own
+    // partitions with the same bytes — the match set cannot change
+    IncrementalSignatureStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1), 2L, dir, bands, rows)
+    assert(matchSet(dir) == incr, "replayed batch changed the match set")
+
+    // compaction folds the batch layers; matches are byte-identical and
+    // the arrays tree really is a single layer afterwards
+    IncrementalSignatureStore.compact(spark, dir)
+    assert(matchSet(dir) == incr, "compaction changed the match set")
+    val layers = spark.read.parquet(s"$dir/arrays")
+      .select("__batch_id").distinct().count()
+    assert(layers == 1L, s"expected one compacted layer, found $layers")
+  }
+}
