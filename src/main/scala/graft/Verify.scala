@@ -65,8 +65,11 @@ object Verify {
         // lambda variable NAMES carry a session-global counter in the
         // name itself (`lambda x_1#` vs `lambda x_3#` for identical
         // plans) — the digit sits before the #, so the exprId rule
-        // misses it (observed round 7: q_rolling_median content drift)
-        .replaceAll("\\blambda ([A-Za-z]+)_\\d+#", "lambda $1_#")
+        // misses it (observed round 7: q_rolling_median content drift).
+        // \w+ not [A-Za-z]+: user-side names may contain digits or
+        // underscores (`acc_sum_3#` must normalize too); the greedy
+        // match backtracks to leave the final _<counter> for the rule.
+        .replaceAll("\\blambda (\\w+)_\\d+#", "lambda $1_#")
         .replaceAll("plan_id=\\d+", "plan_id=")
         .replaceAll("(file|hdfs|s3a?):[^,\\)\\]\\s]+", "path:_")
         .replaceAll("\\(\\d+ paths?\\)", "(_ paths)")

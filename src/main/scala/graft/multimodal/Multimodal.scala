@@ -107,7 +107,12 @@ object Multimodal {
         batch.iterator.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          // ImageIO.read returns null for an UNRECOGNIZED format but
+          // THROWS for a recognized-but-corrupt payload (truncated PNG)
+          // — both are the same bad record; skip either (R2 contract)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
           if (img == null) None // not a decodable image: skip, don't fail
           else {
             crc.reset()

@@ -471,8 +471,8 @@ object Temporal {
       Some("""WITH g AS (
                 SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                        CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                                * CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS pv,
-                       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS volume
+                                * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS pv,
+                       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS volume
                 FROM events GROUP BY 1, 2)
               SELECT event_type, day, volume,
                      CAST(pv AS DOUBLE) / (100.0::DOUBLE * volume) AS vwap

@@ -68,34 +68,61 @@ object IncrementalSignatureStore {
       storeArrays = spark.read.parquet(s"$indexDir/arrays")
         .select("doc_id", "n_sh", "hs"))
 
-  /** Fold all batch partitions into a single `__batch_id = 0` layer —
-    * bounds the LSM read tail; the probe-visible row set is unchanged,
-    * so compaction changes bytes-read, never matches. Staged into a
-    * temp tree and atomically renamed (the SignatureStore build
-    * contract: concurrent probes see a complete old tree or a complete
-    * new one).
+  /** Reserved layer id for compacted rows. NEGATIVE by design: streaming
+    * batch ids start at 0, so a folded layer must live where no replayed
+    * batch can dynamic-overwrite it.
+    */
+  val CompactedLayer: Long = -1L
+
+  /** Fold COMMITTED batch layers into the reserved `__batch_id = -1`
+    * layer, keeping the newest batch layer as-is — bounds the LSM read
+    * tail while staying replay-safe: after a crash, Structured Streaming
+    * re-runs at most the LAST (possibly uncommitted) micro-batch, whose
+    * layer is deliberately left unfolded, so the replay overwrites its
+    * own partitions and converges; earlier batches are durable by the
+    * time a later one ran and folding them cannot race a replay. (The
+    * standing contract, shared with IncrementalTextIndex: batch ids are
+    * monotone for the life of the store — deleting the streaming
+    * checkpoint while keeping the store is out of contract.) The
+    * probe-visible row set is unchanged, so compaction changes
+    * bytes-read, never matches.
+    *
+    * Swap discipline: the new tree is staged, the live root is moved
+    * ASIDE (not deleted), the stage renamed in, and only then the old
+    * tree dropped — a failed rename restores the original, so the only
+    * copy of a store that cannot be rebuilt from a corpus file is never
+    * lost. (A reader racing the two renames can still observe a missing
+    * root for one FS op — same exposure as the batch stores' swap — but
+    * no failure mode leaves the store permanently gone.)
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val f = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the hive partition column reads back with an INFERRED numeric type
+    // (int for small ids) — normalize to long before comparing/folding
+    val allArrays = spark.read.parquet(s"$indexDir/arrays")
+      .withColumn("__batch_id", col("__batch_id").cast("long"))
+    val maxBatch = allArrays.agg(max(col("__batch_id"))).head.getLong(0)
+    val fold = (c: org.apache.spark.sql.Column) =>
+      when(c.cast("long") < maxBatch, lit(CompactedLayer)).otherwise(c.cast("long"))
     val buckets = spark.read.parquet(s"$indexDir/buckets")
-      .select("band", "bh", "doc_id", "bucket")
-      .withColumn("__batch_id", lit(0L))
+      .withColumn("__batch_id", fold(col("__batch_id")))
+      .select("band", "bh", "doc_id", "bucket", "__batch_id")
       .repartition(col("bucket"))
       .sortWithinPartitions(col("band"), col("bh"))
-      .persist()
-    val arrays = spark.read.parquet(s"$indexDir/arrays")
-      .select("doc_id", "n_sh", "hs")
-      .withColumn("__batch_id", lit(0L))
+    val arrays = allArrays
+      .withColumn("__batch_id", fold(col("__batch_id")))
+      .select("doc_id", "n_sh", "hs", "__batch_id")
       .repartition(1).sortWithinPartitions(col("doc_id"))
-      .persist()
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
     buckets.write.partitionBy("bucket", "__batch_id").parquet(s"$tmp/buckets")
     arrays.write.partitionBy("__batch_id").parquet(s"$tmp/arrays")
-    buckets.unpersist(); arrays.unpersist()
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    f.delete(root, true)
-    if (!f.rename(tmpP, root)) f.delete(tmpP, true)
+    val aside = new org.apache.hadoop.fs.Path(
+      indexDir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    if (!f.rename(root, aside)) { f.delete(tmpP, true); return }
+    if (f.rename(tmpP, root)) f.delete(aside, true)
+    else { f.rename(aside, root); f.delete(tmpP, true) } // restore original
   }
 }

@@ -98,15 +98,20 @@ object SignatureStore {
       bands: Int, rows: Int): Unit = {
     val arrays = sortedArrays(graft.Tables.load(spark, sfDir, "documents"))
       .persist()
-    val buckets = banded(arrays, bands, rows)
-      .withColumn("bucket", pmod(col("bh"), lit(Buckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("band"), col("bh"))
     val f = fs(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val tmp = new org.apache.hadoop.fs.Path(
       indexDir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-    buckets.write.partitionBy("bucket").parquet(s"$tmp/buckets")
+    // rows == 0 (exact regime): the probe path never reads buckets —
+    // every pair is a candidate — so writing the universal-bucket table
+    // would be a pure wasted corpus shuffle + parquet write
+    if (rows > 0) {
+      val buckets = banded(arrays, bands, rows)
+        .withColumn("bucket", pmod(col("bh"), lit(Buckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("band"), col("bh"))
+      buckets.write.partitionBy("bucket").parquet(s"$tmp/buckets")
+    }
     arrays.repartition(1).sortWithinPartitions(col("doc_id"))
       .write.parquet(s"$tmp/arrays")
     arrays.unpersist()
@@ -191,10 +196,13 @@ object SignatureStore {
           .repartition()
           .crossJoin(broadcast(pa))
       else {
+        // no persist: pa is already localCheckpoint'ed, so re-deriving
+        // the banded hashes for the lazy join is a cheap in-memory pass
+        // over the small probe batch (an unpersist here would fire
+        // BEFORE the caller's action and void the cache anyway)
         val pb = banded(pa.select(col("probe_id").as("doc_id"), col("ha").as("hs")),
           bands, rows)
           .select(col("doc_id").as("probe_id"), col("band"), col("bh"))
-          .persist()
         // bounded driver-side: |probes| × bands values — the re-crawl
         // batch is small by definition (the VectorIndexStore pattern)
         val probeBuckets = pb
@@ -210,7 +218,6 @@ object SignatureStore {
           .filter(col("doc_id") =!= col("probe_id"))
           .select(col("probe_id"), col("doc_id").as("match_id"))
           .distinct()
-        pb.unpersist()
         pairs
           .join(storeArrays
             .select(col("doc_id").as("match_id"), col("n_sh").as("nb"),

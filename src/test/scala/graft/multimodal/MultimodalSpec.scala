@@ -191,6 +191,9 @@ class MultimodalSpec extends SparkSpec {
     val au = bos.toByteArray
     val rows = Seq(
       (1L, "image", png), (2L, "image", bmp), (3L, "image", otherPng),
+      // recognized-but-corrupt: ImageIO THROWS here (vs returning null
+      // for junk) — the decoder must skip it, not fail the job
+      (4L, "image", png.take(30)),
       (10L, "audio", wav), (11L, "audio", au),
       (20L, "audio", "junk payload".getBytes("UTF-8"))) // dropped by decoder
     val out = Multimodal.mediaContentDedup(

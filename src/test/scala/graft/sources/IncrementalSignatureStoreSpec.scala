@@ -43,12 +43,22 @@ class IncrementalSignatureStoreSpec extends SparkSpec {
       docs.filter(col("doc_id") % 2 === 1), 2L, dir, bands, rows)
     assert(matchSet(dir) == incr, "replayed batch changed the match set")
 
-    // compaction folds the batch layers; matches are byte-identical and
-    // the arrays tree really is a single layer afterwards
+    // compaction folds COMMITTED layers into the reserved -1 layer and
+    // keeps the newest batch layer unfolded (replay safety); matches are
+    // byte-identical
     IncrementalSignatureStore.compact(spark, dir)
     assert(matchSet(dir) == incr, "compaction changed the match set")
     val layers = spark.read.parquet(s"$dir/arrays")
-      .select("__batch_id").distinct().count()
-    assert(layers == 1L, s"expected one compacted layer, found $layers")
+      .select(col("__batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(layers == Set(IncrementalSignatureStore.CompactedLayer, 2L),
+      s"expected folded layer + newest batch, found $layers")
+
+    // the reason the newest layer stays unfolded: a crash-replay of the
+    // LAST micro-batch after compaction must still converge
+    IncrementalSignatureStore.appendBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1), 2L, dir, bands, rows)
+    assert(matchSet(dir) == incr,
+      "replay of the last batch after compaction changed the match set")
   }
 }
