@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.LongType
   * micro-batch slicing — spec-pinned).
   *
   * Scale: the gate is a pure map (streams at input bandwidth); the only
-  * shuffle is the 8-byte content-hash exchange for dedup; document
-  * bodies cross the wire once. State never grows with stream length,
-  * only with distinct-content count (TTL-able via StreamingExactDedup).
+  * shuffle is the 16-byte content-hash exchange for dedup (a two-seed
+  * 128-bit key — see curate); document bodies cross the wire once.
+  * State never grows with stream length, only with distinct-content
+  * count (TTL-able via StreamingExactDedup).
   */
 object CurationIngestJob {
 
