@@ -68,6 +68,22 @@ object IncrementalSignatureStore {
       storeArrays = spark.read.parquet(s"$indexDir/arrays")
         .select("doc_id", "n_sh", "hs"))
 
+  /** Run the maintainer as a streaming job: every micro-batch of
+    * (doc_id, text) appends its own store layer — the foreachBatch +
+    * checkpoint pairing makes a replayed batch rewrite its own
+    * partitions (convergent), the same wiring as
+    * [[IncrementalTextIndex.start]].
+    */
+  def start(docs: DataFrame, indexDir: String, checkpoint: String,
+      bands: Int, rows: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch.sparkSession, batch, id, indexDir, bands, rows)
+        ()
+      }
+      .start()
+
   /** Reserved layer id for compacted rows. NEGATIVE by design: streaming
     * batch ids start at 0, so a folded layer must live where no replayed
     * batch can dynamic-overwrite it.

@@ -61,4 +61,27 @@ class IncrementalSignatureStoreSpec extends SparkSpec {
     assert(matchSet(dir) == incr,
       "replay of the last batch after compaction changed the match set")
   }
+
+  test("streaming job maintains the store across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("sig_stream").toString
+    val corpus = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalSignatureStore.start(
+      in.toDF().toDF("doc_id", "text"), s"$dir/idx", s"$dir/ckpt",
+      bands, rows)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(matchSet(s"$dir/idx").nonEmpty)
+    // the stream-maintained store probes identically to the batch build
+    val batchIdx = SignatureStore.ensure(spark, sf0001, bands, rows)
+    val batch = SignatureStore.nearDupMatches(spark, batchIdx, probes,
+        0.6, bands, rows, maxBucket = graft.ops.TextDedup.MaxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(matchSet(s"$dir/idx") == batch)
+  }
 }
