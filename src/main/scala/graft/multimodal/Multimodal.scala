@@ -241,6 +241,55 @@ object Multimodal {
       .orderBy(col("keeper_id"))
   }
 
+  /** Output row of a REAL image resize (see resizeImagesBatched). */
+  final case class ResizedImage(
+      media_id: Long,
+      bytes: Array[Byte], // PNG-encoded resized pixels
+      width: Int,
+      height: Int)
+
+  /** REAL RESIZE behind the same batched seam — decode (javax.imageio),
+    * scale (java.awt Graphics2D, bilinear), re-encode (PNG: lossless, so
+    * the output round-trips bit-stable within a JVM — spec-pinned) —
+    * making the resize path working JDK code like the decode paths;
+    * `resizeStub` remains for the synthetic non-image media table.
+    * Undecodable payloads are skipped (R2), and per-batch init is the
+    * same amortization contract as the decoders.
+    */
+  def resizeImagesBatched(media: DataFrame, w: Int, h: Int,
+      batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[ResizedImage] = {
+    require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+    implicit val enc = Encoders.product[ResizedImage]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit() // per-batch codec initialization happens HERE, once
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) None // skip, don't fail (R2)
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ResizedImage(id, bos.toByteArray, w, h))
+          }
+        }
+      }
+    }
+  }
+
   /** STUB RESIZE — deterministic fake: a real implementation decodes,
     * scales, re-encodes; the stub truncates/pads to the target byte budget
     * (w*h/8) so downstream size accounting is exercised for real. Batched

@@ -202,6 +202,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set(1L -> 2L, 3L -> 1L, 10L -> 2L), s"got $out")
   }
 
+  test("real image resize: target dims round-trip through a fresh decode, junk skipped") {
+    import spark.implicits._
+    val png = encode(testImage(40, 20, seed = 11), "png")
+    val rows = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.resizeImagesBatched(
+        rows.toDF("media_id", "bytes"), w = 10, h = 6)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out.keySet == Set(1L), "undecodable payload must be skipped")
+    assert(out(1L).width == 10 && out(1L).height == 6)
+    // the claim is REAL pixels, not a byte-budget stub: the output must
+    // decode as an image of the target dims
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).bytes))
+    assert(decoded != null && decoded.getWidth == 10 && decoded.getHeight == 6)
+    // PNG re-encode of a deterministic scale is bit-stable within a JVM
+    val again = Multimodal.resizeImagesBatched(
+        rows.toDF("media_id", "bytes"), w = 10, h = 6)
+      .collect().head.bytes
+    assert(java.util.Arrays.equals(out(1L).bytes, again),
+      "resize must be deterministic")
+  }
+
   test("javax.sound decoder: per-batch init runs once per batch") {
     import spark.implicits._
     val (wav, _) = testWav(80, 8000f, 1, seed = 3)
