@@ -540,6 +540,76 @@ object WarehouseOps {
                      CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS conversion
               FROM c ORDER BY step""")),
 
+    // Funnel conversion LATENCY — the companion readout to
+    // q_funnel_steps' counts: for every fully-converted user, how long
+    // each leg took (signup→click, click→purchase, and end-to-end).
+    // Latencies are exact integer MICROSECONDS (unix_micros difference —
+    // NOT date_diff boundary counting, whose truncation semantics differ
+    // between engines), so count/min/max are integer-exact, the median
+    // of integers interpolates to at most an exact .5, and the mean is
+    // one exact-sum division. Same chained min-aggregate plan as the
+    // funnel; one extra 3-way union over the converted-user relation.
+    Q("q_funnel_latency",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val step = expr("INTERVAL 7 DAYS")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + step)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + step)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val j = s3.join(s2, Seq("user_id")).join(s1, Seq("user_id"))
+          .select(col("user_id"),
+            (unix_micros(col("t2")) - unix_micros(col("t1"))).as("l12"),
+            (unix_micros(col("t3")) - unix_micros(col("t2"))).as("l23"),
+            (unix_micros(col("t3")) - unix_micros(col("t1"))).as("l13"))
+          .persist()
+        val legs = j.select(lit("signup_to_click").as("leg"), col("l12").as("v"))
+          .unionAll(j.select(lit("click_to_purchase").as("leg"), col("l23").as("v")))
+          .unionAll(j.select(lit("signup_to_purchase").as("leg"), col("l13").as("v")))
+        val out = legs.groupBy(col("leg"))
+          .agg(count(lit(1)).as("n"),
+            min(col("v")).as("min_us"), max(col("v")).as("max_us"),
+            expr("percentile(v, 0.5D)").as("median_us"),
+            (sum(col("v")).cast(DoubleType) / count(lit(1))).as("avg_us"))
+          .orderBy(col("leg"))
+          .localCheckpoint()
+        j.unpersist()
+        out
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                          WHERE event_type = 'signup' GROUP BY 1),
+                   s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                          FROM events e JOIN s1 USING (user_id)
+                          WHERE e.event_type = 'click'
+                            AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+                          GROUP BY 1),
+                   s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                          FROM events e JOIN s2 USING (user_id)
+                          WHERE e.event_type = 'purchase'
+                            AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 7 DAY
+                          GROUP BY 1),
+                   j AS (SELECT s1.user_id,
+                                epoch_us(t2) - epoch_us(t1) AS l12,
+                                epoch_us(t3) - epoch_us(t2) AS l23,
+                                epoch_us(t3) - epoch_us(t1) AS l13
+                         FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id))
+              SELECT leg, count(*) AS n,
+                     CAST(min(v) AS BIGINT) AS min_us,
+                     CAST(max(v) AS BIGINT) AS max_us,
+                     quantile_cont(v, 0.5) AS median_us,
+                     CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) / count(*) AS avg_us
+              FROM (SELECT 'signup_to_click' AS leg, l12 AS v FROM j
+                    UNION ALL SELECT 'click_to_purchase', l23 FROM j
+                    UNION ALL SELECT 'signup_to_purchase', l13 FROM j)
+              GROUP BY leg ORDER BY leg""")),
+
     Q("q_retention",
       (s, dir) => {
         val ev = t(s, dir, "events")
