@@ -1082,6 +1082,54 @@ object WarehouseOps {
     // and pay a range-merge per user. Frame is ROWS (not the default
     // RANGE) so both engines resolve same-timestamp peers identically via
     // the (ts, event_id) total order.
+    // Time-decay MULTI-touch attribution — the sibling of last-touch
+    // q_attribution: every click in the purchase's 3-day lookback gets
+    // weight 2^-age_days, normalized per purchase. Weights are DYADIC
+    // (1, 1/2, 1/4, 1/8 via a lookup array, not libm pow), so the
+    // per-purchase weight sum is exact in double REGARDLESS of
+    // aggregation order and the one normalization division is
+    // bit-identical cross-engine; age_days is exact integer division of
+    // the microsecond difference. Plan: one user-keyed equi-join with
+    // the range as residual (the q_range_join shape), one
+    // purchase-keyed window for the normalizer.
+    Q("q_attribution_decay",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+        val w = Window.partitionBy(col("purchase_id"))
+        purchases.join(clicks, Seq("user_id"))
+          .filter(col("c_ts") < col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
+          .withColumn("age_days",
+            expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 86400000000"))
+          .withColumn("wt", element_at(
+            array(lit(1.0), lit(0.5), lit(0.25), lit(0.125)),
+            (col("age_days") + 1).cast(IntegerType)))
+          .withColumn("credit", col("wt") / sum(col("wt")).over(w))
+          .select(col("purchase_id"), col("click_id"),
+            col("age_days"), col("credit"))
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+                         FROM events WHERE event_type = 'purchase'),
+                   c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+                         FROM events WHERE event_type = 'click'),
+                   j AS (SELECT purchase_id, click_id,
+                                (epoch_us(p_ts) - epoch_us(c_ts)) // 86400000000 AS age_days
+                         FROM p JOIN c USING (user_id)
+                         WHERE c_ts < p_ts AND c_ts >= p_ts - INTERVAL 3 DAY),
+                   wts AS (SELECT purchase_id, click_id, age_days,
+                                  ([1.0, 0.5, 0.25, 0.125])[CAST(age_days + 1 AS INT)] AS wt
+                           FROM j)
+              SELECT purchase_id, click_id, CAST(age_days AS BIGINT) AS age_days,
+                     wt / SUM(wt) OVER (PARTITION BY purchase_id) AS credit
+              FROM wts ORDER BY purchase_id, click_id""")),
+
     Q("q_attribution",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))
