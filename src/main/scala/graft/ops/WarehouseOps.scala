@@ -1082,6 +1082,54 @@ object WarehouseOps {
     // and pay a range-merge per user. Frame is ROWS (not the default
     // RANGE) so both engines resolve same-timestamp peers identically via
     // the (ts, event_id) total order.
+    // Clamped running balance (the inventory-floor recurrence
+    // bal' = max(0, bal + delta)) — NON-ASSOCIATIVE, so no window frame
+    // or partial aggregation can express it; the batch form folds each
+    // user's (ts, event_id)-ordered deltas with an array HOF after one
+    // grouped collect. Deltas are signed cents (integer-exact); the
+    // fold carries (balance, running max) as a 2-long accumulator,
+    // mirrored exactly by DuckDB's list_reduce. Per-key event counts
+    // must fit an executor's memory — the same bounded-collect caveat
+    // as q_collect_set_str, and WHY the unbounded streaming siblings
+    // (EwmaTws's carry-state shape) exist for true infinite streams.
+    Q("q_clamped_balance",
+      (s, dir) => {
+        val delta = when(col("event_type").isin("click", "view"),
+          round(col("value") * 100).cast(LongType))
+          .otherwise(-round(col("value") * 100).cast(LongType))
+        t(s, dir, "events")
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"), delta.as("d")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("e"))).as("es"))
+          .withColumn("ds", expr("transform(es, e -> e.d)"))
+          .withColumn("st", expr(
+            """aggregate(ds, array(0L, 0L),
+               (a, x) -> array(greatest(0L, a[0] + x),
+                               greatest(a[1], greatest(0L, a[0] + x))))"""))
+          .select(col("user_id"),
+            col("st").getItem(0).as("final_balance"),
+            col("st").getItem(1).as("max_balance"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (
+                SELECT user_id,
+                       array_agg(CASE WHEN event_type IN ('click','view')
+                                      THEN CAST(round(value*100) AS BIGINT)
+                                      ELSE -CAST(round(value*100) AS BIGINT) END
+                                 ORDER BY ts, event_id) AS ds
+                FROM events GROUP BY user_id),
+              f AS (
+                SELECT user_id,
+                       list_reduce(list_prepend([0::BIGINT, 0::BIGINT],
+                                     list_transform(ds, x -> [x])),
+                         (a, x) -> [greatest(0, a[1] + x[1]),
+                                    greatest(a[2], greatest(0, a[1] + x[1]))]) AS st
+                FROM d)
+              SELECT user_id, CAST(st[1] AS BIGINT) AS final_balance,
+                     CAST(st[2] AS BIGINT) AS max_balance
+              FROM f ORDER BY user_id""")),
+
     // Time-decay MULTI-touch attribution — the sibling of last-touch
     // q_attribution: every click in the purchase's 3-day lookback gets
     // weight 2^-age_days, normalized per purchase. Weights are DYADIC
