@@ -670,6 +670,72 @@ object CorpusOps {
               JOIN dfr fa ON fa.term = pairs.term_a
               JOIN dfr fb ON fb.term = pairs.term_b, n
               WHERE df_ab >= 5
-              ORDER BY lift DESC, term_a, term_b LIMIT 20"""))
+              ORDER BY lift DESC, term_a, term_b LIMIT 20""")),
+
+    // WEIGHTED cosine near-dup over tf-idf vectors — the similarity
+    // family member between set-based Jaccard (term identity only) and
+    // embedding cosine (dense vectors): rare shared terms dominate the
+    // score. Weights are ratio-idf (tf·N/df — integer product, one IEEE
+    // division); per-term dot/norm contributions round to DECIMAL(38,6)
+    // BEFORE summing (the q_unigram_logprob convention), so partial-agg
+    // order cannot move a bit, and the final cosine is a fixed
+    // sqrt/multiply/divide tree (sqrt is correctly-rounded IEEE).
+    // Reuses the session-shared tf relation. Like q_embed_neardup this
+    // is the exact-oracle anchor — pair generation via the term-inverted
+    // index is Σ df² over the vocabulary; the scale path for weighted
+    // cosine is the LSH family (random projections over the weighted
+    // vectors), whose unweighted machinery q_sim_topk_lsh already pins.
+    Q("q_tfidf_cosine",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val tf = sharedTf(s, dir)
+        val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dft, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("w",
+            (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+          .select(col("doc_id"), col("term"), col("w"))
+          .persist() // feeds norms AND both dot sides; unpersisted below
+        val norms = w.groupBy(col("doc_id"))
+          .agg(sum((col("w") * col("w")).cast(DecimalType(38, 6)))
+            .cast(DoubleType).as("nrm2"))
+        val dots = w.as("a").join(w.as("b"),
+            col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg(sum((col("a.w") * col("b.w")).cast(DecimalType(38, 6)))
+            .cast(DoubleType).as("dot"))
+        val out = dots
+          .join(norms.select(col("doc_id").as("a_id"), col("nrm2").as("na2")), Seq("a_id"))
+          .join(norms.select(col("doc_id").as("b_id"), col("nrm2").as("nb2")), Seq("b_id"))
+          .withColumn("cosine",
+            col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+          .filter(col("cosine") >= 0.9)
+          .select(col("a_id"), col("b_id"), col("cosine"))
+          .orderBy(col("a_id"), col("b_id"))
+          .localCheckpoint()
+        w.unpersist()
+        out
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              w AS (SELECT doc_id, term,
+                           CAST(tf * (SELECT n_docs FROM n) AS DOUBLE) / df AS w
+                    FROM tf JOIN dfr USING (term)),
+              norms AS (SELECT doc_id,
+                               CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS nrm2
+                        FROM w GROUP BY 1),
+              dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                              CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+                       FROM w a JOIN w b
+                         ON a.term = b.term AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+              SELECT a_id, b_id,
+                     dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) AS cosine
+              FROM dots JOIN norms na ON na.doc_id = a_id
+                        JOIN norms nb ON nb.doc_id = b_id
+              WHERE dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= 0.9
+              ORDER BY a_id, b_id"""))
   )
 }
