@@ -675,16 +675,20 @@ object CorpusOps {
     // WEIGHTED cosine near-dup over tf-idf vectors — the similarity
     // family member between set-based Jaccard (term identity only) and
     // embedding cosine (dense vectors): rare shared terms dominate the
-    // score. Weights are ratio-idf (tf·N/df — integer product, one IEEE
+    // score. PROBE-BATCH framing (the q_dedup_minhash_stored
+    // convention): every 100th doc is the incoming re-crawl delta, scored
+    // against the whole corpus — pair generation over the term-inverted
+    // index is then Σ df·df_probe, not Σ df², which matters here
+    // because the synthetic vocabulary is SMALL and every term is hot
+    // (the all-pairs form measured 72 s at sf0.1; the probe form ~2 s).
+    // Weights are ratio-idf (tf·N/df — integer product, one IEEE
     // division); per-term dot/norm contributions round to DECIMAL(38,6)
     // BEFORE summing (the q_unigram_logprob convention), so partial-agg
     // order cannot move a bit, and the final cosine is a fixed
     // sqrt/multiply/divide tree (sqrt is correctly-rounded IEEE).
-    // Reuses the session-shared tf relation. Like q_embed_neardup this
-    // is the exact-oracle anchor — pair generation via the term-inverted
-    // index is Σ df² over the vocabulary; the scale path for weighted
-    // cosine is the LSH family (random projections over the weighted
-    // vectors), whose unweighted machinery q_sim_topk_lsh already pins.
+    // Reuses the session-shared tf relation. The full-corpus scale path
+    // for weighted cosine is the LSH family (random projections over
+    // weighted vectors), whose machinery q_sim_topk_lsh already pins.
     Q("q_tfidf_cosine",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -699,19 +703,20 @@ object CorpusOps {
         val norms = w.groupBy(col("doc_id"))
           .agg(sum((col("w") * col("w")).cast(DecimalType(38, 6)))
             .cast(DoubleType).as("nrm2"))
-        val dots = w.as("a").join(w.as("b"),
-            col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        val probes = w.filter(col("doc_id") % 100 === 0)
+        val dots = probes.as("a").join(w.as("b"),
+            col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("probe_id"), col("b.doc_id").as("match_id"))
           .agg(sum((col("a.w") * col("b.w")).cast(DecimalType(38, 6)))
             .cast(DoubleType).as("dot"))
         val out = dots
-          .join(norms.select(col("doc_id").as("a_id"), col("nrm2").as("na2")), Seq("a_id"))
-          .join(norms.select(col("doc_id").as("b_id"), col("nrm2").as("nb2")), Seq("b_id"))
+          .join(norms.select(col("doc_id").as("probe_id"), col("nrm2").as("na2")), Seq("probe_id"))
+          .join(norms.select(col("doc_id").as("match_id"), col("nrm2").as("nb2")), Seq("match_id"))
           .withColumn("cosine",
             col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
-          .filter(col("cosine") >= 0.9)
-          .select(col("a_id"), col("b_id"), col("cosine"))
-          .orderBy(col("a_id"), col("b_id"))
+          .filter(col("cosine") >= 0.8)
+          .select(col("probe_id"), col("match_id"), col("cosine"))
+          .orderBy(col("probe_id"), col("match_id"))
           .localCheckpoint()
         w.unpersist()
         out
@@ -726,16 +731,17 @@ object CorpusOps {
               norms AS (SELECT doc_id,
                                CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS nrm2
                         FROM w GROUP BY 1),
-              dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              dots AS (SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
                               CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
                        FROM w a JOIN w b
-                         ON a.term = b.term AND a.doc_id < b.doc_id
+                         ON a.term = b.term AND a.doc_id % 100 = 0
+                        AND a.doc_id <> b.doc_id
                        GROUP BY 1, 2)
-              SELECT a_id, b_id,
+              SELECT probe_id, match_id,
                      dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) AS cosine
-              FROM dots JOIN norms na ON na.doc_id = a_id
-                        JOIN norms nb ON nb.doc_id = b_id
-              WHERE dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= 0.9
-              ORDER BY a_id, b_id"""))
+              FROM dots JOIN norms na ON na.doc_id = probe_id
+                        JOIN norms nb ON nb.doc_id = match_id
+              WHERE dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= 0.8
+              ORDER BY probe_id, match_id"""))
   )
 }
