@@ -191,8 +191,18 @@ object Multimodal {
                   else AudioSystem.getAudioInputStream(canon, raw)
                 crc.reset()
                 var pcmBytes = 0L
-                var n = ais.read(buf)
-                while (n > 0) { crc.update(buf, 0, n); pcmBytes += n; n = ais.read(buf) }
+                // AudioInputStream.read returns 0 (not -1) when the
+                // requested length is smaller than ONE canonical frame
+                // (2*channels bytes) — with the shared 8 KiB buffer an
+                // extreme channel count would silently truncate. Size a
+                // frame-aligned buffer for that row instead; a frame-
+                // multiple request can never return 0, so the n > 0 loop
+                // terminates only at true end-of-stream.
+                val frameSize = 2 * src.getChannels
+                val b = if (frameSize <= buf.length) buf
+                        else new Array[Byte](frameSize * 4)
+                var n = ais.read(b)
+                while (n > 0) { crc.update(b, 0, n); pcmBytes += n; n = ais.read(b) }
                 // some containers report NOT_SPECIFIED (-1) frame length;
                 // derive it from the decoded byte count instead
                 val frames =

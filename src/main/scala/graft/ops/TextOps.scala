@@ -31,13 +31,14 @@ object TextOps {
     * single-partition scan of the data ever happens.
     */
   def tokenShards(docs: DataFrame, budget: Long = 4096L,
-      docsPerChunk: Long = 1024L): DataFrame = {
+      docsPerChunk: Long = 1024L,
+      nTokens: org.apache.spark.sql.Column =
+        size(split(col("text"), " ")).cast(LongType)): DataFrame = {
     // persisted: both the chunk totals and the join probe side read it,
     // and cross-subtree plans re-execute (no CSE) — without this the
     // text-splitting scan runs twice
     val sized = docs
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .select(col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / docsPerChunk))
       .persist()
     val wChunks = Window.orderBy(col("chunk"))
@@ -52,10 +53,52 @@ object TextOps {
       .withColumn("offset",
         col("chunk_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("offset"),
-        floor(col("offset") / budget.toDouble).cast(LongType).as("shard"))
+        // integer `div`, not floor(double /): past ~2^53 total tokens a
+        // double offset loses integer precision and misassigns shards —
+        // the 100 TB corpus this targets crosses that line
+        expr(s"offset div ${budget}L").as("shard"))
       .localCheckpoint()
     sized.unpersist()
     out
+  }
+
+  /** DuckDB mirror of the BPE merge loop (shared by q_bpe_encode and
+    * q_pack_sequences_bpe): per (doc, word) a recursive CTE applies one
+    * merge per level — the min-rank adjacent pair via list_position over
+    * the SAME merge table (generated from BpeMerges.table, one source of
+    * truth), the merge itself as a left-fold list_reduce which is
+    * provably identical to the canonical left-to-right scan (a merged
+    * token a||b is strictly longer than a, so it can never re-match as
+    * the left element within the same pass). Validated against an
+    * independent Python reference on all 500 sf0.01 docs before landing.
+    */
+  private def bpeCte: String = {
+    val ml = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       w0 AS (SELECT doc_id,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents),
+       bpe(doc_id, wid, iter, toks) AS (
+         SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
+         UNION ALL
+         SELECT doc_id, wid, iter + 1,
+           list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
+                              THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
+                              ELSE list_append(acc, x[1]) END)
+         FROM (SELECT doc_id, wid, iter, toks,
+                 string_split($ml[list_min(list_filter(
+                    list_transform(range(1, len(toks)),
+                      i -> list_position($ml, toks[i] || chr(1) || toks[i+1])),
+                    r -> r > 0))], chr(1)) AS sp
+               FROM bpe)
+         WHERE sp IS NOT NULL
+       ),
+       fin AS (SELECT doc_id, wid, toks FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
+                 FROM bpe) WHERE rn = 1)"""
   }
 
   val queries: Seq[Q] = Seq(
@@ -67,8 +110,8 @@ object TextOps {
       Some("""SELECT doc_id, n_tokens,
                      CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
-                     CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT) AS shard
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096 AS BIGINT) AS shard
               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
               ORDER BY doc_id""")),
 
@@ -436,9 +479,8 @@ object TextOps {
       (s, dir) => {
         val L = 256L
         tokenShards(t(s, dir, "documents"), budget = L)
-          .withColumn("seq_last",
-            floor((col("offset") + col("n_tokens") - 1) / L.toDouble)
-              .cast(LongType))
+          // integer div (see tokenShards): exact past 2^53 total tokens
+          .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div ${L}L"))
           .withColumn("seq", explode(sequence(col("shard"), col("seq_last"))))
           .select(col("doc_id"), col("seq"),
             (least(col("offset") + col("n_tokens"), (col("seq") + 1) * L)
@@ -450,9 +492,81 @@ object TextOps {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)),
               b AS (SELECT doc_id, off, n_tokens,
-                     CAST(FLOOR(off / 256.0) AS BIGINT) AS s0,
-                     CAST(FLOOR((off + n_tokens - 1) / 256.0) AS BIGINT) AS s1
+                     CAST(off // 256 AS BIGINT) AS s0,
+                     CAST((off + n_tokens - 1) // 256 AS BIGINT) AS s1
               FROM o)
+              SELECT doc_id, seq,
+                     CAST(least(off + n_tokens, (seq + 1) * 256) - greatest(off, seq * 256) AS BIGINT) AS tok_in_seq
+              FROM (SELECT doc_id, off, n_tokens, unnest(range(s0, s1 + 1)) AS seq FROM b)
+              ORDER BY doc_id, seq""")),
+
+    // BPE subword tokenization (the GPT-2 greedy merge loop over the
+    // committed BpeMerges.table — see functions/Bpe.scala): the ONE
+    // first-class LLM-pipeline operator a whitespace tokenizer can't
+    // stand in for — token budgets measured in whitespace words misprice
+    // CJK/code/URL-heavy documents. The whole merge loop runs as ONE
+    // codegen'd per-row call (BpeEncodeTokens, static-call pattern), so
+    // at 100 TB this is a pure map that streams at input bandwidth; the
+    // oracle replays the identical loop in DuckDB (bpeCte). Output is
+    // scalar-only: token count, word count, and the first 8 subword
+    // tokens space-joined (tokens are [a-z]+, so the join is lossless).
+    Q("q_bpe_encode",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens.bpeTokens(col("text")).as("toks"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast(LongType).as("n_words"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("toks")).cast(LongType).as("n_bpe_tokens"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
+          .orderBy(col("doc_id")),
+      Some(s"""$bpeCte,
+              agg AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_words,
+                            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_bpe_tokens,
+                            string_agg(array_to_string(toks, ' '), ' ' ORDER BY wid) AS full
+                     FROM fin GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                     CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+                     array_to_string((string_split(coalesce(a.full, ''), ' '))[:8], ' ') AS first_tokens
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    // Sequence packing re-pointed at BPE counts — budget-accurate
+    // packing: the 256-token training sequences are cut in SUBWORD
+    // units, so the (document, sequence) lineage map prices every
+    // document by what the trainer actually consumes. Same two-phase
+    // offset machinery (tokenShards with the BPE count column); docs
+    // with zero [a-z] words carry zero tokens and pack nothing (both
+    // sides filter n_tokens > 0 — a zero-length span has no sequence).
+    Q("q_pack_sequences_bpe",
+      (s, dir) => {
+        val L = 256L
+        tokenShards(t(s, dir, "documents"), budget = L,
+          nTokens = size(
+            graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
+            .cast(LongType))
+          .filter(col("n_tokens") > 0)
+          .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div ${L}L"))
+          .withColumn("seq", explode(sequence(col("shard"), col("seq_last"))))
+          .select(col("doc_id"), col("seq"),
+            (least(col("offset") + col("n_tokens"), (col("seq") + 1) * L)
+              - greatest(col("offset"), col("seq") * L)).as("tok_in_seq"))
+          .orderBy(col("doc_id"), col("seq"))
+      },
+      Some(s"""$bpeCte,
+              cnt AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+                      FROM fin GROUP BY doc_id),
+              o AS (SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+                    FROM cnt),
+              b AS (SELECT doc_id, off, n_tokens,
+                     CAST(off // 256 AS BIGINT) AS s0,
+                     CAST((off + n_tokens - 1) // 256 AS BIGINT) AS s1
+                    FROM o WHERE n_tokens > 0)
               SELECT doc_id, seq,
                      CAST(least(off + n_tokens, (seq + 1) * 256) - greatest(off, seq * 256) AS BIGINT) AS tok_in_seq
               FROM (SELECT doc_id, off, n_tokens, unnest(range(s0, s1 + 1)) AS seq FROM b)

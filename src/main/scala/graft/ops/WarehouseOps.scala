@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -35,6 +35,10 @@ import graft.Tables
   *    daily sketches merge into weekly/total estimates WITHOUT re-reading
   *    the fact table — the mergeability contract exact distinct lacks.
   */
+/** One user's folded clamped-balance state (see q_clamped_balance). */
+case class ClampedBalance(user_id: Long, final_balance: Long,
+    max_balance: Long)
+
 object WarehouseOps {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -1084,32 +1088,62 @@ object WarehouseOps {
     // the (ts, event_id) total order.
     // Clamped running balance (the inventory-floor recurrence
     // bal' = max(0, bal + delta)) — NON-ASSOCIATIVE, so no window frame
-    // or partial aggregation can express it; the batch form folds each
-    // user's (ts, event_id)-ordered deltas with an array HOF after one
-    // grouped collect. Deltas are signed cents (integer-exact); the
-    // fold carries (balance, running max) as a 2-long accumulator,
-    // mirrored exactly by DuckDB's list_reduce. Per-key event counts
-    // must fit an executor's memory — the same bounded-collect caveat
-    // as q_collect_set_str, and WHY the unbounded streaming siblings
-    // (EwmaTws's carry-state shape) exist for true infinite streams.
+    // or partial aggregation can express it. Scale shape: ONE user-keyed
+    // shuffle (repartition) + an in-partition (user_id, ts, event_id)
+    // sort, then a mapPartitions running fold that carries exactly two
+    // longs per OPEN user — O(1) heap per key, so a bot user with 10^9
+    // events streams through instead of materializing a collect_list
+    // array (the shape the round-7 review flagged). Deltas are signed
+    // cents (integer-exact), computed in codegen BEFORE the fold so the
+    // imperative part is only the clamp recurrence; DuckDB mirrors with
+    // list_reduce over the same (ts, event_id) total order. True
+    // infinite streams use the EwmaTws carry-state shape instead.
     Q("q_clamped_balance",
       (s, dir) => {
         val delta = when(col("event_type").isin("click", "view"),
           round(col("value") * 100).cast(LongType))
           .otherwise(-round(col("value") * 100).cast(LongType))
+        implicit val enc = Encoders.product[ClampedBalance]
         t(s, dir, "events")
-          .select(col("user_id"),
-            struct(col("ts"), col("event_id"), delta.as("d")).as("e"))
-          .groupBy(col("user_id"))
-          .agg(sort_array(collect_list(col("e"))).as("es"))
-          .withColumn("ds", expr("transform(es, e -> e.d)"))
-          .withColumn("st", expr(
-            """aggregate(ds, array(0L, 0L),
-               (a, x) -> array(greatest(0L, a[0] + x),
-                               greatest(a[1], greatest(0L, a[0] + x))))"""))
-          .select(col("user_id"),
-            col("st").getItem(0).as("final_balance"),
-            col("st").getItem(1).as("max_balance"))
+          .select(col("user_id"), col("ts"), col("event_id"), delta.as("d"))
+          .repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("d"))
+          .mapPartitions { rows =>
+            // running fold over the sorted partition: carries (uid, bal,
+            // max) for the single OPEN user; emits on key change / end
+            new Iterator[ClampedBalance] {
+              private var haveCur = false
+              private var uid = 0L; private var bal = 0L; private var mx = 0L
+              private var out: ClampedBalance = null
+              private def advance(): Unit =
+                while (out == null && (haveCur || rows.hasNext)) {
+                  if (!haveCur) {
+                    val r = rows.next()
+                    uid = r.getLong(0); bal = math.max(0L, r.getLong(1))
+                    mx = bal; haveCur = true
+                  } else if (rows.hasNext) {
+                    val r = rows.next()
+                    if (r.getLong(0) == uid) {
+                      bal = math.max(0L, bal + r.getLong(1))
+                      if (bal > mx) mx = bal
+                    } else {
+                      out = ClampedBalance(uid, bal, mx)
+                      uid = r.getLong(0); bal = math.max(0L, r.getLong(1))
+                      mx = bal
+                    }
+                  } else {
+                    out = ClampedBalance(uid, bal, mx); haveCur = false
+                  }
+                }
+              def hasNext: Boolean = { if (out == null) advance(); out != null }
+              def next(): ClampedBalance = {
+                if (!hasNext) throw new NoSuchElementException
+                val o = out; out = null; o
+              }
+            }
+          }
+          .toDF("user_id", "final_balance", "max_balance")
           .orderBy(col("user_id"))
       },
       Some("""WITH d AS (
@@ -1310,6 +1344,16 @@ object WarehouseOps {
     // (recursive CTEs cannot aggregate over the recursive term), so the
     // contract is KCoreSpec's brute-force reference peel, not a DuckDB
     // oracle.
+    // Oracled via a DuckDB recursive-CTE mirror of the SIMULTANEOUS peel
+    // (each level recomputes degrees on the previous level's edge set and
+    // drops every node under K at once — exactly kcorePeel's round). The
+    // recursion is guarded by EXISTS(degree < K) so it terminates at the
+    // fixed point; the outer `keep`/`core` step applies ONE more peel
+    // application to the max-iter level, which is the identity when the
+    // recursion ended stable and yields the correct empty set when the
+    // last round would have removed everything (cascade collapse) — both
+    // regimes validated against a brute-force peel (K=8 stable, K=86
+    // three live rounds, K=87/100 collapse-to-empty at sf0.01).
     Q("q_kcore",
       (s, dir) => {
         val (ed, _) = kcorePeel(s, dir, 8)
@@ -1320,7 +1364,32 @@ object WarehouseOps {
         ed.unpersist()
         out
       },
-      None),
+      Some("""WITH RECURSIVE ev AS (
+                SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+                FROM events),
+              e2 AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                     FROM ev a JOIN ev b
+                       ON a.event_type = b.event_type AND a.h = b.h
+                      AND a.user_id < b.user_id),
+              edges AS (SELECT u AS src, v AS dst FROM e2
+                        UNION ALL SELECT v, u FROM e2),
+              peel(iter, src, dst) AS (
+                SELECT 0, src, dst FROM edges
+                UNION ALL
+                SELECT p.iter + 1, p.src, p.dst FROM peel p
+                WHERE p.src IN (SELECT src FROM peel GROUP BY src HAVING count(*) >= 8)
+                  AND p.dst IN (SELECT src FROM peel GROUP BY src HAVING count(*) >= 8)
+                  AND EXISTS (SELECT 1 FROM peel GROUP BY src HAVING count(*) < 8)
+              ),
+              last AS (SELECT src, dst FROM peel
+                       WHERE iter = (SELECT max(iter) FROM peel)),
+              keep AS (SELECT src AS node FROM last
+                       GROUP BY src HAVING count(*) >= 8),
+              core AS (SELECT l.src FROM last l
+                       WHERE l.src IN (SELECT node FROM keep)
+                         AND l.dst IN (SELECT node FROM keep))
+              SELECT src AS node, count(*) AS core_degree
+              FROM core GROUP BY src ORDER BY node""")),
 
     // Longest consecutive-day activity streak per user — the
     // gaps-and-islands pattern on the CALENDAR axis (q_sessionize is the

@@ -103,22 +103,36 @@ object IncrementalSignatureStore {
     * probe-visible row set is unchanged, so compaction changes
     * bytes-read, never matches.
     *
-    * Swap discipline: the new tree is staged, the live root is moved
-    * ASIDE (not deleted), the stage renamed in, and only then the old
-    * tree dropped — a failed rename restores the original, so the only
-    * copy of a store that cannot be rebuilt from a corpus file is never
-    * lost. (A reader racing the two renames can still observe a missing
-    * root for one FS op — same exposure as the batch stores' swap — but
-    * no failure mode leaves the store permanently gone.)
+    * Swap discipline: StoreSwap.swapIn — staged tree, live root moved
+    * ASIDE (not deleted), stage renamed in, old tree dropped last; a
+    * failed rename restores the original, so the only copy of a store
+    * that cannot be rebuilt from a corpus file is never lost. (A reader
+    * racing the two renames can still observe a missing root for one FS
+    * op — same exposure as the batch stores' swap — but no failure mode
+    * leaves the store permanently gone.)
+    *
+    * MUST run with the maintaining streaming query STOPPED (unlike
+    * IncrementalTextIndex.compactTo, which folds into a SEPARATE batch
+    * store dir and never touches the appending tree, this compaction
+    * rewrites the live root in place): an appendBatch landing
+    * between the two renames would write into the moved-aside tree or
+    * recreate the root — making the rename-in fail and silently dropping
+    * that batch's layer. Quiesce (query.stop()), compact, restart; the
+    * checkpoint replays the in-flight batch into the compacted store and
+    * converges.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val f = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // empty or never-appended store: nothing to fold
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/arrays"))) return
     // the hive partition column reads back with an INFERRED numeric type
     // (int for small ids) — normalize to long before comparing/folding
     val allArrays = spark.read.parquet(s"$indexDir/arrays")
       .withColumn("__batch_id", col("__batch_id").cast("long"))
-    val maxBatch = allArrays.agg(max(col("__batch_id"))).head.getLong(0)
+    val maxRow = allArrays.agg(max(col("__batch_id"))).head
+    if (maxRow.isNullAt(0)) return // zero rows appended so far
+    val maxBatch = maxRow.getLong(0)
     val fold = (c: org.apache.spark.sql.Column) =>
       when(c.cast("long") < maxBatch, lit(CompactedLayer)).otherwise(c.cast("long"))
     val buckets = spark.read.parquet(s"$indexDir/buckets")
@@ -133,12 +147,7 @@ object IncrementalSignatureStore {
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
     buckets.write.partitionBy("bucket", "__batch_id").parquet(s"$tmp/buckets")
     arrays.write.partitionBy("__batch_id").parquet(s"$tmp/arrays")
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val tmpP = new org.apache.hadoop.fs.Path(tmp)
-    val aside = new org.apache.hadoop.fs.Path(
-      indexDir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-    if (!f.rename(root, aside)) { f.delete(tmpP, true); return }
-    if (f.rename(tmpP, root)) f.delete(aside, true)
-    else { f.rename(aside, root); f.delete(tmpP, true) } // restore original
+    StoreSwap.swapIn(f, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(indexDir))
   }
 }

@@ -166,9 +166,7 @@ object IncrementalTextIndex {
     docstats.write.parquet(s"$tmp/docstats")
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(s"stream-compacted|$indexDir".getBytes("UTF-8")) finally out.close()
-    f.mkdirs(root.getParent)
-    f.delete(root, true)
-    if (!f.rename(tmp, root)) f.delete(tmp, true)
+    StoreSwap.swapIn(f, tmp, root)
   }
 
   /** Wire a (doc_id, text) document stream into continuous index

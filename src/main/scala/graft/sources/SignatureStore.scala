@@ -90,9 +90,11 @@ object SignatureStore {
         .select(col("doc_id"), col("bb.band"), col("bb.bh"))
 
   /** Build (or rebuild): one shingling pass over the corpus, staged into
-    * a temp dir and atomically renamed (the TextIndexStore concurrency
-    * contract: a concurrent reader sees a complete old tree or a
-    * complete new one).
+    * a temp dir and swapped in via StoreSwap.swapIn (move-aside →
+    * rename-in → restore-on-failure — the shared store contract: no
+    * failure mode loses the live tree; a reader racing the two renames
+    * may see a missing root for one FS op, absorbed by ensure's
+    * re-verify).
     */
   def build(spark: SparkSession, sfDir: String, indexDir: String,
       bands: Int, rows: Int): Unit = {
@@ -118,9 +120,7 @@ object SignatureStore {
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir, bands, rows).getBytes("UTF-8"))
     finally out.close()
-    f.mkdirs(root.getParent)
-    f.delete(root, true)
-    if (!f.rename(tmp, root)) f.delete(tmp, true)
+    StoreSwap.swapIn(f, tmp, root)
   }
 
   private def isFresh(spark: SparkSession, indexDir: String,

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Shared swap discipline for every on-disk store (text index, vector
+  * index, signature store, and their streaming-compacted forms): a fully
+  * staged tree replaces the live root via move-aside → rename-in →
+  * restore-on-failure. Unlike delete-then-rename, no failure mode leaves
+  * the store permanently gone: if the rename-in fails the original tree
+  * is moved back, and the only remaining exposure is a reader racing the
+  * two renames observing a missing root for one FS op — which every
+  * store's `ensure` re-verify already absorbs (it re-reads the
+  * fingerprint and rebuilds on a miss).
+  */
+object StoreSwap {
+
+  /** Replace `root` with the staged tree at `tmp`. Returns true iff the
+    * staged tree is now live; on false the previous tree (if any) has
+    * been restored and `tmp` deleted — the caller lost a concurrent-swap
+    * race and should defer to `ensure`'s post-build re-verify.
+    */
+  def swapIn(f: FileSystem, tmp: Path, root: Path): Boolean = {
+    f.mkdirs(root.getParent)
+    val aside = new Path(
+      root.toString + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+    val hadOld = f.exists(root)
+    if (hadOld && !f.rename(root, aside)) { f.delete(tmp, true); return false }
+    if (f.rename(tmp, root)) { if (hadOld) f.delete(aside, true); true }
+    else {
+      if (hadOld) f.rename(aside, root) // restore the original tree
+      f.delete(tmp, true)
+      false
+    }
+  }
+}

@@ -139,14 +139,10 @@ object TextIndexStore {
     // _FINGERPRINT is written LAST: a tree without it always reads stale
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
-    f.mkdirs(root.getParent)
-    f.delete(root, true)
-    if (!f.rename(tmp, root)) {
-      // lost the swap race to a concurrent builder of the same corpus —
-      // its tree is equivalent (same deterministic build); drop ours and
-      // let ensure's post-build re-verify adjudicate
-      f.delete(tmp, true)
-    }
+    // A lost swap race means a concurrent builder of the same corpus won —
+    // its tree is equivalent (same deterministic build); StoreSwap restores
+    // or defers and ensure's post-build re-verify adjudicates.
+    StoreSwap.swapIn(f, tmp, root)
   }
 
   private def isFresh(spark: SparkSession, indexDir: String,

@@ -134,9 +134,7 @@ object VectorIndexStore {
     assigned.unpersist()
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
-    f.mkdirs(root.getParent)
-    f.delete(root, true)
-    if (!f.rename(tmp, root)) f.delete(tmp, true)
+    StoreSwap.swapIn(f, tmp, root)
   }
 
   private def isFresh(spark: SparkSession, indexDir: String,
