@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import scala.collection.mutable.ArrayBuffer
+
+/** Properties of the BPE merge loop (functions/Bpe.scala). The fold-
+  * equivalence property is the load-bearing one: the DuckDB oracle
+  * (TextOps.bpeCte) implements each merge pass as a left fold over the
+  * token list, while the Scala encoder uses the canonical left-to-right
+  * scan — this suite proves the two passes coincide on arbitrary input,
+  * which is exactly the argument that makes q_bpe_encode's oracle a
+  * faithful mirror rather than a coincidence of the test corpus.
+  */
+object BpeSpec extends Properties("Bpe") {
+
+  private val tableSet: Set[(String, String)] = BpeMerges.table.toSet
+  private val rank: Map[(String, String), Int] =
+    BpeMerges.table.zipWithIndex.toMap
+
+  // skew chars toward the merge-table alphabet so merges actually fire,
+  // plus uniform a-z for coverage of no-merge paths
+  private val chr: Gen[Char] = Gen.frequency(
+    3 -> Gen.oneOf("tablescndfvquwiorgkyhp".toSeq),
+    1 -> Gen.alphaLowerChar)
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 14).flatMap(n => Gen.listOfN(n, chr)).map(_.mkString)
+  private val doc: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  private def encodeWord(w: String): Seq[String] = {
+    val out = new ArrayBuffer[String]()
+    BpeMerges.encodeWord(w, out)
+    out.toSeq
+  }
+
+  /** Independent reference: one merge pass as the LEFT FOLD the DuckDB
+    * oracle uses (acc last-element check), full loop with min-rank pair
+    * selection re-derived from the table.
+    */
+  private def foldReference(w: String): Seq[String] = {
+    var toks: Vector[String] = w.map(_.toString).toVector
+    var done = false
+    while (!done && toks.length > 1) {
+      val ranks = toks.zip(toks.tail).flatMap(rank.get)
+      if (ranks.isEmpty) done = true
+      else {
+        val (a, b) = BpeMerges.table(ranks.min)
+        toks = toks.foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == a && t == b)
+            acc.init :+ (a + b)
+          else acc :+ t
+        }
+      }
+    }
+    toks
+  }
+
+  property("deterministic: same input, same tokens") =
+    forAll(doc) { t => BpeMerges.encodeDoc(t) == BpeMerges.encodeDoc(t) }
+
+  property("lossless: token concatenation rebuilds the [a-z]+ words") =
+    forAll(doc) { t =>
+      BpeMerges.encodeDoc(t).mkString ==
+        "[a-z]+".r.findAllIn(t.toLowerCase).mkString
+    }
+
+  property("fixed point: no adjacent token pair remains mergeable") =
+    forAll(word) { w =>
+      val toks = encodeWord(w)
+      toks.zip(toks.tail).forall(p => !tableSet.contains(p))
+    }
+
+  property("merges never cross word boundaries") =
+    forAll(word, word) { (w1, w2) =>
+      BpeMerges.encodeDoc(w1 + " " + w2) == encodeWord(w1) ++ encodeWord(w2)
+    }
+
+  property("scan pass == fold pass (the DuckDB-oracle equivalence)") =
+    forAll(word) { w => encodeWord(w) == foldReference(w) }
+
+  property("known merges: table/data/the/agg collapse as designed") =
+    forAll(Gen.const(())) { _ =>
+      encodeWord("table") == Seq("table") &&
+        encodeWord("data") == Seq("data") &&
+        encodeWord("the") == Seq("the") &&
+        encodeWord("agg") == Seq("a", "gg") &&
+        encodeWord("aaa") == Seq("a", "a", "a") // (a,a) is not a merge
+    }
+}
