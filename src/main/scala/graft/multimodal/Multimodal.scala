@@ -224,6 +224,93 @@ object Multimodal {
     }
   }
 
+  /** Typed metadata of ONE decoded frame of a multi-frame container
+    * (see decodeFramesBatched).
+    */
+  final case class FrameMeta(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      pixel_crc: Long)
+
+  /** REAL multi-frame decode — completes the image/audio/video triple:
+    * the JDK's ImageIO GIF reader decodes ANIMATED GIFs frame-by-frame
+    * (`reader.getNumImages` / `reader.read(i)`), so the video seam's
+    * frame-indexed decode is working public code, zero new dependencies
+    * — `frameSampleBatched`'s `decodeStub` remains for the synthetic
+    * (non-GIF) media table, exactly like the image/audio stubs. One
+    * media row explodes to N frame rows of (idx, dims, pixel CRC); the
+    * CRC is over each frame's STORED raster (GIF frames may be partial
+    * rectangles under the disposal model — this is the per-frame
+    * content fingerprint, not a composited playback surface).
+    *
+    * Bad-record granularity is the FRAME (R2 contract, one level finer
+    * than the scalar decoders): a container truncated mid-stream keeps
+    * its decoded prefix frames and drops the rest; an unrecognized
+    * format contributes no rows. `batchInit` amortizes demuxer init
+    * per batch like every other batched codec seam.
+    */
+  def decodeFramesBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[FrameMeta] = {
+    implicit val enc = Encoders.product[FrameMeta]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit() // per-batch demuxer initialization happens HERE, once
+        val crc = new java.util.zip.CRC32() // reused across the batch
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FrameMeta]
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                // seekForwardOnly = false: frame-indexed random access
+                reader.setInput(iis, false, true)
+                val n =
+                  try reader.getNumImages(true)
+                  catch { case _: java.io.IOException => 0 }
+                var i = 0
+                var ok = true
+                while (i < n && ok) {
+                  val img =
+                    try reader.read(i)
+                    catch { case _: java.io.IOException => null }
+                  if (img == null) ok = false // truncated tail: keep prefix
+                  else {
+                    crc.reset()
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val p = img.getRGB(x, y)
+                        crc.update(p >>> 24)
+                        crc.update((p >>> 16) & 0xff)
+                        crc.update((p >>> 8) & 0xff)
+                        crc.update(p & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    out += FrameMeta(id, i, img.getWidth, img.getHeight,
+                      crc.getValue)
+                  }
+                  i += 1
+                }
+              } finally reader.dispose()
+            }
+          } catch { case _: java.io.IOException => () } // skip row (R2)
+          finally iis.close()
+          out
+        }
+      }
+    }
+  }
+
   /** CONTENT-level media dedup — what the real decoders exist for:
     * `q_media_dedup` catches byte-identical payloads, but the same
     * pixels re-encoded (PNG vs BMP, compression level, stripped

@@ -234,4 +234,62 @@ class MultimodalSpec extends SparkSpec {
       batchInit = () => batches.add(1)).count()
     assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
   }
+
+  /** Solid-color frame: few palette entries, so the GIF round-trip is
+    * pixel-exact (no quantization) and the CRC contract is checkable
+    * against the SOURCE frames, like the PNG test.
+    */
+  private def solidImage(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  /** Animated GIF from frames via the JDK's sequence writer. */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("GIF frame decoder: real 2-frame animated GIF decodes frame-by-frame") {
+    import spark.implicits._
+    val f0 = solidImage(9, 7, 0xcc2200)
+    val f1 = solidImage(9, 7, 0x0033bb)
+    val gif = animatedGif(Seq(f0, f1))
+    val rows = Seq(
+      (1L, gif),
+      (2L, "definitely not a video container".getBytes("UTF-8"))) // no rows
+    val frames = Multimodal.decodeFramesBatched(rows.toDF("media_id", "bytes"))
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.map(_.media_id).toSet == Set(1L),
+      "unrecognized payload must contribute no frame rows")
+    assert(frames.length == 2, s"expected 2 decoded frames, got ${frames.length}")
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1))
+    assert(frames.forall(f => f.width == 9 && f.height == 7))
+    // solid colors fit one palette entry each: round-trip is pixel-exact
+    assert(frames(0).pixel_crc == crcOf(f0), "frame 0 pixels survive the GIF round-trip")
+    assert(frames(1).pixel_crc == crcOf(f1), "frame 1 pixels survive the GIF round-trip")
+    assert(frames(0).pixel_crc != frames(1).pixel_crc)
+  }
+
+  test("GIF frame decoder: per-batch init runs once per batch") {
+    import spark.implicits._
+    val gif = animatedGif(Seq(solidImage(4, 4, 0x112233)))
+    val df = (1L to 10L).map(i => (i, gif)).toDF("media_id", "bytes")
+      .repartition(1)
+    val batches = spark.sparkContext.longAccumulator("frame_batches")
+    Multimodal.decodeFramesBatched(df, batchSize = 4,
+      batchInit = () => batches.add(1)).count()
+    assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
+  }
 }
