@@ -23,6 +23,9 @@ object EngineMetrics {
       shuffleRecords: Long,     // records written across all shuffle exchanges
       spillBytes: Long,         // sort/agg/join spill (memory + disk spills)
       scanRows: Long,           // rows produced by leaf scans
+      scanBytes: Long,          // file bytes selected by leaf scans
+                                // (FileSourceScanExec "size of files read",
+                                // i.e. post partition-/bucket-pruning)
       shuffleExchanges: Int,    // distinct shuffle boundaries in the final plan
       broadcastExchanges: Int)  // broadcast boundaries in the final plan
 
@@ -59,6 +62,7 @@ object EngineMetrics {
       shuffleRecords = sum("shuffleRecordsWritten"),
       spillBytes = sum("spillSize"),
       scanRows = sum("numOutputRows", isScan),
+      scanBytes = sum("filesSize", isScan),
       shuffleExchanges =
         all.count(_.getClass.getSimpleName.startsWith("ShuffleExchange")),
       broadcastExchanges =

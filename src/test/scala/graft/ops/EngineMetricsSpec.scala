@@ -92,4 +92,82 @@ class EngineMetricsSpec extends SparkSpec {
     assert(p.shuffleExchanges <= 2, s"$p")
     assert(p.shuffleRecords < p.scanRows / 100, s"6 groups from 6k rows: $p")
   }
+
+  // ---- stored-index pruning, as MEASURED bytes ----------------------
+  // The plan-shape specs pin that the stored probes bucket-/cell-prune
+  // and never touch the corpus; these turn the win into a number: the
+  // file bytes the pruned scan selects (FileSourceScanExec "size of
+  // files read", post partition-pruning) must be a small fraction of
+  // the store component's total on-disk bytes.
+
+  /** Total bytes under a local directory tree. */
+  private def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  /** Executed-plan scan bytes per file scan whose location string
+    * mentions `pathFragment` — isolates one store component from the
+    * probe/stats side scans of the same plan (one entry per scan node,
+    * so a plan that reads the component twice shows both).
+    */
+  private def scanBytesOf(df: org.apache.spark.sql.DataFrame,
+      pathFragment: String): Seq[Long] =
+    EngineMetrics.ranPlanNodes(df)
+      .filter(n => n.getClass.getSimpleName == "FileSourceScanExec" &&
+        n.toString.contains(pathFragment))
+      .flatMap(_.metrics.get("filesSize")).map(_.value)
+
+  test("text index: a 3-term bm25 probe reads a pruned fraction of the postings bytes") {
+    val idx = graft.sources.TextIndexStore.ensure(spark, sf001)
+    val read = scanBytesOf(
+      graft.sources.TextIndexStore.bm25(spark, idx, Seq("hash", "join", "vector")),
+      "postings").sum
+    val total = dirBytes(s"$idx/postings")
+    assert(read > 0, "postings scan must be a file scan with measurable bytes")
+    // 3 terms hit <= 3 of 64 hive buckets; half-total is a loose ceiling
+    // that still fails if bucket pruning is ever lost
+    assert(read < total / 2,
+      s"bm25 probe must read a pruned postings fraction: $read of $total bytes")
+  }
+
+  test("vector index: the IVF candidate scan reads only the probed cells' list bytes") {
+    val idx = graft.sources.VectorIndexStore.ensure(spark, sf001)
+    val reads = scanBytesOf(
+      graft.sources.VectorIndexStore.ivfTopK(spark, idx, nQueries = 1, k = 5),
+      "lists")
+    val total = dirBytes(s"$idx/lists")
+    // the plan reads lists twice: the probe-extraction scan (full — test
+    // convenience, probes come from outside the store in production) and
+    // the CANDIDATE scan, which must be cell-pruned to ~nprobe/nlist
+    // (4/16) by the literal IN list; min() isolates the candidate scan
+    assert(reads.nonEmpty, "lists scans must be file scans with measurable bytes")
+    val pruned = reads.min
+    assert(pruned > 0 && pruned < total / 2,
+      s"IVF candidate scan must read only probed cells: $pruned of $total bytes")
+  }
+
+  test("signature store: a 1-probe near-dup match reads a pruned fraction of bucket bytes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the probe must actually MATCH something in the store, or AQE
+    // empty-propagates the whole plan and no bucket scan ever runs: a
+    // near-dup of corpus doc 0 (its text minus the last word) bands
+    // into doc 0's buckets and survives the jaccard verify
+    val d0 = graft.Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") === 0L).select(col("text")).head.getString(0)
+    val nearDup = d0.split(" ").dropRight(1).mkString(" ")
+    val probe = Seq((100000L, nearDup)).toDF("doc_id", "text")
+    val idx = graft.sources.SignatureStore.ensure(spark, sf001, bands = 16, rows = 4)
+    val df = graft.sources.SignatureStore.nearDupMatches(spark, idx, probe,
+      minJaccard = 0.5, bands = 16, rows = 4)
+    val read = scanBytesOf(df, "buckets").sum
+    val total = dirBytes(s"$idx/buckets")
+    assert(read > 0, "buckets scan must be a file scan with measurable bytes")
+    // one probe hashes to <= 16 of 64 bucket partitions
+    assert(read < total / 2,
+      s"near-dup probe must read pruned buckets: $read of $total bytes")
+  }
 }
