@@ -1187,6 +1187,16 @@ object TextDedup {
     // queries, proving the banding+verify pipeline faithful end-to-end.
     // The raw 16x4 production shape stays precision/recall-spec-pinned
     // in DedupSpec.
+    //
+    // ANCHOR PRICING, re-affirmed (round-8 review decision): this anchor
+    // is deliberately CORPUS-WIDE all-pairs (~5 s at sf0.1) and stays
+    // so. Restricting it to the probe framing (the `_stored`
+    // convention) would halve the standing bench cost but would leave
+    // the all-pairs orientation of minhashPairs — the crossJoin +
+    // ratio-prune + sorted-intersect kernel that production's banded
+    // path shares verbatim — with no DuckDB-checked row at all; the
+    // probe×corpus half is already covered by q_dedup_minhash_stored.
+    // Two exact anchors, two distinct orientations, each priced once.
     Q("q_dedup_minhash",
       (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6,
           bands = 1, rows = 0, maxBucket = Int.MaxValue)
