@@ -572,6 +572,93 @@ object TextOps {
               FROM (SELECT doc_id, off, n_tokens, unnest(range(s0, s1 + 1)) AS seq FROM b)
               ORDER BY doc_id, seq""")),
 
+    // PII scrubbing (the redaction pass every public-web training corpus
+    // runs before anything else): emails, NANP-style phone numbers and
+    // IPv4 addresses are counted and replaced with typed placeholder
+    // tokens. The corpus has no organic PII, so a deterministic fixture
+    // is synthesized per doc_id (the q_html_strip convention — both
+    // engines build the identical wrapper, so the scrub is exercised on
+    // real matches, not vacuous zero counts): every 3rd doc gains an
+    // email, every 5th a phone, every 7th an IP. Scrub order
+    // email → ip → phone is fixed and non-overlapping on these
+    // patterns. One codegen regex pass per pattern, no shuffle before
+    // the declared sort — at 100 TB this streams at input bandwidth.
+    // The scrubbed text is pinned by md5 (scalar output; DuckDB and
+    // Spark md5 agree bytewise) rather than shipping megabyte strings.
+    Q("q_pii_scrub",
+      (s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val withPii = concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("contact user"), col("doc_id").cast(StringType),
+              lit("@example.com "))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("call 555-"),
+              lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+              lit("-4321 "))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("from 10.0."), (col("doc_id") % 256).cast(StringType),
+              lit("."), (col("doc_id") % 100).cast(StringType), lit(" ")))
+            .otherwise(lit("")),
+          col("text"))
+        val scrubbed = regexp_replace(
+          regexp_replace(regexp_replace(withPii, lit(email), lit("[EMAIL]")),
+            lit(ip), lit("[IP]")),
+          lit(phone), lit("[PHONE]"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(withPii, lit(email)).cast(LongType).as("n_email"),
+            regexp_count(withPii, lit(phone)).cast(LongType).as("n_phone"),
+            regexp_count(withPii, lit(ip)).cast(LongType).as("n_ip"),
+            length(scrubbed).cast(LongType).as("len_scrubbed"),
+            md5(scrubbed.cast("binary")).as("scrub_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                     (CASE WHEN doc_id % 3 = 0
+                           THEN 'contact user' || doc_id || '@example.com ' ELSE '' END) ||
+                     (CASE WHEN doc_id % 5 = 0
+                           THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4321 ' ELSE '' END) ||
+                     (CASE WHEN doc_id % 7 = 0
+                           THEN 'from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' ' ELSE '' END) ||
+                     text AS t
+              FROM documents),
+              s AS (SELECT doc_id, t,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+              FROM p)
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+                     CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                     CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                     CAST(length(scrubbed) AS BIGINT) AS len_scrubbed,
+                     md5(scrubbed) AS scrub_md5
+              FROM s ORDER BY doc_id""")),
+
+    // Subword vocabulary distribution — the tokenizer-health readout
+    // (fertility / coverage): corpus-wide BPE token frequencies, top 25
+    // by count. One codegen encode pass + explode + one count shuffle on
+    // the (small) subword vocabulary, TakeOrdered for the top-k — the
+    // aggregate is O(|vocab|) however large the corpus.
+    Q("q_bpe_token_freq",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(
+            graft.functions.BpeEncodeTokens.bpeTokens(col("text"))).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(25),
+      Some(s"""$bpeCte,
+              flat AS (SELECT unnest(toks) AS tok FROM fin)
+              SELECT tok, CAST(count(*) AS BIGINT) AS n
+              FROM flat GROUP BY tok
+              ORDER BY n DESC, tok LIMIT 25""")),
+
     // Model-based quality scoring (the fasttext-style curation
     // classifier): a 256-feature hashed linear model with a fixed public
     // weight scheme, evaluated in ONE codegen byte pass per document
