@@ -410,6 +410,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"linear_text_score takes 1 argument, got ${exprs.length}")
         LinearTextScore(exprs.head)
       }))
+    // bpe_tokens(text) — BPE subword tokens over the committed merge table
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeEncodeTokens].getName, "bpe_tokens"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"bpe_tokens takes 1 argument, got ${exprs.length}")
+        BpeEncodeTokens(exprs.head)
+      }))
     // word_stats(text, 'stop,words') — one-pass token statistics struct;
     // the stopword list is a literal comma-separated string
     e.injectFunction((

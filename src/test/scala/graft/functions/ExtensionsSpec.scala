@@ -91,6 +91,12 @@ class ExtensionsSpec extends AnyFunSuite {
                   0L, (acc, x) -> acc + x) AS s""")
         .head.getLong(0)
       assert(lts == ltsRef)
+      // bpe_tokens: SQL-callable, equals the library encoder
+      val bpe = spark.sql("SELECT bpe_tokens('the data table!') AS t")
+        .head.getSeq[String](0)
+      assert(bpe == BpeMerges.encodeDoc("the data table!"),
+        s"bpe_tokens drifted from BpeMerges.encodeDoc: $bpe")
+      assert(bpe == Seq("the", "data", "table"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
