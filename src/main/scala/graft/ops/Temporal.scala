@@ -476,6 +476,56 @@ object Temporal {
                 FROM events GROUP BY 1, 2)
               SELECT event_type, day, volume,
                      CAST(pv AS DOUBLE) / (100.0::DOUBLE * volume) AS vwap
-              FROM g ORDER BY event_type, day"""))
+              FROM g ORDER BY event_type, day""")),
+
+    // Bollinger bands: 20-row rolling mean ± 2σ per event_type over the
+    // (ts, event_id) order. The frame aggregates are INTEGER sums
+    // (cents and cents² as longs — exact, order-free); mean/variance
+    // come from the closed form (n·Σx² − (Σx)²)/n² evaluated in ONE
+    // fixed double sequence, so both engines agree bitwise (the
+    // q_window_distribution convention: exact integer moments, double
+    // only at the boundary). Only full 20-row windows emit — ragged
+    // warmup rows carry no signal.
+    Q("q_bollinger",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val w = ord.rowsBetween(-19, Window.currentRow)
+        val base = t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("s1", sum(col("cents")).over(w))
+          .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+          .filter(col("rn") >= 20)
+        val mean = col("s1").cast(DoubleType) / lit(20.0)
+        val variance = (lit(20L) * col("s2") - col("s1") * col("s1"))
+          .cast(DoubleType) / lit(400.0)
+        base.select(col("event_type"), col("ts"), col("event_id"),
+            col("cents"), mean.as("mid"),
+            (mean + lit(2.0) * sqrt(variance)).as("upper"),
+            (mean - lit(2.0) * sqrt(variance)).as("lower"))
+          .orderBy(col("event_type"), col("ts"), col("event_id"))
+      },
+      Some("""WITH b AS (
+                SELECT event_type, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                       SUM(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s1,
+                       SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s2
+                FROM events)
+              SELECT event_type, ts, event_id, cents,
+                     CAST(s1 AS DOUBLE) / 20.0 AS mid,
+                     CAST(s1 AS DOUBLE) / 20.0
+                       + 2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 400.0) AS upper,
+                     CAST(s1 AS DOUBLE) / 20.0
+                       - 2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 400.0) AS lower
+              FROM b WHERE rn >= 20
+              ORDER BY event_type, ts, event_id"""))
   )
 }
