@@ -602,6 +602,54 @@ object Multimodal {
               SELECT kind, n_media, kind_bytes,
                      CAST(n_media AS DOUBLE) / n_total AS row_share,
                      CAST(kind_bytes AS DOUBLE) / total_bytes AS byte_share
-              FROM per CROSS JOIN tot ORDER BY kind"""))
+              FROM per CROSS JOIN tot ORDER BY kind""")),
+
+    // FRAME-level content dedup across videos (the intro/outro/static-
+    // frame collapse a video corpus runs after whole-file dedup): each
+    // video's 4 sampled frames — the deterministic quarter slices of
+    // q_frame_sample's schedule — hash individually, and identical
+    // frames across DIFFERENT videos collapse to one keeper. Keeper =
+    // smallest (media_id, frame_idx), encoded as media_id*4+frame_idx
+    // so one integer MIN (order-free, exact) carries both. Bytes never
+    // shuffle: only (16-byte md5, packed key) rows reach the exchange —
+    // on a petabyte video corpus that is the difference between
+    // shuffling frames and shuffling fingerprints.
+    Q("q_frame_dedup",
+      (s, dir) => {
+        val frames = mediaTable(s, dir).filter(col("kind") === "video")
+          .select(col("media_id"), col("bytes"),
+            octet_length(col("bytes")).cast(LongType).as("n"))
+          .filter(col("n") > 0)
+          .select(col("media_id"), col("bytes"), col("n"),
+            explode(sequence(lit(0L), lit(3L))).as("fi"))
+          .withColumn("st", expr("fi * n div 4"))
+          .withColumn("fl", expr("(fi + 1) * n div 4") - col("st"))
+          .filter(col("fl") > 0)
+          .select((col("media_id") * 4 + col("fi")).as("fkey"),
+            md5(expr("substring(bytes, st + 1, fl)")).as("frame_md5"))
+        frames.groupBy(col("frame_md5"))
+          .agg(min(col("fkey")).as("k"), count(lit(1)).as("n_copies"))
+          .select(expr("k div 4").as("keeper_media"),
+            (col("k") % 4).as("keeper_frame"),
+            col("frame_md5"), col("n_copies"))
+          .orderBy(col("keeper_media"), col("keeper_frame"))
+      },
+      Some("""WITH v AS (
+                SELECT doc_id AS media_id, text,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n
+                FROM documents
+                WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+              f AS (
+                SELECT media_id * 4 + fi AS fkey,
+                       md5(substring(text, CAST(fi * n // 4 AS INTEGER) + 1,
+                             CAST((fi + 1) * n // 4 - fi * n // 4 AS INTEGER))) AS frame_md5
+                FROM (SELECT media_id, text, n, unnest(range(0, 4)) AS fi FROM v)
+                WHERE (fi + 1) * n // 4 - fi * n // 4 > 0)
+              SELECT CAST(k // 4 AS BIGINT) AS keeper_media,
+                     CAST(k % 4 AS BIGINT) AS keeper_frame,
+                     frame_md5, n_copies
+              FROM (SELECT frame_md5, MIN(fkey) AS k, COUNT(*) AS n_copies
+                    FROM f GROUP BY frame_md5)
+              ORDER BY keeper_media, keeper_frame"""))
   )
 }
