@@ -494,6 +494,47 @@ object CorpusOps {
               FROM scored GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id LIMIT 10""")),
 
+    // BM25 over the INCREMENTALLY MAINTAINED text index
+    // (sources.IncrementalTextIndex): the corpus arrives as TWO append
+    // layers (even ids then odd ids -- the streaming maintainer's
+    // per-micro-batch shape) and the query runs over the merge-on-read
+    // union. Shares the full-corpus oracle VERBATIM with
+    // q_bm25/q_bm25_stored: the green row proves scores after
+    // incremental maintenance are bit-identical to a batch build (df
+    // folds to the same count, avgdl is the same one double division) --
+    // the IncrementalIndexSpec pin, now on the hard gate. A fresh temp
+    // index per invocation keeps it replay-safe, and closes the last
+    // open cell of the 3x2 (text/vector/signature x stored/incremental)
+    // declared-query grid.
+    Q("q_bm25_incr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_ti_incr")
+          .toString + "/idx"
+        graft.sources.IncrementalTextIndex.appendBatch(
+          s, docs.filter(col("doc_id") % 2 === 0), 0L, idx)
+        graft.sources.IncrementalTextIndex.appendBatch(
+          s, docs.filter(col("doc_id") % 2 =!= 0), 1L, idx)
+        graft.sources.IncrementalTextIndex.bm25(
+          s, idx, Seq("hash", "join", "vector"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+                   dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+                   stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+                   dfq AS (SELECT term, count(*) AS df FROM tf
+                           WHERE term IN ('hash', 'join', 'vector') GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.term,
+                                     tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / stats.avgdl)))
+                                       * ((stats.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS score
+                              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), stats)
+              SELECT doc_id,
+                     coalesce(MAX(CASE WHEN term = 'hash' THEN score END), 0.0)
+                     + coalesce(MAX(CASE WHEN term = 'join' THEN score END), 0.0)
+                     + coalesce(MAX(CASE WHEN term = 'vector' THEN score END), 0.0) AS bm25
+              FROM scored GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 10""")),
+
     // Hybrid retrieval via reciprocal-rank fusion: two retrievers score the
     // same query — BM25 (saturated term weighting, the q_bm25 arithmetic)
     // and token-set Jaccard (set overlap, no term weighting) — and their

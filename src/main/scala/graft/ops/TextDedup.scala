@@ -1239,6 +1239,46 @@ object TextDedup {
               FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
               ORDER BY probe_id, match_id""")),
 
+    // Probe match over the INCREMENTALLY MAINTAINED signature store
+    // (sources.IncrementalSignatureStore): the corpus shingles+signs in
+    // TWO append layers (even then odd ids — the streaming maintainer's
+    // per-micro-batch shape) and the probe matches against the
+    // merge-on-read union. Exact regime (1 band × 0 rows, lossless), so
+    // it shares q_dedup_minhash_stored's probe×corpus oracle VERBATIM —
+    // the green row proves incremental maintenance changes bytes-read,
+    // never matches (the IncrementalSignatureStoreSpec pin, now on the
+    // hard gate), closing the signature cell of the incremental grid.
+    Q("q_dedup_minhash_incr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val idx = java.nio.file.Files.createTempDirectory("graft_sig_incr")
+          .toString + "/idx"
+        graft.sources.IncrementalSignatureStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 === 0), 0L, idx, bands = 1, rows = 0)
+        graft.sources.IncrementalSignatureStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 =!= 0), 1L, idx, bands = 1, rows = 0)
+        val probes = docs.filter(col("doc_id") % 5 === 0)
+        graft.sources.IncrementalSignatureStore
+          .nearDupMatches(s, idx, probes, 0.6, bands = 1, rows = 0)
+          .orderBy(col("probe_id"), col("match_id"))
+      },
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN len(string_split(text, ' ')) >= 3
+                            THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
+                            ELSE [text] END AS sh
+                FROM documents),
+              pr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+              p AS (
+                SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
+                       len(list_intersect(a.sh, b.sh)) AS c,
+                       len(a.sh) AS na, len(b.sh) AS nb
+                FROM pr a JOIN d b ON a.doc_id <> b.doc_id)
+              SELECT probe_id, match_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
+              FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
+              ORDER BY probe_id, match_id""")),
+
     Q("q_dedup_simhash",
       (s, dir) => simhashPairs(t(s, dir, "documents"), 3)
         .orderBy(col("a_id"), col("b_id")),
