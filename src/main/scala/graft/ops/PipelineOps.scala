@@ -429,6 +429,103 @@ object PipelineOps {
               SELECT doc_id, count(*) AS n_bigrams,
                      CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
               FROM big JOIN scored USING (bigram)
-              GROUP BY doc_id ORDER BY doc_id"""))
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // The WHOLE curation pipeline as ONE declarative plan — the
+    // showpiece composition: quality gate (codegen LinearTextScore) →
+    // PII scrub (q_pii_scrub's fixture + 3 typed redactions) → exact
+    // dedup on scrubbed content (keeper = min doc_id per md5) → token
+    // accounting per synthetic source bucket (doc_id % 4). Per-bucket
+    // funnel readout: docs in, survivors of the quality gate, unique
+    // survivors, and their total whitespace tokens. Because the stages
+    // compose as expressions + one window + two aggregations, Catalyst
+    // sees the WHOLE pipeline: the scrub/classifier run in a single
+    // codegen stage over the scan, dedup is the only wide exchange, and
+    // the funnel counts piggyback on the same pass — the argument for
+    // declaring pipelines instead of materializing between stages.
+    Q("q_curation_pipeline",
+      (s, dir) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val withPii = concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("contact user"), col("doc_id").cast(StringType),
+              lit("@example.com "))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("call 555-"),
+              lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+              lit("-4321 "))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("from 10.0."), (col("doc_id") % 256).cast(StringType),
+              lit("."), (col("doc_id") % 100).cast(StringType), lit(" ")))
+            .otherwise(lit("")),
+          col("text"))
+        val scrubbed = regexp_replace(
+          regexp_replace(regexp_replace(withPii, lit(email), lit("[EMAIL]")),
+            lit(ip), lit("[IP]")),
+          lit(phone), lit("[PHONE]"))
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("s"), (col("doc_id") % 4).cast(StringType)).as("src"),
+            graft.functions.TextFunctions.linearTextScore(col("text"))
+              .as("score_int"),
+            scrubbed.as("scrubbed"))
+        val kept = base.filter(col("score_int") > 0)
+          .withColumn("content_md5", md5(col("scrubbed").cast("binary")))
+        val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+        val uniq = kept.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val funnel = base.groupBy(col("src"))
+          .agg(count(lit(1)).as("docs_in"),
+            sum(when(col("score_int") > 0, 1L).otherwise(0L)).as("kept_quality"))
+        val out = uniq.groupBy(col("src"))
+          .agg(count(lit(1)).as("kept_unique"),
+            sum(size(split(col("scrubbed"), " ")).cast(LongType))
+              .as("total_tokens"))
+        funnel.join(out, Seq("src"), "left")
+          .select(col("src"), col("docs_in"), col("kept_quality"),
+            coalesce(col("kept_unique"), lit(0L)).as("kept_unique"),
+            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+          .orderBy(col("src"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+                     's' || CAST(doc_id % 4 AS VARCHAR) AS src,
+                     CAST(list_sum(list_transform(
+                       list_filter(string_split(text, ' '), w -> w <> ''),
+                       w -> ((list_reduce(list_prepend(0::BIGINT,
+                               list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                             (a, x) -> (a * 31 + x) % 1000000007) % 256)
+                             * 2654435761) % 2001 - 1000)) AS BIGINT) AS score_int,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       (CASE WHEN doc_id % 3 = 0
+                             THEN 'contact user' || doc_id || '@example.com ' ELSE '' END) ||
+                       (CASE WHEN doc_id % 5 = 0
+                             THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4321 ' ELSE '' END) ||
+                       (CASE WHEN doc_id % 7 = 0
+                             THEN 'from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' ' ELSE '' END) ||
+                       text,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+              FROM documents),
+              kept AS (SELECT doc_id, src, scrubbed, md5(scrubbed) AS content_md5
+                       FROM p WHERE score_int > 0),
+              uniq AS (SELECT src, scrubbed FROM (
+                         SELECT src, scrubbed,
+                                row_number() OVER (PARTITION BY content_md5
+                                                   ORDER BY doc_id) AS rn
+                         FROM kept) WHERE rn = 1),
+              funnel AS (SELECT src, COUNT(*) AS docs_in,
+                                CAST(SUM(CASE WHEN score_int > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_quality
+                         FROM p GROUP BY src),
+              o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS kept_unique,
+                           CAST(SUM(len(string_split(scrubbed, ' '))) AS BIGINT) AS total_tokens
+                    FROM uniq GROUP BY src)
+              SELECT f.src, f.docs_in, f.kept_quality,
+                     COALESCE(o.kept_unique, 0) AS kept_unique,
+                     COALESCE(o.total_tokens, 0) AS total_tokens
+              FROM funnel f LEFT JOIN o ON f.src = o.src
+              ORDER BY f.src"""))
   )
 }
