@@ -465,28 +465,31 @@ object PipelineOps {
           regexp_replace(regexp_replace(withPii, lit(email), lit("[EMAIL]")),
             lit(ip), lit("[IP]")),
           lit(phone), lit("[PHONE]"))
-        val base = t(s, dir, "documents")
+        // ONE corpus scan: every stage is an expression over the same
+        // row, the dedup rank is one content-keyed window, and ALL four
+        // funnel counters come out of a single conditional aggregation.
+        // Dedup ranks kept docs ahead of dropped ones (keep DESC) so a
+        // group whose first occurrence failed the gate still yields its
+        // first KEPT copy as the unique survivor; dropped-only groups
+        // contribute nothing (the rank-1 row fails the keep flag).
+        val w = Window.partitionBy(col("content_md5"))
+          .orderBy(when(col("score_int") > 0, 0).otherwise(1), col("doc_id"))
+        t(s, dir, "documents")
           .select(col("doc_id"),
             concat(lit("s"), (col("doc_id") % 4).cast(StringType)).as("src"),
             graft.functions.TextFunctions.linearTextScore(col("text"))
               .as("score_int"),
             scrubbed.as("scrubbed"))
-        val kept = base.filter(col("score_int") > 0)
           .withColumn("content_md5", md5(col("scrubbed").cast("binary")))
-        val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
-        val uniq = kept.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-        val funnel = base.groupBy(col("src"))
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("src"))
           .agg(count(lit(1)).as("docs_in"),
-            sum(when(col("score_int") > 0, 1L).otherwise(0L)).as("kept_quality"))
-        val out = uniq.groupBy(col("src"))
-          .agg(count(lit(1)).as("kept_unique"),
-            sum(size(split(col("scrubbed"), " ")).cast(LongType))
-              .as("total_tokens"))
-        funnel.join(out, Seq("src"), "left")
-          .select(col("src"), col("docs_in"), col("kept_quality"),
-            coalesce(col("kept_unique"), lit(0L)).as("kept_unique"),
-            coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+            sum(when(col("score_int") > 0, 1L).otherwise(0L)).as("kept_quality"),
+            sum(when(col("score_int") > 0 && col("rn") === 1, 1L)
+              .otherwise(0L)).as("kept_unique"),
+            sum(when(col("score_int") > 0 && col("rn") === 1,
+              size(split(col("scrubbed"), " ")).cast(LongType))
+              .otherwise(0L)).as("total_tokens"))
           .orderBy(col("src"))
       },
       Some("""WITH p AS (SELECT doc_id,
@@ -509,23 +512,18 @@ object PipelineOps {
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
                        '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
               FROM documents),
-              kept AS (SELECT doc_id, src, scrubbed, md5(scrubbed) AS content_md5
-                       FROM p WHERE score_int > 0),
-              uniq AS (SELECT src, scrubbed FROM (
-                         SELECT src, scrubbed,
-                                row_number() OVER (PARTITION BY content_md5
-                                                   ORDER BY doc_id) AS rn
-                         FROM kept) WHERE rn = 1),
-              funnel AS (SELECT src, COUNT(*) AS docs_in,
-                                CAST(SUM(CASE WHEN score_int > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_quality
-                         FROM p GROUP BY src),
-              o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS kept_unique,
-                           CAST(SUM(len(string_split(scrubbed, ' '))) AS BIGINT) AS total_tokens
-                    FROM uniq GROUP BY src)
-              SELECT f.src, f.docs_in, f.kept_quality,
-                     COALESCE(o.kept_unique, 0) AS kept_unique,
-                     COALESCE(o.total_tokens, 0) AS total_tokens
-              FROM funnel f LEFT JOIN o ON f.src = o.src
-              ORDER BY f.src"""))
+              r AS (SELECT src, score_int, scrubbed,
+                           row_number() OVER (
+                             PARTITION BY md5(scrubbed)
+                             ORDER BY CASE WHEN score_int > 0 THEN 0 ELSE 1 END,
+                                      doc_id) AS rn
+                    FROM p)
+              SELECT src, COUNT(*) AS docs_in,
+                     CAST(SUM(CASE WHEN score_int > 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_quality,
+                     CAST(SUM(CASE WHEN score_int > 0 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_unique,
+                     CAST(SUM(CASE WHEN score_int > 0 AND rn = 1
+                              THEN len(string_split(scrubbed, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens
+              FROM r GROUP BY src
+              ORDER BY src"""))
   )
 }
