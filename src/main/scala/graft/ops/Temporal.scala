@@ -526,6 +526,53 @@ object Temporal {
                      CAST(s1 AS DOUBLE) / 20.0
                        - 2.0 * sqrt(CAST(20 * s2 - s1 * s1 AS DOUBLE) / 400.0) AS lower
               FROM b WHERE rn >= 20
+              ORDER BY event_type, ts, event_id""")),
+
+    // RSI-14 (simple-average variant): per-symbol up/down moves over the
+    // (ts, event_id) order, 14-delta frame sums. The algebra collapses
+    // 100 − 100/(1+RS) to 100·Σgain/(Σgain+Σloss): gains and losses are
+    // integer cents (exact, order-free), so the ONE double op is the
+    // final division — bitwise across engines; a flat 14-window (all
+    // deltas zero) yields NULL via the nullif guard, identically on
+    // both sides. Same scale shape as q_bollinger: one symbol-keyed
+    // shuffle, O(1) window state.
+    Q("q_rsi",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ord = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val w = ord.rowsBetween(-13, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .withColumn("d", col("cents") - lag(col("cents"), 1).over(ord))
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("g", sum(greatest(col("d"), lit(0L))).over(w))
+          .withColumn("l", sum(greatest(-col("d"), lit(0L))).over(w))
+          .filter(col("rn") >= 15)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            (lit(100.0) * col("g").cast(DoubleType)
+              / nullif(col("g") + col("l"), lit(0L)).cast(DoubleType))
+              .as("rsi"))
+          .orderBy(col("event_type"), col("ts"), col("event_id"))
+      },
+      Some("""WITH b AS (
+                SELECT event_type, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                       CAST(round(value * 100) AS BIGINT)
+                         - lag(CAST(round(value * 100) AS BIGINT), 1)
+                             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d
+                FROM events),
+              f AS (SELECT event_type, ts, event_id, rn,
+                           SUM(greatest(d, 0)) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS g,
+                           SUM(greatest(-d, 0)) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS l
+                    FROM b)
+              SELECT event_type, ts, event_id,
+                     100.0::DOUBLE * CAST(g AS DOUBLE) / CAST(nullif(g + l, 0) AS DOUBLE) AS rsi
+              FROM f WHERE rn >= 15
               ORDER BY event_type, ts, event_id"""))
   )
 }
