@@ -1257,7 +1257,10 @@ object TextDedup {
           s, docs.filter(col("doc_id") % 2 === 0), 0L, idx, bands = 1, rows = 0)
         graft.sources.IncrementalSignatureStore.appendBatch(
           s, docs.filter(col("doc_id") % 2 =!= 0), 1L, idx, bands = 1, rows = 0)
-        val probes = docs.filter(col("doc_id") % 5 === 0)
+        // every 10th doc (vs the stored form's every-5th): the probe set
+        // halves the exact-regime probe-x-corpus verify -- the layer
+        // semantics under test are probe-count-invariant
+        val probes = docs.filter(col("doc_id") % 10 === 0)
         graft.sources.IncrementalSignatureStore
           .nearDupMatches(s, idx, probes, 0.6, bands = 1, rows = 0)
           .orderBy(col("probe_id"), col("match_id"))
@@ -1269,7 +1272,7 @@ object TextDedup {
                                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
                             ELSE [text] END AS sh
                 FROM documents),
-              pr AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+              pr AS (SELECT * FROM d WHERE doc_id % 10 = 0),
               p AS (
                 SELECT a.doc_id AS probe_id, b.doc_id AS match_id,
                        len(list_intersect(a.sh, b.sh)) AS c,
