@@ -548,6 +548,69 @@ object CorpusOps {
     // TakeOrderedAndProject before the single-partition rank window ever
     // sees them, so no global sort touches the corpus; the fusion join is
     // 50×50 rows.
+    // Hard-negative mining (contrastive-training pairs): for each probe
+    // document, the top-5 most lexically similar documents that are NOT
+    // near-duplicates (token-set jaccard in (0, 0.5)) — the "similar but
+    // wrong" examples a retrieval/embedding trainer needs, where random
+    // negatives are too easy and duplicates are false negatives. Cost is
+    // the sparse inverted-index intersection (sum over shared terms of
+    // df_probe x df, the tfidf_cosine shape): only candidate pairs that
+    // share a term ever exist, and the per-pair jaccard is ONE double
+    // division of integer distinct-term counts — bitwise across engines;
+    // rank ties break on neg_id. At 100 TB the probe batch is the small
+    // re-train delta and the corpus side is the pruned postings scan.
+    Q("q_hard_negatives",
+      (s, dir) => {
+        val terms = sharedTf(s, dir).select(col("doc_id"), col("term"))
+        val n = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val probes = terms.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("probe_id"), col("term"))
+        val inter = probes
+          .join(terms.withColumnRenamed("doc_id", "neg_id"), Seq("term"))
+          .filter(col("probe_id") =!= col("neg_id"))
+          .groupBy(col("probe_id"), col("neg_id"))
+          .agg(count(lit(1)).as("c"))
+        val scored = inter
+          .join(broadcast(n.select(col("doc_id").as("probe_id"), col("n").as("na"))),
+            Seq("probe_id"))
+          .join(broadcast(n.select(col("doc_id").as("neg_id"), col("n").as("nb"))),
+            Seq("neg_id"))
+          .withColumn("jaccard",
+            col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+          .filter(col("jaccard") < 0.5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("jaccard").desc, col("neg_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+            col("neg_id"), col("jaccard"))
+          .orderBy(col("probe_id"), col("rank"))
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+                            FROM documents),
+                   t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+                   n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM t2 GROUP BY doc_id),
+                   pr AS (SELECT doc_id AS probe_id, term FROM t2 WHERE doc_id % 50 = 0),
+                   inter AS (SELECT pr.probe_id, t2.doc_id AS neg_id,
+                                    CAST(COUNT(*) AS BIGINT) AS c
+                             FROM pr JOIN t2 USING (term)
+                             WHERE pr.probe_id <> t2.doc_id
+                             GROUP BY 1, 2),
+                   scored AS (SELECT i.probe_id, i.neg_id,
+                                     CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) AS jaccard
+                              FROM inter i
+                              JOIN n na ON na.doc_id = i.probe_id
+                              JOIN n nb ON nb.doc_id = i.neg_id
+                              WHERE CAST(i.c AS DOUBLE) / (na.n + nb.n - i.c) < 0.5),
+                   ranked AS (SELECT probe_id, neg_id, jaccard,
+                                     row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY jaccard DESC, neg_id) AS rank
+                              FROM scored)
+              SELECT probe_id, CAST(rank AS BIGINT) AS rank, neg_id, jaccard
+              FROM ranked WHERE rank <= 5
+              ORDER BY probe_id, rank""")),
+
     Q("q_hybrid_rrf",
       (s, dir) => {
         val qterms = Seq("hash", "join", "vector")
