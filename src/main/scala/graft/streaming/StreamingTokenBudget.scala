@@ -48,7 +48,63 @@ class TokenBudgetProcessor
   }
 }
 
+/** One admitted document (see StreamingTokenBudget.gate). */
+case class AdmittedDoc(source: String, doc_id: Long, n_tokens: Long,
+    total_after: Long)
+
+/** The ENFORCEMENT half of the budget: admit documents while the
+  * source's running subword total is under `cap`, drop everything after
+  * — "admit while under", the standard budget-cap policy (the last
+  * admitted doc may overshoot; a trainer clips, it never starves).
+  * Admission order within a micro-batch is doc_id order, so the admitted
+  * SET is a deterministic function of (arrival batching, state) — replay
+  * of a batch re-admits exactly the same documents (checkpointed state +
+  * the same fold order), which is what makes the gate exactly-once
+  * against an idempotent sink. State: one long per source.
+  */
+class TokenBudgetGateProcessor(cap: Long)
+    extends StatefulProcessor[String, (String, Long, Long), AdmittedDoc] {
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, Long)],
+      timerValues: TimerValues): Iterator[AdmittedDoc] = {
+    var t = if (total.exists()) total.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedDoc]
+    // deterministic within-batch order: doc_id (micro-batches are small
+    // per key; the sort is in-memory over the group's rows only)
+    for ((_, docId, n) <- rows.toArray.sortBy(_._2)) {
+      if (t < cap) { t += n; out += AdmittedDoc(key, docId, n, t) }
+    }
+    total.update(t)
+    out.iterator
+  }
+}
+
 object StreamingTokenBudget {
+
+  /** Budget-gate a (source, doc_id, text) stream: emit only documents
+    * admitted under the per-source subword cap. Tokenization is the
+    * codegen expression upstream of the shuffle, as in apply().
+    */
+  def gate(docs: DataFrame, cap: Long): Dataset[AdmittedDoc] = {
+    implicit val tupleEnc =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val outEnc = Encoders.product[AdmittedDoc]
+    docs
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
+          .cast("long").as("n"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new TokenBudgetGateProcessor(cap), TimeMode.None(),
+        OutputMode.Append())
+  }
 
   /** Wire a (source, text) document stream into per-source budget
     * tracking. Requires the RocksDB state store provider in production

@@ -51,6 +51,42 @@ class StreamingTokenBudgetSpec extends SparkSpec {
     }
   }
 
+  test("budget gate admits while under the cap, stays closed across a restart") {
+    withRocksDBStateStore {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+      val in = MemoryStream[(String, Long, String)]
+      // cap 5: "the data table" = 3 tokens, "spark query" = 2, so doc 1
+      // (3, total 3) and doc 2 (2, total 5) admit; total is AT cap after
+      // doc 2, so everything later drops
+      def start() = StreamingTokenBudget.gate(
+          in.toDF().toDF("source", "doc_id", "text"), cap = 5)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+
+      assert(toks("the data table") == 3 && toks("spark query") == 2)
+      val q1 = start()
+      in.addData(("web", 1L, "the data table"), ("web", 2L, "spark query"),
+        ("code", 10L, "scan the window or fast value table")) // 7 > cap: admitted (was under), gate now shut
+      q1.processAllAvailable()
+      in.addData(("web", 3L, "late doc"), ("code", 11L, "agg"))
+      q1.processAllAvailable()
+      q1.stop()
+      // after RESTART the gate must STAY closed (state carries the spend)
+      in.addData(("web", 4L, "another"), ("papers", 20L, "sort order"))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val admitted = spark.read.parquet(s"$dir/out").as[AdmittedDoc]
+        .collect().map(a => (a.source, a.doc_id)).toSet
+      assert(admitted == Set(("web", 1L), ("web", 2L), ("code", 10L),
+        ("papers", 20L)),
+        s"admitted set wrong: $admitted")
+    }
+  }
+
   test("totals are slicing-invariant: one batch == three batches") {
     withRocksDBStateStore {
       val rows = Seq(("a", "the table"), ("a", "data scan"), ("b", "key value"),
