@@ -1181,6 +1181,31 @@ object TextDedup {
       Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
               FROM documents GROUP BY text ORDER BY keeper_id""")),
 
+    // Prefix-fingerprint dedup (the boilerplate-header catcher): docs
+    // sharing their first 32 tokens collapse to one keeper — the cheap
+    // first pass a crawl pipeline runs before any similarity machinery,
+    // because mirrored pages / templated articles / licence headers are
+    // IDENTICAL up front long before they differ in the tail. Key is the
+    // md5 of the 32-token prefix, so the shuffle carries a fingerprint,
+    // never text; docs shorter than 32 tokens key on their whole text
+    // (slice just returns the full array — same on both engines).
+    Q("q_dedup_prefix32",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(array_join(slice(split(col("text"), " "), 1, 32), " ")
+              .cast("binary")).as("pk"))
+          .groupBy(col("pk"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+          .select(col("keeper_id"), col("n_copies"), col("pk").as("prefix_md5"))
+          .orderBy(col("keeper_id")),
+      Some("""SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+                     prefix_md5
+              FROM (SELECT doc_id,
+                           md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS prefix_md5
+                    FROM documents)
+              GROUP BY prefix_md5 ORDER BY keeper_id""")),
+
     // MinHash+LSH in the EXACT REGIME (rows = 0: one universal bucket,
     // banding provably lossless; verification is the exact Jaccard
     // already) — oracled against the same SQL as the exact n-gram pair
