@@ -262,9 +262,11 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
           val out = scala.collection.mutable.ArrayBuffer.empty[FrameMeta]
+          // createImageInputStream returns NULL (not an exception) when
+          // no stream SPI accepts the input — treat as undecodable
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          try {
+          if (iis != null) try {
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
             if (readers.hasNext) {
               val reader = readers.next()
