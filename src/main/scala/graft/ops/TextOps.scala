@@ -659,6 +659,57 @@ object TextOps {
               FROM flat GROUP BY tok
               ORDER BY n DESC, tok LIMIT 25""")),
 
+    // Tokenizer fertility by document-length bucket — the health metric
+    // a tokenizer team tracks per domain: subword tokens per word and
+    // letters per subword token, bucketed short/medium/long. All inputs
+    // are integer sums (letters, words, BPE tokens — one codegen encode
+    // pass); the two fertility ratios are single double divisions of
+    // those exact totals, so both engines agree bitwise. An upstream
+    // vocabulary change shows up here first: fertility rising on one
+    // bucket means that slice of the corpus is being priced wrongly.
+    Q("q_bpe_fertility",
+      (s, dir) => {
+        val nW = size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .cast(LongType)
+        val nL = length(expr("regexp_replace(lower(text), '[^a-z]', '')"))
+          .cast(LongType)
+        val nB = size(
+          graft.functions.BpeEncodeTokens.bpeTokens(col("text"))).cast(LongType)
+        t(s, dir, "documents")
+          .select(
+            when(nW < 30, "short").when(nW < 60, "medium")
+              .otherwise("long").as("bucket"),
+            nW.as("w"), nL.as("l"), nB.as("b"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("n_words"),
+            sum(col("b")).as("n_bpe_tokens"),
+            (sum(col("b")).cast(DoubleType) / sum(col("w")))
+              .as("tokens_per_word"),
+            (sum(col("l")).cast(DoubleType) / sum(col("b")))
+              .as("chars_per_token"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""$bpeCte,
+              per AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS w,
+                            CAST(sum(len(toks)) AS BIGINT) AS b,
+                            CAST(sum(len(array_to_string(toks, ''))) AS BIGINT) AS l
+                      FROM fin GROUP BY doc_id),
+              bk AS (SELECT d.doc_id,
+                            CASE WHEN coalesce(p.w, 0) < 30 THEN 'short'
+                                 WHEN coalesce(p.w, 0) < 60 THEN 'medium'
+                                 ELSE 'long' END AS bucket,
+                            coalesce(p.w, 0) AS w, coalesce(p.b, 0) AS b,
+                            coalesce(p.l, 0) AS l
+                     FROM documents d LEFT JOIN per p USING (doc_id))
+              SELECT bucket, COUNT(*) AS n_docs,
+                     CAST(SUM(w) AS BIGINT) AS n_words,
+                     CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+                     CAST(SUM(b) AS DOUBLE) / SUM(w) AS tokens_per_word,
+                     CAST(SUM(l) AS DOUBLE) / SUM(b) AS chars_per_token
+              FROM bk GROUP BY bucket ORDER BY bucket""")),
+
     // Model-based quality scoring (the fasttext-style curation
     // classifier): a 256-feature hashed linear model with a fixed public
     // weight scheme, evaluated in ONE codegen byte pass per document
