@@ -109,10 +109,12 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           // ImageIO.read returns null for an UNRECOGNIZED format but
           // THROWS for a recognized-but-corrupt payload (truncated PNG)
-          // — both are the same bad record; skip either (R2 contract)
+          // — both are the same bad record; skip either (R2 contract).
+          // NonFatal, not IOException: JDK readers surface corrupt data
+          // as RuntimeExceptions too (AIOOBE, NegativeArraySizeException)
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) None // not a decodable image: skip, don't fail
           else {
             crc.reset()
@@ -214,10 +216,9 @@ object Multimodal {
             } finally raw.close()
           } catch {
             // not a decodable audio container (or no converter to PCM):
-            // skip, don't fail the batch
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            case _: IllegalArgumentException => None
-            case _: java.io.IOException => None
+            // skip, don't fail the batch. NonFatal: JDK codecs throw
+            // RuntimeExceptions on corrupt payloads, not just IOException
+            case scala.util.control.NonFatal(_) => None
           }
         }
       }
@@ -275,13 +276,13 @@ object Multimodal {
                 reader.setInput(iis, false, true)
                 val n =
                   try reader.getNumImages(true)
-                  catch { case _: java.io.IOException => 0 }
+                  catch { case scala.util.control.NonFatal(_) => 0 }
                 var i = 0
                 var ok = true
                 while (i < n && ok) {
                   val img =
                     try reader.read(i)
-                    catch { case _: java.io.IOException => null }
+                    catch { case scala.util.control.NonFatal(_) => null }
                   if (img == null) ok = false // truncated tail: keep prefix
                   else {
                     crc.reset()
@@ -305,7 +306,7 @@ object Multimodal {
                 }
               } finally reader.dispose()
             }
-          } catch { case _: java.io.IOException => () } // skip row (R2)
+          } catch { case scala.util.control.NonFatal(_) => () } // skip row (R2)
           finally iis.close()
           out
         }
@@ -368,7 +369,7 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) None // skip, don't fail (R2)
           else {
             val out = new java.awt.image.BufferedImage(w, h,
@@ -628,7 +629,13 @@ object Multimodal {
           .withColumn("fl", expr("(fi + 1) * n div 4") - col("st"))
           .filter(col("fl") > 0)
           .select((col("media_id") * 4 + col("fi")).as("fkey"),
-            md5(expr("substring(bytes, st + 1, fl)")).as("frame_md5"))
+            // md5 over the HEX of the byte slice (not the raw bytes):
+            // DuckDB's md5 only takes VARCHAR, and slicing the VARCHAR
+            // text by character positions would silently diverge from
+            // these BYTE offsets on non-ASCII docs. Hexing first keeps
+            // the fingerprint a pure function of the byte slice on both
+            // sides (Spark hex and DuckDB hex are both uppercase).
+            md5(hex(expr("substring(bytes, st + 1, fl)"))).as("frame_md5"))
         frames.groupBy(col("frame_md5"))
           .agg(min(col("fkey")).as("k"), count(lit(1)).as("n_copies"))
           .select(expr("k div 4").as("keeper_media"),
@@ -643,8 +650,9 @@ object Multimodal {
                 WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
               f AS (
                 SELECT media_id * 4 + fi AS fkey,
-                       md5(substring(text, CAST(fi * n // 4 AS INTEGER) + 1,
-                             CAST((fi + 1) * n // 4 - fi * n // 4 AS INTEGER))) AS frame_md5
+                       md5(substring(hex(encode(text)),
+                             CAST(2 * (fi * n // 4) AS BIGINT) + 1,
+                             CAST(2 * ((fi + 1) * n // 4 - fi * n // 4) AS BIGINT))) AS frame_md5
                 FROM (SELECT media_id, text, n, unnest(range(0, 4)) AS fi FROM v)
                 WHERE (fi + 1) * n // 4 - fi * n // 4 > 0)
               SELECT CAST(k // 4 AS BIGINT) AS keeper_media,

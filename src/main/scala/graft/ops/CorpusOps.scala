@@ -509,8 +509,7 @@ object CorpusOps {
     Q("q_bm25_incr",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val idx = java.nio.file.Files.createTempDirectory("graft_ti_incr")
-          .toString + "/idx"
+        val idx = graft.sources.Scratch.tempDir("graft_ti_incr") + "/idx"
         graft.sources.IncrementalTextIndex.appendBatch(
           s, docs.filter(col("doc_id") % 2 === 0), 0L, idx)
         graft.sources.IncrementalTextIndex.appendBatch(

@@ -679,8 +679,7 @@ object Similarity {
       (s, dir) => {
         val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
           .select(col("vec_id"), col("embedding"))
-        val idx = java.nio.file.Files.createTempDirectory("graft_ivf_incr")
-          .toString + "/idx"
+        val idx = graft.sources.Scratch.tempDir("graft_ivf_incr") + "/idx"
         graft.sources.IncrementalVectorIndex.baseBuild(
           s, emb.filter(col("vec_id") % 2 === 0), idx)
         graft.sources.IncrementalVectorIndex.appendBatch(

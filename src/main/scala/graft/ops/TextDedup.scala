@@ -1276,8 +1276,7 @@ object TextDedup {
     Q("q_dedup_minhash_incr",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        val idx = java.nio.file.Files.createTempDirectory("graft_sig_incr")
-          .toString + "/idx"
+        val idx = graft.sources.Scratch.tempDir("graft_sig_incr") + "/idx"
         graft.sources.IncrementalSignatureStore.appendBatch(
           s, docs.filter(col("doc_id") % 2 === 0), 0L, idx, bands = 1, rows = 0)
         graft.sources.IncrementalSignatureStore.appendBatch(

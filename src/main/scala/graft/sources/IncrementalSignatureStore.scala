@@ -124,6 +124,9 @@ object IncrementalSignatureStore {
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val f = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep .old-*/.compact-* orphans from crashed/raced swaps (leak fix);
+    // the caller has quiesced (contract above), so no staged sibling is live
+    StoreSwap.sweepOrphans(f, new org.apache.hadoop.fs.Path(indexDir))
     // empty or never-appended store: nothing to fold
     if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/arrays"))) return
     // the hive partition column reads back with an INFERRED numeric type

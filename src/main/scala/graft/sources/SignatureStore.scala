@@ -140,6 +140,9 @@ object SignatureStore {
       indexDir0: String = null): String = synchronized {
     val indexDir = Option(indexDir0)
       .getOrElse(defaultIndexDir(spark, sfDir, bands, rows))
+    // sweep .old-*/.compact-* orphans from crashed/raced swaps (leak fix)
+    StoreSwap.sweepOrphans(fs(spark, indexDir),
+      new org.apache.hadoop.fs.Path(indexDir))
     val want = fingerprintOf(spark, sfDir, bands, rows)
     if (!isFresh(spark, indexDir, want)) {
       build(spark, sfDir, indexDir, bands, rows)

@@ -27,9 +27,33 @@ object StoreSwap {
     if (hadOld && !f.rename(root, aside)) { f.delete(tmp, true); return false }
     if (f.rename(tmp, root)) { if (hadOld) f.delete(aside, true); true }
     else {
-      if (hadOld) f.rename(aside, root) // restore the original tree
+      // restore the original tree; if that rename ALSO fails the only
+      // cause is a concurrent builder having already renamed its own
+      // staged tree into `root` — the winner's equivalent tree is live,
+      // so our moved-aside copy is garbage: delete it rather than leak
+      // a full store copy per lost race
+      if (hadOld && !f.rename(aside, root)) f.delete(aside, true)
       f.delete(tmp, true)
       false
+    }
+  }
+
+  /** Sweep stale `.old-*` / `.compact-*` siblings of `root` left by
+    * crashed or racing swaps. Safe to call from any `ensure`: a live
+    * swap's aside tree exists only for the instant between the two
+    * renames, and a loser's aside is deleted by swapIn itself — anything
+    * still on disk here is an orphan from a process that died mid-swap.
+    */
+  def sweepOrphans(f: FileSystem, root: Path): Unit = {
+    val parent = root.getParent
+    if (parent != null && f.exists(parent)) {
+      val prefix = root.getName + ".old-"
+      val cprefix = root.getName + ".compact-"
+      f.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) || n.startsWith(cprefix))
+          f.delete(st.getPath, true)
+      }
     }
   }
 }

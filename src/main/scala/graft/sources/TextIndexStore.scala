@@ -165,6 +165,9 @@ object TextIndexStore {
   def ensure(spark: SparkSession, sfDir: String,
       indexDir0: String = null): String = synchronized {
     val indexDir = Option(indexDir0).getOrElse(defaultIndexDir(spark, sfDir))
+    // sweep .old-*/.compact-* orphans from crashed/raced swaps (leak fix)
+    StoreSwap.sweepOrphans(fs(spark, indexDir),
+      new org.apache.hadoop.fs.Path(indexDir))
     val want = fingerprintOf(spark, sfDir)
     if (!isFresh(spark, indexDir, want)) {
       build(spark, sfDir, indexDir)

@@ -37,8 +37,12 @@ object StreamingTopK {
   case class TopKEstimate(group: String, item: String, est: Long, err: Long,
       n_seen: Long)
 
-  private case class Entry(item: String, est: Long, err: Long)
-  private case class Summary(n: Long, entries: Seq[Entry])
+  // NOT private: the state encoder's generated serializer calls these
+  // accessors from emitted Java — `private` tripped a CompileException
+  // ("No applicable constructor/method found ... Summary.n()") and dropped
+  // the RocksDB state serde to Spark's interpreted fallback on every batch
+  case class Entry(item: String, est: Long, err: Long)
+  case class Summary(n: Long, entries: Seq[Entry])
 
   class SpaceSavingProcessor(capacity: Int)
       extends StatefulProcessor[String, TopKEvent, TopKEstimate] {
