@@ -80,6 +80,17 @@ object Bench {
     val selected = new scala.util.Random(42).shuffle(
       SparkEntry.queries.toSeq.sortBy(_._1))
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+    // Machine-load self-description (round-8 forensics: the driver's run
+    // of record was contention-inflated ~52% vs the same binary idle, and
+    // proving that needed cross-run diffing). 1-min loadavg at start and
+    // end rides along in the artifact so a noisy run is visibly noisy.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = {
+      def r2l(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      r2l(loadavg())
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -111,8 +122,9 @@ object Bench {
     // summary fields AFTER the queries map: the driver keeps the TAIL of
     // captured output, and rounds 1-3 all lost head-positioned totals
     // ("parsed": null) when the per-query map overflowed the window
+    val loadEnd = r2(loadavg())
     val line =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"order":"shuffled_seed42","sf":"$sfDir"}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"value":$total,"failed":$failed,"order":"shuffled_seed42","load1_start":$loadStart,"load1_end":$loadEnd,"sf":"$sfDir"}"""
     // Durable copy for the driver (BENCH_r01 lost the line to sbt noise):
     // written to a file AND printed as the process's very last line, after
     // spark.stop(), so no executor-shutdown log can trail it.
@@ -131,6 +143,6 @@ object Bench {
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},"worst5":$worst,"value":$total,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","n_queries":${results.size},"worst5":$worst,"value":$total,"failed":$failed,"load1_start":$loadStart,"load1_end":$loadEnd,"sf":"$sfDir"}""")
   }
 }
