@@ -444,6 +444,110 @@ object Multimodal {
       }.toDF("media_id", "frame_idx", "frame_ts_ms", "frame_bytes")
   }
 
+  /** 64-bit perceptual hashes of one decoded image (see
+    * perceptualHashImagesBatched): ahash = mean hash, dhash = gradient
+    * hash.
+    */
+  final case class PerceptualHash(media_id: Long, ahash: Long, dhash: Long)
+
+  /** Row-major luma grid of `img` downscaled to w x h with bilinear
+    * interpolation: gray = (299R + 587G + 114B) / 1000, integer.
+    */
+  private def grayGrid(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val small = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = small.getRGB(x, y)
+        out(y * w + x) =
+          (299 * ((p >>> 16) & 0xff) + 587 * ((p >>> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL perceptual (near-dup) image hashes behind the same batched
+    * decode seam as decodeImagesBatched — the LAION-style pass that
+    * catches what content-CRC dedup (`mediaContentDedup`) can't: the same
+    * image RESIZED or RECOMPRESSED lossily has different pixels byte-wise
+    * but a near-identical 8x8 downscale. Both classic hashes (public
+    * knowledge) over the bilinear-downscaled luma grid:
+    *  - ahash (average hash): 8x8 grid, bit i set iff gray_i > mean —
+    *    compared as 64*gray_i > sum so the decision is integer-exact;
+    *  - dhash (difference hash): 9x8 grid, bit y*8+x set iff
+    *    gray[y][x] > gray[y][x+1] (horizontal gradient sign).
+    * Undecodable payloads are skipped (R2); batchInit amortizes per
+    * batch. Bytes never leave the partition — only (id, 2 longs) rows
+    * exist downstream.
+    */
+  def perceptualHashImagesBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[PerceptualHash] = {
+    implicit val enc = Encoders.product[PerceptualHash]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit()
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) None // skip, don't fail (R2)
+          else {
+            val g8 = grayGrid(img, 8, 8)
+            var sum = 0L
+            var i = 0
+            while (i < 64) { sum += g8(i); i += 1 }
+            var ahash = 0L
+            i = 0
+            while (i < 64) {
+              if (64L * g8(i) > sum) ahash |= (1L << i)
+              i += 1
+            }
+            val g9 = grayGrid(img, 9, 8)
+            var dhash = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (g9(y * 9 + x) > g9(y * 9 + x + 1))
+                  dhash |= (1L << (y * 8 + x))
+                x += 1
+              }
+              y += 1
+            }
+            Some(PerceptualHash(id, ahash, dhash))
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual image NEAR-dup pairs over the real decoder: ahash per
+    * image, then the SAME Hamming-banded LSH machinery the text SimHash
+    * path uses (ops.TextDedup.hammingBandedPairs) — 8 bands of 8 bits,
+    * lossless for Hamming <= 7, which absorbs mild rescales and lossy
+    * re-encodes while byte-level and pixel-CRC dedup both miss them.
+    * Only (id, hash) longs shuffle; payloads stay in their scan
+    * partitions.
+    */
+  def mediaNearDupPerceptual(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val fp = perceptualHashImagesBatched(media.filter(col("kind") === "image"))
+      .toDF().select(col("media_id").as("id"), col("ahash").as("h"))
+    graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
+  }
+
   import graft.ops.Q
 
   val queries: Seq[Q] = Seq(
@@ -660,6 +764,117 @@ object Multimodal {
                      frame_md5, n_copies
               FROM (SELECT frame_md5, MIN(fkey) AS k, COUNT(*) AS n_copies
                     FROM f GROUP BY frame_md5)
-              ORDER BY keeper_media, keeper_frame"""))
+              ORDER BY keeper_media, keeper_frame""")),
+
+    // PERCEPTUAL image near-dup — the oracle-able STUB-RASTER form of
+    // mediaNearDupPerceptual (the real-codec sibling is spec-pinned on
+    // generated images in MultimodalSpec, like every other real-decoder
+    // path): each image payload "decodes" to a deterministic fake 8x8
+    // raster (pixel i = code point of the char at position i*L div 64 —
+    // clearly-marked stub, same convention as decodeStub), the classic
+    // aHash bits are 64*p_i > sum (integer-exact on both engines), and
+    // near-dups are found by the 4x16-bit Hamming banding + skew guard +
+    // verify — the full LSH pipeline, arithmetic end to end, which is
+    // what lets DuckDB oracle it where q_dedup_simhash (xxhash64-valued)
+    // cannot be. The corpus plants no byte-level near-identical images,
+    // so the fixture synthesizes them IN-QUERY, deterministically (the
+    // q_pii_scrub pattern — real matches, not vacuous zeros): each image
+    // appears as itself (vid = 4*id), a byte-identical "re-encode"
+    // (4*id+1, Hamming 0), and a one-char-perturbed copy (4*id+2, small
+    // Hamming). The banded join collapses each image with its variants
+    // (natural cross-image Hamming floor in this corpus is 10, so output
+    // pairs are exactly the planted structure). Band keys stay as four
+    // 16-bit ints rather than one packed long: bit 63 of a packed hash
+    // overflows DuckDB's checked BIGINT shift. Scale shape = the
+    // production path's: only (vid, band, key) ints shuffle.
+    Q("q_media_neardup",
+      (s, dir) => {
+        val imgs = mediaTable(s, dir).filter(col("kind") === "image")
+          .select(col("media_id"), col("bytes").cast(StringType).as("txt"))
+          .withColumn("L", length(col("txt"))).filter(col("L") > 0)
+        val variants = imgs.select(explode(array(
+            struct((col("media_id") * 4).as("vid"), col("txt").as("txt")),
+            struct((col("media_id") * 4 + 1).as("vid"), col("txt").as("txt")),
+            struct((col("media_id") * 4 + 2).as("vid"),
+              concat(lit("q"), expr("substring(txt, 2)")).as("txt")))).as("v"))
+          .select(col("v.vid").as("vid"), col("v.txt").as("txt"))
+          .withColumn("L", length(col("txt")))
+        val keyed = variants
+          .withColumn("p", expr(
+            "transform(sequence(0, 63), i -> ascii(substring(txt, cast(i * L div 64 as int) + 1, 1)) % 256)"))
+          .withColumn("s", expr("aggregate(p, 0, (acc, x) -> acc + x)"))
+          .withColumn("b", expr("transform(p, x -> case when 64 * x > s then 1 else 0 end)"))
+          .withColumn("k", expr(
+            "transform(sequence(0, 3), bb -> aggregate(sequence(0, 15), 0, (acc, j) -> acc + element_at(b, bb * 16 + j + 1) * shiftleft(1, j)))"))
+          .select(col("vid"), col("k"))
+        val banded = keyed.select(col("vid"), col("k"),
+          explode(expr(
+            "transform(sequence(0, 3), bb -> struct(bb AS band, element_at(k, bb + 1) AS key))")).as("bb"))
+          .select(col("vid"), col("k"), col("bb.band"), col("bb.key"))
+        val small = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= graft.ops.TextDedup.MaxBucketSize)
+          .select(col("band"), col("key"))
+        val pruned = banded.join(broadcast(small), Seq("band", "key"))
+        pruned.as("x").join(pruned.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.vid") < col("y.vid"))
+          .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"),
+            col("x.k").as("ka"), col("y.k").as("kb"))
+          .distinct()
+          .withColumn("hamming", expr(
+            """cast(bit_count(element_at(ka, 1) ^ element_at(kb, 1))
+                  + bit_count(element_at(ka, 2) ^ element_at(kb, 2))
+                  + bit_count(element_at(ka, 3) ^ element_at(kb, 3))
+                  + bit_count(element_at(ka, 4) ^ element_at(kb, 4)) as bigint)"""))
+          .filter(col("hamming") <= 3)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH img AS (
+                SELECT doc_id AS media_id, text, len(text) AS L
+                FROM documents WHERE doc_id % 3 = 0 AND len(text) > 0),
+              var AS (
+                SELECT media_id * 4 AS vid, text AS txt FROM img
+                UNION ALL
+                SELECT media_id * 4 + 1, text FROM img
+                UNION ALL
+                SELECT media_id * 4 + 2, 'q' || substring(text, 2) FROM img),
+              pix AS (
+                SELECT vid, len(txt) AS L,
+                       list_transform(range(0, 64),
+                         i -> ascii(substring(txt, CAST(i * len(txt) // 64 AS INTEGER) + 1, 1)) % 256) AS p
+                FROM var),
+              bits AS (
+                SELECT vid,
+                       list_transform(range(0, 64),
+                         i -> CASE WHEN 64 * p[i + 1] > list_sum(p) THEN 1 ELSE 0 END) AS b
+                FROM pix),
+              bandk AS (
+                SELECT vid,
+                       list_transform(range(0, 4), bb ->
+                         list_sum(list_transform(range(0, 16), j -> b[bb * 16 + j + 1] * (1 << j)))) AS k
+                FROM bits),
+              banded AS (
+                SELECT vid, k, bb AS band, k[bb + 1] AS key
+                FROM (SELECT vid, k, unnest(range(0, 4)) AS bb FROM bandk)),
+              guard AS (
+                SELECT band, key FROM banded GROUP BY band, key HAVING COUNT(*) <= 64),
+              pruned AS (SELECT banded.* FROM banded JOIN guard USING (band, key)),
+              pairs AS (
+                SELECT DISTINCT a.vid AS a_id, b.vid AS b_id, a.k AS ka, b.k AS kb
+                FROM pruned a JOIN pruned b
+                  ON a.band = b.band AND a.key = b.key AND a.vid < b.vid)
+              SELECT a_id, b_id,
+                     CAST(bit_count(xor(CAST(ka[1] AS BIGINT), CAST(kb[1] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[2] AS BIGINT), CAST(kb[2] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[3] AS BIGINT), CAST(kb[3] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[4] AS BIGINT), CAST(kb[4] AS BIGINT))) AS BIGINT) AS hamming
+              FROM pairs
+              WHERE bit_count(xor(CAST(ka[1] AS BIGINT), CAST(kb[1] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[2] AS BIGINT), CAST(kb[2] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[3] AS BIGINT), CAST(kb[3] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[4] AS BIGINT), CAST(kb[4] AS BIGINT))) <= 3
+              ORDER BY a_id, b_id"""))
   )
 }

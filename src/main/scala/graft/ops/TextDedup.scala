@@ -621,13 +621,34 @@ object TextDedup {
     // MinHash signature had). Bitwise-equal to the explode + 64
     // conditional-sum formulation (property-tested).
     val fp = docs
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
-      .persist() // referenced by both sides of the band self-join
-    val banded = fp.select(col("doc_id"), col("simhash"),
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.simhash64(col("text")).as("h"))
+    hammingBandedPairs(fp, maxHamming, bands = 4)
+  }
+
+  /** Generic Hamming-banded near-dup pairs over 64-bit fingerprints —
+    * the banding machinery simhashPairs always used, factored out so the
+    * perceptual image hashes (multimodal.Multimodal.mediaNearDupPerceptual)
+    * ride the same path. Input `fp`: (id: Long, h: Long); output
+    * (a_id, b_id, hamming). The fingerprint splits into `bands` exact
+    * keys of 64/bands bits; by pigeonhole any pair within Hamming
+    * distance < bands collides on at least one band, so the banded join
+    * is LOSSLESS for maxHamming <= bands - 1 (4x16 for the text SimHash
+    * radius 3; 8x8 for the wider perceptual-image radius 7). Shuffles
+    * carry only (id, band, key) longs — never payloads.
+    */
+  def hammingBandedPairs(fp0: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"banding is lossless only for maxHamming < bands ($maxHamming >= $bands)")
+    val keyBits = 64 / bands
+    val mask = (1L << keyBits) - 1
+    val fp = fp0.persist() // referenced by both sides of the band self-join
+    val banded = fp.select(col("id"), col("h"),
       explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(simhash, b * 16) & 65535 AS key))")).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.key"))
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, shiftright(h, b * $keyBits) & $mask AS key))")).as("bb"))
+      .select(col("id"), col("h"), col("bb.band"), col("bb.key"))
     // Same skew guard as MinHash: a band value shared by hundreds of docs
     // carries no signal and would square the join output.
     val small = banded.groupBy(col("band"), col("key"))
@@ -636,9 +657,9 @@ object TextDedup {
     val pruned = banded.join(broadcast(small), Seq("band", "key"))
     val pairs = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
       .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)

@@ -292,4 +292,67 @@ class MultimodalSpec extends SparkSpec {
       batchInit = () => batches.add(1)).count()
     assert(batches.value == 3L, s"expected 3 batch inits, got ${batches.value}")
   }
+
+  /** Rescale via the same bilinear path production uses. */
+  private def rescale(img: java.awt.image.BufferedImage, w: Int, h: Int) = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  private def checkerboard(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0x000000)
+    img
+  }
+
+  test("perceptual hashes: re-encode identical, mild rescale near, different image far") {
+    import spark.implicits._
+    val imgA = testImage(64, 48, seed = 21)
+    val rows = Seq(
+      (1L, encode(imgA, "png")),
+      (2L, encode(imgA, "bmp")),                     // same pixels, new container
+      (3L, encode(rescale(imgA, 60, 45), "png")),    // mild rescale
+      (4L, encode(checkerboard(64, 48), "png")),     // structurally different
+      (5L, encode(imgA, "png").take(30)))            // corrupt: skipped (R2)
+    val hs = Multimodal.perceptualHashImagesBatched(
+        rows.toDF("media_id", "bytes"))
+      .collect().map(h => h.media_id -> h).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L, 4L), s"got ${hs.keySet}")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // byte-different container, identical pixels -> identical hashes
+    assert(ham(hs(1L).ahash, hs(2L).ahash) == 0)
+    assert(ham(hs(1L).dhash, hs(2L).dhash) == 0)
+    // mild rescale: both hashes stay within the near-dup radius
+    assert(ham(hs(1L).ahash, hs(3L).ahash) <= 7,
+      s"rescale ahash hamming ${ham(hs(1L).ahash, hs(3L).ahash)}")
+    assert(ham(hs(1L).dhash, hs(3L).dhash) <= 7,
+      s"rescale dhash hamming ${ham(hs(1L).dhash, hs(3L).dhash)}")
+    // a structurally different image stays far outside it
+    assert(ham(hs(1L).ahash, hs(4L).ahash) > 7,
+      s"different-image ahash hamming ${ham(hs(1L).ahash, hs(4L).ahash)}")
+  }
+
+  test("mediaNearDupPerceptual collapses re-encodes and rescales, not different images") {
+    import spark.implicits._
+    val imgA = testImage(64, 48, seed = 33)
+    val rows = Seq(
+      (1L, "image", encode(imgA, "png")),
+      (2L, "image", encode(imgA, "bmp")),
+      (3L, "image", encode(rescale(imgA, 58, 44), "png")),
+      (4L, "image", encode(checkerboard(64, 48), "png")),
+      (9L, "audio", "not an image".getBytes("UTF-8"))) // filtered by kind
+    val pairs = Multimodal.mediaNearDupPerceptual(
+        rows.toDF("media_id", "kind", "bytes"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(1L -> 2L, 1L -> 3L, 2L -> 3L), s"got $pairs")
+  }
 }
