@@ -807,7 +807,13 @@ object CorpusOps {
           .agg(sum((col("w") * col("w")).cast(DecimalType(38, 6)))
             .cast(DoubleType).as("nrm2"))
         val probes = w.filter(col("doc_id") % 100 === 0)
-        val dots = probes.as("a").join(w.as("b"),
+        // BROADCAST the probe rows (a probe batch is small by definition —
+        // ~n_docs/100 x vocab entries): the corpus-side w then never
+        // shuffles by term, and the (probe, match) aggregate's map-side
+        // combine sees doc-contiguous scan partitions, so the exchange
+        // carries ~|probes| x |docs-per-partition| partial sums instead of
+        // the Σ df·df_probe candidate explosion (4.5M rows at sf0.1).
+        val dots = broadcast(probes).as("a").join(w.as("b"),
             col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
           .groupBy(col("a.doc_id").as("probe_id"), col("b.doc_id").as("match_id"))
           .agg(sum((col("a.w") * col("b.w")).cast(DecimalType(38, 6)))
