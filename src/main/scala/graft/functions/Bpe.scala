@@ -9,16 +9,18 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair-encoding subword tokenizer — the GPT-2 merge loop (public
   * algorithm shape: Sennrich et al. 2016, Radford et al. 2019) over a
-  * COMMITTED deterministic merge table. A real training-data pipeline
-  * measures token budgets in learned subword units, not whitespace
-  * words; this is the engine's subword seam. The learned merges.txt is
-  * replaced by the fixed public fixture below so the Scala encoder, the
-  * DuckDB oracle (q_bpe_encode mirrors the loop with a recursive CTE +
-  * list_reduce fold), and the ScalaCheck properties all share one
-  * source of truth — swap in a real merge table (same (a, b) rank-order
-  * file shape) for production and nothing else changes.
+  * deterministic merge table. A real training-data pipeline measures
+  * token budgets in learned subword units, not whitespace words; this is
+  * the engine's subword seam. The learned merges.txt is replaced by
+  * committed deterministic tables — the 48-entry fixture (the DuckDB
+  * oracle of q_bpe_encode replays it via a recursive CTE + list_reduce
+  * from the same source of truth) and a generated ~4k-entry table whose
+  * ranks have a CLOSED FORM, so q_bpe_encode_big's oracle computes them
+  * arithmetically instead of exploding a literal — swap in a real merge
+  * table (same (a, b) rank-order file shape) for production and nothing
+  * else changes.
   *
-  * Algorithm, per word (canonical greedy loop): start from single
+  * Semantics, per word (canonical greedy loop): start from single
   * characters; repeatedly find the LOWEST-RANK adjacent pair present in
   * the table and merge every occurrence left-to-right non-overlapping;
   * stop when no adjacent pair is in the table. Deterministic: rank
@@ -26,31 +28,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * (BpeSpec pins determinism, losslessness, and the fixed point — no
   * mergeable adjacent pair survives).
   *
+  * Execution is NOT the naive O(len² · lookup) re-scan loop: encodeWord
+  * runs the standard heap + linked-list formulation (lazy-invalidation
+  * priority queue of adjacent-pair candidates over doubly-linked token
+  * slots) — O(len log len) per word, an op COUNT linear in len
+  * (property-pinned) — which is provably the same function: in a valid
+  * merge table every pair created by a merge ranks strictly after the
+  * merge that formed its fused token, so popping candidates in
+  * (rank, position) order with staleness checks replays exactly the
+  * canonical "min-rank pair type, all occurrences left-to-right" rounds.
+  * The canonical loop is kept as encodeWordReference — the executable
+  * spec the property tests compare against.
+  *
   * Pre-tokenization: lowercase, words = maximal [a-z] runs (the GPT-2
   * regex's letter class, simplified to the corpus's ASCII alphabet);
   * everything else separates words and emits nothing. Subword merges
   * never cross word boundaries — encodeDoc(w1 + " " + w2) ==
   * encodeWord(w1) ++ encodeWord(w2) (property-tested).
   */
-object BpeMerges {
-
-  /** The committed merge table; rank = index (GPT-2 merges.txt shape). */
-  val table: IndexedSeq[(String, String)] = IndexedSeq(
-    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
-    ("s", "c"), ("sc", "a"), ("sca", "n"),
-    ("d", "a"), ("da", "ta"),
-    ("f", "a"), ("fa", "s"), ("fas", "t"),
-    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
-    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
-    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
-    ("w", "i"), ("wi", "n"), ("win", "d"), ("wind", "o"), ("windo", "w"),
-    ("t", "h"), ("th", "e"),
-    ("g", "g"), ("e", "r"), ("o", "r"), ("i", "n"), ("r", "e"), ("s", "t"),
-    ("a", "r"), ("o", "n"), ("a", "n"), ("l", "o"), ("lo", "w"), ("c", "h"),
-    ("b", "a"), ("o", "w"), ("e", "y"), ("k", "ey"), ("er", "s"))
+final class BpeCodec(val table: IndexedSeq[(String, String)])
+    extends Serializable {
 
   // \u0001 pair-key delimiter is safe: tokens are [a-z]+ concatenations
-  private val rank: java.util.HashMap[String, Integer] = {
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](table.size * 2)
     var i = 0
     while (i < table.size) {
@@ -60,8 +60,12 @@ object BpeMerges {
     m
   }
 
-  /** Greedy-merge one word; appends its subword tokens to `out`. */
-  def encodeWord(word: String,
+  /** CANONICAL greedy-merge loop (executable spec): per round, find the
+    * min-rank adjacent pair by re-scan, merge all occurrences in one
+    * left-to-right non-overlapping pass. O(len²·lookup) — kept ONLY as
+    * the reference the heap path is property-compared against.
+    */
+  def encodeWordReference(word: String,
       out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
     val n = word.length
     if (n == 0) return
@@ -99,9 +103,93 @@ object BpeMerges {
     while (i < len) { out += toks(i); i += 1 }
   }
 
+  /** Production path: heap + linked-list greedy merge, O(len log len)
+    * per word. Appends the word's subword tokens to `out`; returns the
+    * operation count (rank lookups + heap pushes + pops — the number
+    * property-pinned linear in word length).
+    */
+  def encodeWord(word: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Long = {
+    val n = word.length
+    if (n == 0) return 0L
+    if (n == 1) { out += word; return 1L }
+    var ops = 0L
+    val toks = new Array[String](n)
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = String.valueOf(word.charAt(i))
+      next(i) = if (i + 1 < n) i + 1 else -1
+      prev(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    // candidate = rank << 32 | leftPos: the long ordering IS
+    // (rank, position) — min-rank first, leftmost-first on ties, which
+    // replays the canonical pass order (see class doc)
+    val heap = new java.util.PriorityQueue[java.lang.Long](n)
+    def offer(pos: Int): Unit = {
+      val j = next(pos)
+      if (j >= 0) {
+        ops += 1
+        val r = rank.get(toks(pos) + "\u0001" + toks(j))
+        if (r != null) {
+          heap.add(java.lang.Long.valueOf((r.longValue() << 32) | pos.toLong))
+          ops += 1
+        }
+      }
+    }
+    i = 0
+    while (i < n - 1) { offer(i); i += 1 }
+    while (!heap.isEmpty) {
+      val e = heap.poll().longValue()
+      ops += 1
+      val r = (e >>> 32).toInt
+      val p = (e & 0xffffffffL).toInt
+      // staleness check: the slot may be dead or re-paired; ranks are
+      // unique per pair type, so a matching CURRENT rank means the
+      // current (toks(p), toks(next(p))) is exactly pair r — valid to
+      // merge regardless of when the entry was pushed
+      if (alive(p)) {
+        val q = next(p)
+        if (q >= 0) {
+          ops += 1
+          val cur = rank.get(toks(p) + "\u0001" + toks(q))
+          if (cur != null && cur.intValue() == r) {
+            toks(p) = toks(p) + toks(q)
+            alive(q) = false
+            val qq = next(q)
+            next(p) = qq
+            if (qq >= 0) prev(qq) = p
+            // the fused token forms at most two NEW candidate pairs
+            val l = prev(p)
+            if (l >= 0) offer(l)
+            offer(p)
+          }
+        }
+      }
+    }
+    i = 0
+    while (i >= 0 && i < n) {
+      if (alive(i)) out += toks(i)
+      i = next(i)
+    }
+    ops
+  }
+
   /** All subword tokens of a document, word order preserved. */
   def encodeDoc(text: String): Seq[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String]()
+    encodeDocCounted(text, out)
+    out.toSeq
+  }
+
+  /** encodeDoc + total operation count (for the cost property). */
+  def encodeDocCounted(text: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Long = {
+    var ops = 0L
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -109,10 +197,74 @@ object BpeMerges {
     while (i <= n) {
       val c = if (i < n) lower.charAt(i) else ' '
       if (c >= 'a' && c <= 'z') sb.append(c)
-      else if (sb.length > 0) { encodeWord(sb.toString, out); sb.setLength(0) }
+      else if (sb.length > 0) { ops += encodeWord(sb.toString, out); sb.setLength(0) }
       i += 1
     }
-    out.toSeq
+    ops
+  }
+}
+
+object BpeMerges {
+
+  /** The committed 48-entry fixture (rank = index, GPT-2 merges.txt
+    * shape) — the q_bpe_encode oracle's literal table.
+    */
+  val table: IndexedSeq[(String, String)] = IndexedSeq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("d", "a"), ("da", "ta"),
+    ("f", "a"), ("fa", "s"), ("fas", "t"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("w", "i"), ("wi", "n"), ("win", "d"), ("wind", "o"), ("windo", "w"),
+    ("t", "h"), ("th", "e"),
+    ("g", "g"), ("e", "r"), ("o", "r"), ("i", "n"), ("r", "e"), ("s", "t"),
+    ("a", "r"), ("o", "n"), ("a", "n"), ("l", "o"), ("lo", "w"), ("c", "h"),
+    ("b", "a"), ("o", "w"), ("e", "y"), ("k", "ey"), ("er", "s"))
+
+  /** Deterministic generated merge table at realistic vocabulary scale:
+    * the 676 single-char pairs (a,b) in lexicographic order (ranks
+    * 0..675), then (2-char, 1-char) pairs ("ab", c) in lexicographic
+    * order (rank 676 + idx("ab")*26 + idx(c)) truncated to `n` — VALID
+    * as a merges.txt (every fused token a pair references is formed at a
+    * strictly earlier rank) and rank-computable in closed form, which is
+    * what lets q_bpe_encode_big's DuckDB oracle replay the loop
+    * arithmetically instead of via an n-entry literal.
+    */
+  def generated(n: Int): IndexedSeq[(String, String)] = {
+    require(n >= 676 && n <= 676 + 26 * 26 * 26,
+      s"generated table size must be in [676, ${676 + 17576}], got $n")
+    val az = ('a' to 'z').map(_.toString)
+    val level2 = for (a <- az; b <- az) yield (a, b)
+    val level3 = for (a <- az; b <- az; c <- az) yield (a + b, c)
+    (level2 ++ level3).take(n).toIndexedSeq
+  }
+
+  /** The generated-table size q_bpe_encode_big runs at. */
+  val GeneratedSize = 4096
+
+  val default: BpeCodec = new BpeCodec(table)
+  lazy val big: BpeCodec = new BpeCodec(generated(GeneratedSize))
+
+  /** Back-compat delegates to the fixture codec's production path. */
+  def encodeWord(word: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    default.encodeWord(word, out); ()
+  }
+
+  def encodeDoc(text: String): Seq[String] = default.encodeDoc(text)
+}
+
+/** Codec registry for BpeEncodeTokens: the expression serializes only the
+  * id, executors re-resolve the codec (tables are deterministic, so the
+  * resolution is reproducible anywhere).
+  */
+object BpeCodecs {
+  def byId(id: String): BpeCodec = id match {
+    case "fixture" => BpeMerges.default
+    case "gen4096" => BpeMerges.big
+    case other => throw new IllegalArgumentException(s"unknown BPE codec: $other")
   }
 }
 
@@ -120,12 +272,16 @@ object BpeMerges {
   * merge loop in ONE per-row call, codegen'd via the static-call pattern
   * (stays inside whole-stage codegen like the rest of functions/).
   */
-case class BpeEncodeTokens(child: Expression) extends UnaryExpression {
+case class BpeEncodeTokens(child: Expression, codecId: String = "fixture")
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  def computeRow(s: UTF8String): ArrayData = BpeEncodeTokens.compute(s)
+  @transient private lazy val codec = BpeCodecs.byId(codecId)
+
+  def computeRow(s: UTF8String): ArrayData =
+    BpeEncodeTokens.compute(codec, s)
 
   override protected def nullSafeEval(input: Any): Any =
     computeRow(input.asInstanceOf[UTF8String])
@@ -143,8 +299,8 @@ case class BpeEncodeTokens(child: Expression) extends UnaryExpression {
 }
 
 object BpeEncodeTokens {
-  def compute(s: UTF8String): ArrayData = {
-    val toks = BpeMerges.encodeDoc(s.toString)
+  def compute(codec: BpeCodec, s: UTF8String): ArrayData = {
+    val toks = codec.encodeDoc(s.toString)
     val out = new Array[AnyRef](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
@@ -155,4 +311,10 @@ object BpeEncodeTokens {
   def bpeTokens(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Tokens under the generated 4,096-merge table (q_bpe_encode_big). */
+  def bpeTokensBig(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        codecId = "gen4096"))
 }

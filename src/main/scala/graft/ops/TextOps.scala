@@ -101,6 +101,56 @@ object TextOps {
                  FROM bpe) WHERE rn = 1)"""
   }
 
+  /** DuckDB mirror of the BPE loop at the GENERATED ~4k-merge
+    * vocabulary (q_bpe_encode_big): same recursive-CTE + list_reduce
+    * replay as bpeCte, but the rank of a pair is computed ARITHMETICALLY
+    * from the generated table's closed form (676 single-char pairs in
+    * lex order, then (2-char, 1-char) pairs at rank
+    * 676 + idx(ab)*26 + idx(c), truncated at GeneratedSize) — no
+    * n-entry literal, which is the point: the oracle scales to any
+    * generated vocabulary size without the CTE text exploding.
+    */
+  private def bpeCteBig: String = {
+    val n = graft.functions.BpeMerges.GeneratedSize
+    s"""WITH RECURSIVE
+       w0 AS (SELECT doc_id,
+                     generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents),
+       bpe(doc_id, wid, iter, toks) AS (
+         SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
+         UNION ALL
+         SELECT doc_id, wid, iter + 1,
+           list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
+                              THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
+                              ELSE list_append(acc, x[1]) END)
+         FROM (SELECT doc_id, wid, iter, toks,
+                 CASE WHEN mr IS NULL THEN NULL
+                      WHEN mr < 676 THEN [chr(97 + mr // 26), chr(97 + mr % 26)]
+                      ELSE [chr(97 + (mr - 676) // 676) || chr(97 + ((mr - 676) // 26) % 26),
+                            chr(97 + (mr - 676) % 26)] END AS sp
+               FROM (SELECT doc_id, wid, iter, toks,
+                       list_min(list_filter(
+                         list_transform(range(1, len(toks)),
+                           i -> CASE
+                                  WHEN len(toks[i]) = 1 AND len(toks[i+1]) = 1
+                                    THEN (ascii(toks[i]) - 97) * 26 + (ascii(toks[i+1]) - 97)
+                                  WHEN len(toks[i]) = 2 AND len(toks[i+1]) = 1
+                                       AND 676 + ((ascii(toks[i][1]) - 97) * 26 + (ascii(toks[i][2]) - 97)) * 26
+                                           + (ascii(toks[i+1]) - 97) < $n
+                                    THEN 676 + ((ascii(toks[i][1]) - 97) * 26 + (ascii(toks[i][2]) - 97)) * 26
+                                         + (ascii(toks[i+1]) - 97)
+                                  ELSE NULL END),
+                         r -> r IS NOT NULL)) AS mr
+                     FROM bpe))
+         WHERE sp IS NOT NULL
+       ),
+       fin AS (SELECT doc_id, wid, toks FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
+                 FROM bpe) WHERE rn = 1)"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Token-budget packing: global offsets via the two-phase running sum.
@@ -522,6 +572,39 @@ object TextOps {
             array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
           .orderBy(col("doc_id")),
       Some(s"""$bpeCte,
+              agg AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_words,
+                            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_bpe_tokens,
+                            string_agg(array_to_string(toks, ' '), ' ' ORDER BY wid) AS full
+                     FROM fin GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                     CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+                     array_to_string((string_split(coalesce(a.full, ''), ' '))[:8], ' ') AS first_tokens
+              FROM documents d LEFT JOIN agg a USING (doc_id)
+              ORDER BY d.doc_id""")),
+
+    // BPE at REALISTIC VOCABULARY SCALE: the same encoder expression
+    // bound to the generated 4,096-merge table (BpeMerges.generated —
+    // closed-form ranks, so the DuckDB mirror computes them
+    // arithmetically instead of carrying a 4k-entry literal). This row
+    // prices the merge loop where it matters: the heap + linked-list
+    // encode is O(len log len) per word with a property-pinned LINEAR
+    // op count (BpeSpec), so the bench line for this query IS the
+    // measured per-row cost at realistic vocab — still one codegen'd
+    // per-row call, a pure map at input bandwidth.
+    Q("q_bpe_encode_big",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens.bpeTokensBig(col("text")).as("toks"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast(LongType).as("n_words"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("toks")).cast(LongType).as("n_bpe_tokens"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
+          .orderBy(col("doc_id")),
+      Some(s"""$bpeCteBig,
               agg AS (SELECT doc_id,
                             CAST(count(*) AS BIGINT) AS n_words,
                             CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_bpe_tokens,

@@ -86,4 +86,65 @@ object BpeSpec extends Properties("Bpe") {
         encodeWord("agg") == Seq("a", "gg") &&
         encodeWord("aaa") == Seq("a", "a", "a") // (a,a) is not a merge
     }
+
+  // ---- scale-proof properties: the heap path at a ~4k-merge vocabulary
+
+  private val bigCodec = BpeMerges.big
+  // repeat-heavy generator: pathological for overlapping-occurrence
+  // handling ("aaaa...") and for the heap's staleness churn
+  private val longWord: Gen[String] = for {
+    n <- Gen.chooseNum(1, 400)
+    mode <- Gen.oneOf(0, 1, 2)
+    cs <- mode match {
+      case 0 => Gen.listOfN(n, Gen.alphaLowerChar)
+      case 1 => Gen.listOfN(n, Gen.oneOf('a', 'b'))
+      case 2 => Gen.const(List.fill(n)('a'))
+    }
+  } yield cs.mkString
+
+  private def encodeHeap(c: BpeCodec, w: String): Seq[String] = {
+    val out = new ArrayBuffer[String]()
+    c.encodeWord(w, out)
+    out.toSeq
+  }
+
+  private def encodeRef(c: BpeCodec, w: String): Seq[String] = {
+    val out = new ArrayBuffer[String]()
+    c.encodeWordReference(w, out)
+    out.toSeq
+  }
+
+  property("heap path == canonical reference loop (fixture table)") =
+    forAll(longWord) { w =>
+      encodeHeap(BpeMerges.default, w) == encodeRef(BpeMerges.default, w)
+    }
+
+  property("heap path == canonical reference loop (generated 4096-merge table)") =
+    forAll(longWord) { w =>
+      encodeHeap(bigCodec, w) == encodeRef(bigCodec, w)
+    }
+
+  property("per-word op count is LINEAR in word length at the 4096-merge vocab") =
+    forAll(longWord) { w =>
+      val out = new ArrayBuffer[String]()
+      val ops = bigCodec.encodeWord(w, out)
+      // lookups + pushes + pops: ≤ (n-1) initial lookups + 1 push each,
+      // ≤ n-1 merges x (1 pop + 1 validate + ≤2 lookups + ≤2 pushes),
+      // ≤ heap-size stale pops — every term O(n), no n² re-scan anywhere
+      ops <= 12L * (w.length + 1)
+    }
+
+  property("per-doc op count is linear in doc length (4096-merge vocab)") =
+    forAll(Gen.listOf(longWord).map(_.mkString(" "))) { d =>
+      val out = new ArrayBuffer[String]()
+      val ops = bigCodec.encodeDocCounted(d, out)
+      ops <= 12L * (d.length + 1)
+    }
+
+  property("generated table: lossless + fixed point at realistic vocab") =
+    forAll(longWord) { w =>
+      val toks = encodeHeap(bigCodec, w)
+      val ts = bigCodec.table.toSet
+      toks.mkString == w && toks.zip(toks.tail).forall(p => !ts.contains(p))
+    }
 }
