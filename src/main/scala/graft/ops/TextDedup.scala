@@ -564,7 +564,17 @@ object TextDedup {
     * span_end, span_words) in word offsets — the regions a
     * repeated-substring removal pass would cut.
     */
-  def repeatedSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+  /** Repeated-window spans. crossDocOnly = false: a window counts as
+    * repeated when it occurs >= 2 times anywhere (within-doc repeats
+    * included). crossDocOnly = true: the Lee-et-al corpus-granularity
+    * test — a window is repeated only when >= 2 DISTINCT documents
+    * contain it (q_repeated_spans_corpus), the "shared boilerplate
+    * across the crawl" cut a training-data pass removes. Same sorted-
+    * shingle machinery either way: only (hash, doc_id, pos) longs
+    * shuffle, never text.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 10,
+      crossDocOnly: Boolean = false): DataFrame = {
     val wins = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n"),
@@ -573,8 +583,15 @@ object TextDedup {
       .select(col("doc_id"), col("n"), col("win").cast(LongType).as("win"),
         xxhash64(col("chunk")).as("h"))
       .persist() // both the global counts and the hit side read it
-    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
+    val dup =
+      if (crossDocOnly)
+        // distinct (h, doc) first, then count docs per h: two partial-agg
+        // shuffles on 16-byte rows, exact (the oracle's COUNT(DISTINCT))
+        wins.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("h"))
+      else wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
     val w1 = Window.partitionBy(col("doc_id")).orderBy(col("win"))
     val hits = wins.join(dup, Seq("h"), "left_semi")
       .withColumn("prev", lag(col("win"), 1).over(w1))
@@ -1106,6 +1123,47 @@ object TextDedup {
                 FROM x, LATERAL (SELECT unnest(range(0,
                        CASE WHEN n <= 10 THEN 1 ELSE n - 10 + 1 END)) AS j)),
               dup AS (SELECT chunk FROM win GROUP BY chunk HAVING count(*) >= 2),
+              hit AS (SELECT doc_id, n, win FROM win
+                      WHERE chunk IN (SELECT chunk FROM dup)),
+              isl AS (
+                SELECT doc_id, n, win,
+                       SUM(CASE WHEN prev IS NULL OR win - prev > 9 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY win) AS island
+                FROM (SELECT doc_id, n, win,
+                             lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+                      FROM hit))
+              SELECT doc_id, MIN(win) AS span_start,
+                     LEAST(MAX(win) + 9, n - 1) AS span_end,
+                     LEAST(MAX(win) + 9, n - 1) - MIN(win) + 1 AS span_words
+              FROM isl GROUP BY doc_id, island, n
+              ORDER BY doc_id, span_start""")),
+
+    // CORPUS-granularity repeated-substring spans — the Lee-et-al
+    // "Deduplicating Training Data" cross-document pass (public paper):
+    // q_repeated_spans flags any window occurring twice ANYWHERE
+    // (within-doc boilerplate included); this row flags only windows
+    // shared by >= 2 DISTINCT documents — the cut that removes crawl
+    // boilerplate (headers, license blocks, templated pages) from every
+    // copy. Sorted-shingle-run approximation of the suffix-array pass:
+    // 10-word windows at stride 1, cross-document repeat test on the
+    // window hash, then overlap-merge islands per doc. Only
+    // (hash, doc_id, pos) longs shuffle; the oracle replays windows,
+    // COUNT(DISTINCT doc_id) >= 2, and the same islands on chunk STRINGS
+    // (the q_dedup_ngram hash-vs-string convention).
+    Q("q_repeated_spans_corpus",
+      (s, dir) => repeatedSpans(t(s, dir, "documents"), 10, crossDocOnly = true)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH x AS (
+                SELECT doc_id, ws, len(ws) AS n
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              win AS (
+                SELECT doc_id, n, j AS win,
+                       CASE WHEN n <= 10 THEN array_to_string(ws, ' ')
+                            ELSE array_to_string(ws[j+1 : j+10], ' ') END AS chunk
+                FROM x, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 10 THEN 1 ELSE n - 10 + 1 END)) AS j)),
+              dup AS (SELECT chunk FROM win GROUP BY chunk
+                      HAVING count(DISTINCT doc_id) >= 2),
               hit AS (SELECT doc_id, n, win FROM win
                       WHERE chunk IN (SELECT chunk FROM dup)),
               isl AS (

@@ -89,4 +89,23 @@ class DedupSpec extends SparkSpec {
       .select(abs(col("x") - col("a")).cast("double") / col("x")).collect()
     assert(joined.forall(_.getDouble(0) <= 0.05))
   }
+
+  test("repeatedSpans crossDocOnly: within-doc repeats flagged only in the any-repeat mode") {
+    import spark.implicits._
+    val chunk = (1 to 10).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    // doc 1 repeats `chunk` twice INTERNALLY; docs 2+3 SHARE `other`
+    val docs = Seq(
+      (1L, s"$chunk $filler $chunk"),
+      (2L, s"$other intro words here"),
+      (3L, s"closing words $other")).toDF("doc_id", "text")
+    def spansOf(crossDoc: Boolean): Set[Long] =
+      TextDedup.repeatedSpans(docs, 10, crossDocOnly = crossDoc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // any-repeat mode sees all three; cross-document mode must NOT cut
+    // doc 1's internal repetition
+    assert(spansOf(false) == Set(1L, 2L, 3L))
+    assert(spansOf(true) == Set(2L, 3L))
+  }
 }
