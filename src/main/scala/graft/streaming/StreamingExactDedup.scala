@@ -46,6 +46,13 @@ object StreamingExactDedup {
   /** Dedup `ds` on `contentKey` (first occurrence wins, forever — or for
     * the TTL, under TimeMode.ProcessingTime). Requires the RocksDB state
     * store provider for production state sizes.
+    *
+    * Operational note for the TTL path: a TimeMode.ProcessingTime query
+    * schedules micro-batches to process expirations even with no input,
+    * so run it under a real ProcessingTime trigger (not interval 0, and
+    * don't wait on processAllAvailable — it never settles once a TTL
+    * deadline is due). StateTelemetrySpec pins the contract: expired
+    * keys leave numRowsTotal and their documents re-admit.
     */
   def apply[T: Encoder](ds: Dataset[T], contentKey: T => Long,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[T] = {

@@ -63,6 +63,56 @@ class StateTelemetrySpec extends SparkSpec {
     }
   }
 
+  test("exact-dedup TTL: expired keys leave state and their docs re-admit") {
+    withRocksDBStateStore {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val in = MemoryStream[String]
+      def key(s: String): Long =
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofSeconds(2))
+      // A TTL-bearing (TimeMode.ProcessingTime) query keeps scheduling
+      // micro-batches so expirations get processed, which means
+      // processAllAvailable never settles (observed: unbounded batch
+      // churn at trigger interval 0). So: pace the query with a real
+      // ProcessingTime trigger and POLL the progress feed with a
+      // deadline — which is also the honest shape of the pin, because
+      // expiry is itself asynchronous batch work.
+      val q = StreamingExactDedup(in.toDS(), key, ttl)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      def pollUntil(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!cond) {
+          assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+          Thread.sleep(250)
+        }
+      }
+      def outCount(): Long =
+        try spark.read.parquet(s"$dir/out").count() catch { case _: Exception => 0L }
+
+      val docs = (1 to 5).map(i => s"doc $i")
+      in.addData(docs ++ docs: _*)
+      pollUntil("5 first-seen docs admitted")(outCount() == 5L)
+      pollUntil("one state row per key")(stateRows(q) == 5L)
+
+      // THE pin: past the TTL, with no new data at all, the periodic
+      // cleanup batches must remove the expired keys from numRowsTotal —
+      // the crawl re-admission contract ("TTL-able") as a measured number
+      pollUntil("expired keys leave numRowsTotal")(stateRows(q) == 0L)
+
+      // and the same docs now RE-ADMIT (plus one genuinely new one)
+      in.addData(docs :+ "doc 6": _*)
+      pollUntil("re-admission after expiry")(outCount() == 11L)
+      q.stop()
+    }
+  }
+
   test("space-saving top-k state rows == group keys, not distinct items") {
     withRocksDBStateStore {
       val in = MemoryStream[TopKEvent]
