@@ -161,4 +161,67 @@ object SqlSurface {
                             ORDER BY n_name LIMIT 2) AS ln
               ORDER BY r_name, n_name"""))
   )
+
+  /** The WHOLE curation pipeline as plain SQL — the migration surface
+    * for an Athena/SQL user (the reference's consumers query through SQL,
+    * README.md:21-24): quality gate (`linear_text_score`, injected by
+    * GraftExtensions and registered here as a temp-function fallback for
+    * plain sessions) → PII scrub (3 typed regexp redactions) → exact
+    * dedup (one content-keyed window) → per-source token funnel — the
+    * exact semantics of q_curation_pipeline, expressed as one SQL string
+    * over the `documents` view. SqlCatalogSpec pins the view result
+    * equal to the declared DataFrame query, so the two surfaces cannot
+    * drift.
+    */
+  val curationPipelineSql: String =
+    """WITH p AS (
+         SELECT doc_id,
+                concat('s', CAST(doc_id % 4 AS STRING)) AS src,
+                linear_text_score(text) AS score_int,
+                regexp_replace(regexp_replace(regexp_replace(
+                  concat(
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat('contact user', CAST(doc_id AS STRING), '@example.com ')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN concat('call 555-', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-4321 ')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN concat('from 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 100 AS STRING), ' ')
+                         ELSE '' END,
+                    text),
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]'),
+                  '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]') AS scrubbed
+         FROM documents),
+       r AS (
+         SELECT doc_id, src, score_int, scrubbed,
+                row_number() OVER (
+                  PARTITION BY md5(CAST(scrubbed AS BINARY))
+                  ORDER BY CASE WHEN score_int > 0 THEN 0 ELSE 1 END, doc_id) AS rn
+         FROM p)
+       SELECT src,
+              count(1) AS docs_in,
+              sum(CASE WHEN score_int > 0 THEN 1L ELSE 0L END) AS kept_quality,
+              sum(CASE WHEN score_int > 0 AND rn = 1 THEN 1L ELSE 0L END) AS kept_unique,
+              sum(CASE WHEN score_int > 0 AND rn = 1
+                       THEN CAST(size(split(scrubbed, ' ')) AS BIGINT) ELSE 0L END) AS total_tokens
+       FROM r GROUP BY src ORDER BY src"""
+
+  /** Registers the `curation_funnel` temp view (and the
+    * `linear_text_score` temp-function fallback so plain sessions work)
+    * over an already-registered `documents` view — after this,
+    * `SELECT * FROM curation_funnel` runs the whole
+    * gate→scrub→dedup→funnel pipeline in SQL.
+    */
+  def registerCurationView(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "linear_text_score",
+      exprs => {
+        require(exprs.length == 1,
+          s"linear_text_score takes 1 argument, got ${exprs.length}")
+        graft.functions.LinearTextScore(exprs.head)
+      }, "built-in")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW curation_funnel AS $curationPipelineSql")
+  }
 }

@@ -26,4 +26,17 @@ class SqlCatalogSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
   }
+
+  test("curation pipeline SQL view == the declared DataFrame query") {
+    Tables.registerAll(spark, sf001)
+    ops.SqlSurface.registerCurationView(spark)
+    val viaSql = spark.sql("SELECT * FROM curation_funnel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val declared = SparkEntry.queries("q_curation_pipeline")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(viaSql == declared,
+      s"SQL surface drifted from the declared pipeline:\n$viaSql\nvs\n$declared")
+  }
 }
