@@ -1179,6 +1179,68 @@ object TextDedup {
               FROM isl GROUP BY doc_id, island, n
               ORDER BY doc_id, span_start""")),
 
+    // APPLYING the corpus-level span cut (the pass the paper actually
+    // runs): every word covered by a cross-document repeated span is
+    // removed and the document re-joins — output is the removal count
+    // and the md5 of the cleaned text (md5, not the text itself: the
+    // gate's compare stays scalar and the fingerprint pins every byte).
+    // One extra broadcast-able join against the span relation (spans are
+    // pair-bounded, tiny vs the corpus); membership is an exists() over
+    // the per-doc span array, order-independent, so the collect_list
+    // build order cannot matter.
+    Q("q_span_removed_text",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perDoc = repeatedSpans(docs, 10, crossDocOnly = true)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+        docs.join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("clean_arr", expr(
+            """filter(transform(ws, (w, i) -> struct(w AS w, CAST(i AS BIGINT) AS i)),
+                 x -> spans IS NULL OR
+                      NOT exists(spans, sp -> x.i >= sp.span_start AND x.i <= sp.span_end))"""))
+          .select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("n_words"),
+            (size(col("ws")) - size(col("clean_arr"))).cast(LongType).as("n_removed"),
+            md5(expr("array_join(transform(clean_arr, x -> x.w), ' ')").cast("binary"))
+              .as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+                SELECT doc_id, ws, len(ws) AS n
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              win AS (
+                SELECT doc_id, n, j AS win,
+                       CASE WHEN n <= 10 THEN array_to_string(ws, ' ')
+                            ELSE array_to_string(ws[j+1 : j+10], ' ') END AS chunk
+                FROM x, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 10 THEN 1 ELSE n - 10 + 1 END)) AS j)),
+              dup AS (SELECT chunk FROM win GROUP BY chunk
+                      HAVING count(DISTINCT doc_id) >= 2),
+              hit AS (SELECT doc_id, n, win FROM win
+                      WHERE chunk IN (SELECT chunk FROM dup)),
+              isl AS (
+                SELECT doc_id, n, win,
+                       SUM(CASE WHEN prev IS NULL OR win - prev > 9 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY win) AS island
+                FROM (SELECT doc_id, n, win,
+                             lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+                      FROM hit)),
+              sp AS (SELECT doc_id, MIN(win) AS span_start,
+                            LEAST(MAX(win) + 9, n - 1) AS span_end
+                     FROM isl GROUP BY doc_id, island, n),
+              w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS i, unnest(ws) AS word FROM x),
+              marked AS (SELECT w.doc_id, w.i, w.word,
+                                EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = w.doc_id
+                                       AND w.i BETWEEN sp.span_start AND sp.span_end) AS rm
+                         FROM w)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                     md5(coalesce(string_agg(word, ' ' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+              FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
     // Content-defined chunk dedup (the rsync/CDC idea at word
     // granularity): a chunk boundary falls AFTER every trigger word
     // (md5 prefix in 0..1 — a deterministic ~1/8 rate), so boundaries
