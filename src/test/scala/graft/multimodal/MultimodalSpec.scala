@@ -341,6 +341,31 @@ class MultimodalSpec extends SparkSpec {
       s"different-image ahash hamming ${ham(hs(1L).ahash, hs(4L).ahash)}")
   }
 
+  test("q_media_neardup: no payload column ever crosses an exchange") {
+    // the scale claim as a structural assertion: every shuffle in the
+    // near-dup plan carries only ids/hash keys — never text or bytes.
+    // AQE off for this one plan so ShuffleExchangeExec nodes are
+    // collectible from the static executedPlan.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Multimodal.queries.find(_.name == "q_media_neardup").get
+        .fn(spark, sf0001)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected at least one shuffle in the banded join")
+      exchanges.foreach { e =>
+        val payload = e.child.schema.fields.filter(f =>
+          f.dataType == org.apache.spark.sql.types.BinaryType ||
+            f.dataType == org.apache.spark.sql.types.StringType)
+        assert(payload.isEmpty,
+          s"payload-typed columns ${payload.map(_.name).toSeq} would shuffle in:\n$e")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("mediaNearDupPerceptual collapses re-encodes and rescales, not different images") {
     import spark.implicits._
     val imgA = testImage(64, 48, seed = 33)

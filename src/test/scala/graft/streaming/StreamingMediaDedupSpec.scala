@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+
+/** The perceptual ingest gate end-to-end: byte-different re-encodes and
+  * mild rescales of an already-ingested image are dropped across
+  * micro-batches (store hit) and within one (greedy batchmate
+  * resolution); structurally different images and non-image kinds are
+  * admitted. Store holds only hash longs — pinned here by schema.
+  */
+class StreamingMediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def img(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, ((x * 31 + y * 17 + seed * 101) & 0xffffff))
+    im
+  }
+
+  private def checker(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0)
+    im
+  }
+
+  private def rescaled(src: java.awt.image.BufferedImage, w: Int, h: Int) = {
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  private def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("re-encodes and rescales drop across and within batches; distinct content admits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediadedup").toString
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val media = in.toDF().toDF("media_id", "kind", "bytes")
+    val q = StreamingMediaDedup.start(media, s"$dir/store", s"$dir/out",
+      s"$dir/ckpt")
+
+    val a = img(64, 48, seed = 5)
+    // batch 1: the original + an unrelated audio payload
+    in.addData((1L, "image", enc(a, "png")), (50L, "audio", Array[Byte](1, 2, 3)))
+    q.processAllAvailable()
+    // batch 2: BMP re-encode of A (store hit, hamming 0), mild rescale of
+    // A (store hit within radius), a structurally different image (kept),
+    // plus a batchmate re-encode of THAT image (greedy in-batch drop)
+    in.addData(
+      (2L, "image", enc(a, "bmp")),
+      (3L, "image", enc(rescaled(a, 58, 44), "png")),
+      (4L, "image", enc(checker(64, 48), "png")),
+      (5L, "image", enc(checker(64, 48), "bmp")))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 50L), s"got $kept")
+    // the store carries ONLY hash/key/id longs — payloads never persist
+    val storeTypes = spark.read.parquet(s"$dir/store").schema.fields
+      .map(_.dataType.typeName).toSet
+    assert(!storeTypes.contains("binary") && !storeTypes.contains("string"),
+      s"store schema leaked payload types: $storeTypes")
+  }
+}
