@@ -497,6 +497,24 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.FunctionIdentifier("theta_estimate"),
       new ExpressionInfo(classOf[ThetaEstimate].getName, "theta_estimate"),
       (exprs: Seq[Expression]) => ThetaEstimate(exprs.head)))
+    // cms_agg / cms_merge_agg / cms_query — mergeable Count-Min frequency
+    // sketches (arithmetic hash family, so estimates are value-oracled)
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
+      (exprs: Seq[Expression]) => CmsAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_merge_agg"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
+      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cms_query takes 2 arguments (sketch, key), got ${exprs.length}")
+        CmsQuery(exprs(0), exprs(1))
+      }))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }

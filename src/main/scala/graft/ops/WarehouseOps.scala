@@ -838,6 +838,70 @@ object WarehouseOps {
       },
       None),
 
+    // Mergeable FREQUENCY rollups — Count-Min completes the sketch set
+    // (HLL/theta: distinct; KLL: quantiles; CMS: per-key counts): per-
+    // event-type sketches of user activity merge ELEMENTWISE-EXACTLY
+    // into the corpus sketch (unlike every other sketch family, the
+    // merge is bit-lossless), and point estimates read out with the
+    // min-over-rows rule — always >= truth, the CM guarantee. The row
+    // hashes are the committed arithmetic pairwise-independent family
+    // (functions/CountMinFunctions.scala), so the oracle replays the
+    // EXACT bucket map and the estimates are value-oracled — the only
+    // sketch family on the hard gate end-to-end. Scale shape: state is
+    // depth x width longs per group regardless of key cardinality, and
+    // partial aggregation merges inside the exchange.
+    Q("q_countmin",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val perType = ev.groupBy(col("event_type"))
+          .agg(graft.functions.CmsFunctions.cmsAgg(s, col("user_id")).as("sk"))
+        val merged = perType.agg(
+          graft.functions.CmsFunctions.cmsMergeAgg(s, col("sk")).as("sk"),
+          count(lit(1)).as("n_sketches"))
+        val probes = s.range(0, 12).select(col("id").as("probe_id"))
+        val truth = ev.groupBy(col("user_id").as("probe_id"))
+          .agg(count(lit(1)).as("true_cnt"))
+        probes.crossJoin(broadcast(merged))
+          .select(col("probe_id"),
+            graft.functions.CmsFunctions.cmsQuery(s, col("sk"), col("probe_id"))
+              .as("est"),
+            col("n_sketches"))
+          .join(truth, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("est"),
+            coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+            col("n_sketches"))
+          .orderBy(col("probe_id"))
+      },
+      Some("""WITH par(r, a, b) AS (VALUES
+                (0, 1103515245, 12345), (1, 214013, 2531011),
+                (2, 69069, 362437), (3, 1664525, 1013904223)),
+              probes AS (SELECT unnest(range(0, 12)) AS probe_id),
+              bct AS (
+                SELECT par.r,
+                       ((par.a * ((e.user_id % 2147483647 + 2147483647) % 2147483647) + par.b)
+                         % 2147483647) % 512 AS bkt,
+                       count(*) AS c
+                FROM events e CROSS JOIN par GROUP BY 1, 2),
+              est AS (
+                SELECT p.probe_id, MIN(coalesce(b.c, 0)) AS est
+                FROM probes p CROSS JOIN par
+                LEFT JOIN bct b ON b.r = par.r
+                  AND b.bkt = ((par.a * ((p.probe_id % 2147483647 + 2147483647) % 2147483647) + par.b)
+                                % 2147483647) % 512
+                GROUP BY 1),
+              truth AS (SELECT user_id AS probe_id, count(*) AS true_cnt
+                        FROM events GROUP BY 1),
+              ns AS (SELECT count(DISTINCT event_type) AS n_sketches FROM events)
+              SELECT p.probe_id,
+                     CAST(e.est AS BIGINT) AS est,
+                     CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+                     CAST(ns.n_sketches AS BIGINT) AS n_sketches
+              FROM probes p
+              JOIN est e USING (probe_id)
+              LEFT JOIN truth t USING (probe_id)
+              CROSS JOIN ns
+              ORDER BY p.probe_id""")),
+
     // First-order event-transition matrix (the Markov-chain view of user
     // journeys): per user, order events by time and pair each with its
     // successor (lead over the per-user window — the sessionize/funnel
