@@ -548,6 +548,68 @@ object Multimodal {
     graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
   }
 
+  /** The stub-raster aHash band keys of q_media_neardup as ONE codegen
+    * pass (static-call pattern): pixel i = code point of the char at
+    * position i*L div 64 (mod 256), bit i = 64*p_i > sum, keys = four
+    * 16-bit band packs — the EXACT arithmetic the DuckDB oracle replays.
+    * Exists because the HOF formulation (transform/aggregate chains)
+    * inlines the pixel array into every bit reference when Project
+    * collapse substitutes the withColumns — ~4k interpreted substring
+    * evaluations per row, measured 164 s at sf0.1; this pass is one
+    * array walk per row.
+    */
+  final case class StubAHashKeys(child: org.apache.spark.sql.catalyst.expressions.Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    def computeRow(s: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val txt = s.toString
+      val L = txt.length
+      val p = new Array[Int](64)
+      var sum = 0L
+      var i = 0
+      while (i < 64) {
+        // same sampling convention as the oracle: char code point % 256
+        // at position i*L div 64 (BMP-equivalent to DuckDB's ascii())
+        p(i) = txt.charAt((i.toLong * L / 64).toInt).toInt % 256
+        sum += p(i)
+        i += 1
+      }
+      val keys = new Array[Int](4)
+      var b = 0
+      while (b < 4) {
+        var k = 0
+        var j = 0
+        while (j < 16) {
+          if (64L * p(b * 16 + j) > sum) k |= (1 << j)
+          j += 1
+        }
+        keys(b) = k
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      computeRow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val obj = ctx.addReferenceObj("ahash", this, classOf[StubAHashKeys].getName)
+        s"${ev.value} = $obj.computeRow($c);"
+      })
+
+    override protected def withNewChildInternal(
+        newChild: org.apache.spark.sql.catalyst.expressions.Expression): StubAHashKeys =
+      copy(child = newChild)
+
+    override def prettyName: String = "stub_ahash_keys"
+  }
+
   import graft.ops.Q
 
   val queries: Seq[Q] = Seq(
@@ -800,13 +862,10 @@ object Multimodal {
           .select(col("v.vid").as("vid"), col("v.txt").as("txt"))
           .withColumn("L", length(col("txt")))
         val keyed = variants
-          .withColumn("p", expr(
-            "transform(sequence(0, 63), i -> ascii(substring(txt, cast(i * L div 64 as int) + 1, 1)) % 256)"))
-          .withColumn("s", expr("aggregate(p, 0, (acc, x) -> acc + x)"))
-          .withColumn("b", expr("transform(p, x -> case when 64 * x > s then 1 else 0 end)"))
-          .withColumn("k", expr(
-            "transform(sequence(0, 3), bb -> aggregate(sequence(0, 15), 0, (acc, j) -> acc + element_at(b, bb * 16 + j + 1) * shiftleft(1, j)))"))
-          .select(col("vid"), col("k"))
+          .select(col("vid"),
+            org.apache.spark.sql.graft.GraftSqlShims.column(StubAHashKeys(
+              org.apache.spark.sql.graft.GraftSqlShims.expression(col("txt"))))
+              .as("k"))
         val banded = keyed.select(col("vid"), col("k"),
           explode(expr(
             "transform(sequence(0, 3), bb -> struct(bb AS band, element_at(k, bb + 1) AS key))")).as("bb"))
