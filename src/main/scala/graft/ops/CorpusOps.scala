@@ -732,6 +732,64 @@ object CorpusOps {
     // cost is vocabulary-bounded (tokens are deduped first), which is
     // what keeps the join quadratic in VOCAB, not in corpus size, at
     // 100 TB. df sides broadcast (vocab-sized).
+    // Zipf power-law fit of the corpus token distribution — the
+    // vocabulary-health diagnostic a tokenizer/curation pass reads first
+    // (natural corpora fit ln(freq) ~ a + b*ln(rank) with b near -1;
+    // synthetic or templated corpora show up as a flat or broken slope).
+    // Determinism follows the q_bigram_logprob/q_linear_fit convention:
+    // each ln() rounds to DECIMAL(24,9) before any arithmetic (hides
+    // libm ulp differences), products are IEEE doubles of those exact
+    // 9-decimal values rounded to DECIMAL(38,6) before the EXACT decimal
+    // sums, and the slope/intercept are a fixed double expression tree
+    // over the sums. O(vocab) after the shared tf relation — trivially
+    // scale-safe.
+    Q("q_zipf_fit",
+      (s, dir) => {
+        val freq = sharedTf(s, dir).groupBy(col("term"))
+          .agg(sum(col("tf")).as("freq"))
+        val ranked = freq.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+        val d9 = (c: org.apache.spark.sql.Column) =>
+          c.cast(DecimalType(24, 9)).cast(DoubleType)
+        val x = d9(log(col("rank")))
+        val y = d9(log(col("freq")))
+        val m = DecimalType(38, 6)
+        val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+        val slope = (col("n") * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (col("n") * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+        ranked
+          .agg(count(lit(1)).as("n"),
+            sum(x.cast(m)).as("sx"), sum(y.cast(m)).as("sy"),
+            sum((x * y).cast(m)).as("sxy"), sum((x * x).cast(m)).as("sxx"))
+          .select(col("n").as("n_terms"), slope.as("slope"),
+            ((d(col("sy")) - slope * d(col("sx"))) / col("n")).as("intercept"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY 1, 2),
+              freq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY term),
+              ranked AS (SELECT term, freq,
+                                row_number() OVER (ORDER BY freq DESC, term) AS rank
+                         FROM freq),
+              v AS (SELECT CAST(CAST(CAST(ln(rank) AS DECIMAL(24,9)) AS VARCHAR) AS DOUBLE) AS x,
+                           CAST(CAST(CAST(ln(freq) AS DECIMAL(24,9)) AS VARCHAR) AS DOUBLE) AS y
+                    FROM ranked),
+              a AS (SELECT COUNT(*) AS n,
+                           SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+                           SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+                           SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+                           SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx
+                    FROM v),
+              b AS (SELECT n,
+                           CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                           CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+                    FROM a)
+              SELECT n AS n_terms,
+                     (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd) AS slope,
+                     (syd - (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd) * sxd) / n AS intercept
+              FROM b""")),
+
     Q("q_cooccur_lift",
       (s, dir) => {
         val docs = t(s, dir, "documents")
