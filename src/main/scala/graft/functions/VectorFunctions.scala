@@ -410,14 +410,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           s"linear_text_score takes 1 argument, got ${exprs.length}")
         LinearTextScore(exprs.head)
       }))
-    // bpe_tokens(text) — BPE subword tokens over the committed merge table
+    // bpe_tokens(text[, codec]) — BPE subword tokens; codec is a literal
+    // string id ('fixture' default, 'gen4096' = the generated 4k-merge
+    // vocabulary), resolved on executors via BpeCodecs
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeEncodeTokens].getName, "bpe_tokens"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1,
-          s"bpe_tokens takes 1 argument, got ${exprs.length}")
-        BpeEncodeTokens(exprs.head)
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"bpe_tokens takes 1 or 2 arguments, got ${exprs.length}")
+        val codec = if (exprs.length == 2) exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(sv: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            sv.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_tokens: codec must be a literal string, got $other")
+        } else "fixture"
+        BpeCodecs.byId(codec) // fail at analysis, not on executors
+        BpeEncodeTokens(exprs.head, codec)
       }))
     // word_stats(text, 'stop,words') — one-pass token statistics struct;
     // the stopword list is a literal comma-separated string

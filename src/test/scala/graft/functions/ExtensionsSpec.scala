@@ -97,6 +97,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(bpe == BpeMerges.encodeDoc("the data table!"),
         s"bpe_tokens drifted from BpeMerges.encodeDoc: $bpe")
       assert(bpe == Seq("the", "data", "table"))
+      // 2-arg form binds the generated 4k-merge vocabulary
+      val bpeBig = spark.sql("SELECT bpe_tokens('the data table!', 'gen4096') AS t")
+        .head.getSeq[String](0)
+      assert(bpeBig == BpeMerges.big.encodeDoc("the data table!"),
+        s"bpe_tokens(…, 'gen4096') drifted from BpeMerges.big: $bpeBig")
+      intercept[Exception] {
+        spark.sql("SELECT bpe_tokens('x', 'nope')").head
+      }
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
