@@ -153,8 +153,20 @@ object KllFunctions {
   def kllAgg(spark: SparkSession, v: Column): Column = {
     register(spark); call_function("kll_agg", v)
   }
+  /** Explicit-k form. k >= the group's item count puts the sketch in the
+    * EXACT regime: no compaction ever fires, every item is retained at
+    * weight 1, and `kll_quantile(sk, r)` returns the smallest item whose
+    * inclusive rank >= r — precisely SQL's `min(v) FILTER (cume_dist >= r)`,
+    * which is what lets q_kll_union sit on the DuckDB hash gate.
+    */
+  def kllAgg(spark: SparkSession, v: Column, k: Int): Column = {
+    register(spark); call_function("kll_agg", v, lit(k))
+  }
   def kllMergeAgg(spark: SparkSession, sk: Column): Column = {
     register(spark); call_function("kll_merge_agg", sk)
+  }
+  def kllMergeAgg(spark: SparkSession, sk: Column, k: Int): Column = {
+    register(spark); call_function("kll_merge_agg", sk, lit(k))
   }
   def kllQuantile(spark: SparkSession, sk: Column, rank: Double): Column = {
     register(spark); call_function("kll_quantile", sk, lit(rank))

@@ -335,6 +335,96 @@ object SimHash64 {
   }
 }
 
+/** 60-bit MD5-regime SimHash — the ORACLE-ABLE sibling of [[SimHash64]].
+  *
+  * Same vote algebra (every space-separated token, empty segments
+  * included, votes its hash bits +1/-1; bit set iff the sum is positive),
+  * but the per-token hash is the first 15 hex digits of `md5(token)`
+  * parsed as a 60-bit integer — an arithmetic DuckDB replays exactly
+  * (`md5()` + hex-digit positional sum), unlike seed-42 xxhash64 which it
+  * has no primitive for. 60 bits (not 64) so the parsed value fits a
+  * signed long on both engines; the 4×16-bit Hamming banding is unchanged
+  * (top band's high 4 bits are zero for every row, so pigeonhole
+  * losslessness for radius <= 3 still holds). The xxhash64 form stays the
+  * production fingerprint (one multiply-rotate vs an MD5 block per token);
+  * DedupSpec pins the two regimes find the same planted near-dup pairs.
+  */
+case class Md5SimHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_simhash60 expects a string column, got ${child.dataType.catalogString}")
+
+  def computeRow(s: UTF8String): Long = Md5SimHash60.compute(s)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("md5simhasher", this, classOf[Md5SimHash60].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_simhash60"
+}
+
+object Md5SimHash60 {
+
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit token hash: big-endian long of the digest's first 8 bytes,
+    * unsigned-shifted 4 — i.e. hex digits 1..15 of md5(token), exactly
+    * `sum_j (hexdigit_j << 4*(15-j))` on the oracle side.
+    */
+  def tokenHash(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val d = digest.get()
+    d.reset()
+    d.update(bytes, start, len)
+    val h = d.digest()
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+    v >>> 4
+  }
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val votes = new Array[Int](60)
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == 0x20) {
+        val h = tokenHash(bytes, start, i - start)
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+}
+
 /** Custom Generator (UDTF surface, the extension point explode/posexplode
   * cover for built-ins): one output row per DISTINCT n-word shingle hash
   * of the text — the row-generating form of WordShingleHashes, usable
@@ -816,6 +906,11 @@ object TextFunctions {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       SimHash64(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** 60-bit MD5-regime SimHash (the DuckDB-replayable fingerprint). */
+  def md5Simhash60(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      Md5SimHash60(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
 
   /** Karp-Rabin rolling polynomial fingerprint of a string column. */
   def karpRabinFingerprint(c: Column): Column =

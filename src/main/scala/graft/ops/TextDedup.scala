@@ -1447,10 +1447,53 @@ object TextDedup {
               FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
               ORDER BY probe_id, match_id""")),
 
+    // SimHash near-dup pairs on the hard gate: the declared query runs the
+    // MD5-regime 60-bit fingerprint (functions.Md5SimHash60) through the
+    // SAME 4-band Hamming-LSH machinery as production, and the oracle
+    // replays the fingerprint arithmetic verbatim in DuckDB (md5 hex-digit
+    // positional sum -> per-bit majority vote -> all-pairs bit_count XOR,
+    // exact at 500 docs). The xxhash64 production fingerprint (SimHash64,
+    // one multiply-rotate per token vs an MD5 block) stays the streaming /
+    // large-corpus path; DedupSpec pins both regimes find the planted
+    // near-dup pairs and ExpressionsSpec pins the md5 expression against
+    // its declarative mirror.
     Q("q_dedup_simhash",
-      (s, dir) => simhashPairs(t(s, dir, "documents"), 3)
-        .orderBy(col("a_id"), col("b_id")),
-      None),
+      (s, dir) => {
+        val fp = t(s, dir, "documents").select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.md5Simhash60(col("text")).as("h"))
+        hammingBandedPairs(fp, maxHamming = 3, bands = 4)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+              ), h AS (
+                SELECT doc_id,
+                       list_transform(ws, wd ->
+                         CAST(list_sum(list_transform(range(1, 16), j ->
+                           CAST(strpos('0123456789abcdef', substr(md5(wd), j, 1)) - 1 AS BIGINT)
+                             << (4 * (15 - j)))) AS BIGINT)) AS hs
+                FROM w
+              ), f AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0, 60), b ->
+                         CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                              THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                FROM h
+              ), banded AS (
+                SELECT doc_id, fp, b AS band, (fp >> (b * 16)) & 65535 AS key
+                FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS b FROM f)
+              ), guard AS (
+                SELECT band, key FROM banded GROUP BY band, key HAVING COUNT(*) <= 64
+              ), pruned AS (
+                SELECT banded.* FROM banded JOIN guard USING (band, key)
+              ), pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
+                FROM pruned a JOIN pruned b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              )
+              SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+              FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+              ORDER BY a_id, b_id""")),
 
     // Custom Generator through SQL LATERAL VIEW: shingle_rows emits one
     // row per distinct shingle hash (functions.ShingleRows), so the

@@ -819,16 +819,27 @@ object WarehouseOps {
     // a KLL sketch is: per-day kll_agg → stored binary → kll_merge_agg per
     // type → kll_quantile reads p50/p95 out of the union. The aggregates
     // are native TypedImperativeAggregates (functions/KllFunctions.scala,
-    // the hll_sketch_agg integration shape); rank-error and mergeability
-    // are pinned by KllSpec (sketch compaction is randomized, so this is
-    // sketch-level — not bitwise — reproducibility, like all sketch ops).
+    // the hll_sketch_agg integration shape). Gate regime mirrors
+    // q_hll_union's: k=4096 >= the ~1.6k per-type item count at sf0.01, so
+    // no compaction ever fires and the sketch is EXACT — kll_quantile's
+    // INCLUSIVE rule ("smallest item with rank >= r") is then replayed by
+    // DuckDB as min(v) FILTER (cume_dist >= r), and the sketched values
+    // (per-user daily spend totals) are exact decimal sums, so both
+    // engines see bit-identical doubles. The default-k randomized-
+    // compaction production shape stays pinned by KllSpec's rank-error and
+    // mergeability bounds; the exact==cume_dist rule itself is pinned by
+    // KllSpec at both band sizes.
     Q("q_kll_union",
       (s, dir) => {
-        val daily = t(s, dir, "events")
-          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-          .agg(graft.functions.KllFunctions.kllAgg(s, col("value")).as("sk"))
+        val ud = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(dsum(col("value")).as("user_day_total"))
+        val daily = ud
+          .groupBy(col("event_type"), col("day"))
+          .agg(graft.functions.KllFunctions.kllAgg(s, col("user_day_total"), 4096).as("sk"))
         daily.groupBy(col("event_type"))
-          .agg(graft.functions.KllFunctions.kllMergeAgg(s, col("sk")).as("total"),
+          .agg(graft.functions.KllFunctions.kllMergeAgg(s, col("sk"), 4096).as("total"),
             count(lit(1)).as("n_daily_sketches"))
           .select(col("event_type"),
             graft.functions.KllFunctions.kllQuantile(s, col("total"), 0.5).as("p50"),
@@ -836,7 +847,20 @@ object WarehouseOps {
             col("n_daily_sketches"))
           .orderBy(col("event_type"))
       },
-      None),
+      Some("""WITH ud AS (
+                SELECT event_type, user_id, date_trunc('day', ts) AS day,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_day_total
+                FROM events GROUP BY 1, 2, 3
+              ), r AS (
+                SELECT event_type, day, user_day_total,
+                       cume_dist() OVER (PARTITION BY event_type ORDER BY user_day_total) AS cd
+                FROM ud
+              )
+              SELECT event_type,
+                     min(user_day_total) FILTER (WHERE cd >= 0.5) AS p50,
+                     min(user_day_total) FILTER (WHERE cd >= 0.95) AS p95,
+                     count(DISTINCT day) AS n_daily_sketches
+              FROM r GROUP BY event_type ORDER BY event_type""")),
 
     // Mergeable FREQUENCY rollups — Count-Min completes the sketch set
     // (HLL/theta: distinct; KLL: quantiles; CMS: per-key counts): per-

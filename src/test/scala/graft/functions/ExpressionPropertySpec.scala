@@ -68,6 +68,25 @@ object ExpressionPropertySpec extends Properties("CustomExpressions") {
       SimHash64.compute(UTF8String.fromString(t)) == expect
     }
 
+  property("Md5SimHash60 == split/md5-hex-prefix/vote reference") =
+    forAll(text) { t =>
+      val votes = new Array[Int](60)
+      t.split(" ", -1).foreach { w =>
+        // independent formulation: hex STRING prefix parsed base-16 (the
+        // production path shifts the digest's first 8 bytes instead)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        }
+      }
+      val expect = (0 until 60).foldLeft(0L) { (fp, b) =>
+        if (votes(b) > 0) fp | (1L << b) else fp
+      }
+      Md5SimHash60.compute(UTF8String.fromString(t)) == expect
+    }
+
   private val vec: Gen[Seq[Float]] =
     Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
 

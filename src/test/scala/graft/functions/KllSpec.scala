@@ -68,6 +68,31 @@ class KllSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 500.0) < 50, r.toString)
   }
 
+  test("exact regime (k >= n): merged quantiles == the cume_dist rule, any rank") {
+    // The q_kll_union gate contract: with k >= the item count, no
+    // compaction fires and kll_quantile's INCLUSIVE answer must equal
+    // "smallest item whose inclusive rank >= r" — the SQL
+    // min(v) FILTER (cume_dist() >= r) the DuckDB oracle runs. Checked
+    // across a rank sweep on adversarial data (duplicates included),
+    // THROUGH a partitioned build + merge so merge-order cannot matter.
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(317)(math.floor(rnd.nextDouble() * 50) / 4.0) // many ties
+    val df = spark.createDataFrame(
+      values.zipWithIndex.map { case (v, i) => (i % 13, v) }.toSeq).toDF("g", "v")
+    val merged = df.groupBy(col("g"))
+      .agg(KllFunctions.kllAgg(spark, col("v"), 1024).as("sk"))
+      .agg(KllFunctions.kllMergeAgg(spark, col("sk"), 1024).as("total"))
+    val sorted = values.sorted
+    val n = sorted.length
+    for (r <- Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 1.0)) {
+      val got = merged
+        .select(KllFunctions.kllQuantile(spark, col("total"), r)).head().getDouble(0)
+      // smallest value whose inclusive rank (#items <= v)/n >= r
+      val expect = sorted(math.max(0, sorted.indices.indexWhere(i => (i + 1).toDouble / n >= r)))
+      assert(got == expect, s"rank $r: sketch $got != cume_dist rule $expect")
+    }
+  }
+
   test("sketch images survive a store-and-reload round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kll").toString
     // store daily sketches (the rollup table a warehouse would keep)...

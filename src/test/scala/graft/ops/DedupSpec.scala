@@ -31,6 +31,19 @@ class DedupSpec extends SparkSpec {
     assert(hits.toDouble / sh.size >= 0.5, s"precision vs exact: $hits/${sh.size}")
   }
 
+  test("md5-regime simhash (the gate fingerprint) finds near-dup pairs too") {
+    // q_dedup_simhash's declared form: same banding, MD5-derived 60-bit
+    // fingerprint (DuckDB-replayable). Same planted-pair quality bar as
+    // the xxhash production fingerprint above.
+    val fp = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.md5Simhash60(col("text")).as("h"))
+    val sh = TextDedup.hammingBandedPairs(fp, maxHamming = 3, bands = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.nonEmpty)
+    val hits = sh.intersect(exact).size
+    assert(hits.toDouble / sh.size >= 0.5, s"precision vs exact: $hits/${sh.size}")
+  }
+
   test("connected components label chained near-dups with the min id") {
     import spark.implicits._
     // components: {1,2,3,9} (chained), {5,6}, isolated nodes absent
