@@ -318,3 +318,88 @@ object BpeEncodeTokens {
       BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
         codecId = "gen4096"))
 }
+
+/** BPE merge-table TRAINING (Sennrich et al. 2016, the other half of the
+  * tokenizer seam: [[BpeCodec]] applies a merge table, this learns one).
+  *
+  * The standard trainer shape — and the reason q_bpe_train's driver-side
+  * loop is the DESIGNED scale path, not a shortcut: training operates on
+  * the corpus's WORD HISTOGRAM (distinct word → occurrence count), never
+  * on documents. The histogram is produced by one distributed
+  * aggregation (map-side-combined, the only corpus pass); its size is
+  * the distinct-word-form count — bounded like a centroid table, a few
+  * MB even at 100 TB of text — and each merge round is then O(vocab)
+  * on the driver, which is exactly how reference trainers
+  * (subword-nmt, HF tokenizers) structure it.
+  *
+  * Per round: count every adjacent token pair once per occurrence
+  * (weighted by word count, overlaps counted per position), pick the
+  * most frequent pair — ties broken by (a, b) lexicographic order so the
+  * result is deterministic — record it, and apply it to every word
+  * left-to-right non-overlapping. The learned table is valid for
+  * [[BpeCodec]] by construction: a pair involving a fused token can
+  * first be counted only after the round that created the token, so its
+  * rank is strictly later (the invariant the heap encoder relies on).
+  * The DuckDB oracle replays the SAME rounds as an unrolled CTE chain
+  * (pair-count → argmax → list_reduce merge application, the
+  * q_bpe_encode machinery), so training sits on the hard gate.
+  */
+object BpeTrainer {
+
+  /** Left-to-right non-overlapping application of one merge. */
+  def applyMerge(toks: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** First `numMerges` merges learned from a (word, count) histogram:
+    * (rank, a, b, pair_count) with pair_count the weighted adjacent-pair
+    * frequency at the time the merge was chosen. Stops early if no
+    * adjacent pair remains (tiny corpora).
+    */
+  def train(hist: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      hist.iterator.map { case (w, c) =>
+        (w.toCharArray.map(String.valueOf), c)
+      }.toArray
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+      words.foreach { case (toks, c) =>
+        var i = 0
+        while (i + 1 < toks.length) {
+          counts.merge((toks(i), toks(i + 1)), java.lang.Long.valueOf(c),
+            (x, y) => java.lang.Long.valueOf(x.longValue() + y.longValue()))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (k, v) =>
+          val c = v.longValue()
+          if (c > bestC || (c == bestC &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            best = k; bestC = c
+          }
+        }
+        out += ((r, best._1, best._2, bestC))
+        words = words.map { case (toks, c) =>
+          (applyMerge(toks, best._1, best._2), c)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+}

@@ -151,6 +151,44 @@ object TextOps {
                  FROM bpe) WHERE rn = 1)"""
   }
 
+  /** Merges learned by q_bpe_train (and unrolled by its oracle). */
+  private val NumTrainMerges = 12
+
+  /** DuckDB mirror of BPE TRAINING (q_bpe_train): t0 is the word
+    * histogram split to characters; each unrolled round counts weighted
+    * adjacent pairs (every position, overlaps included), picks the
+    * (count DESC, a, b) argmax, and applies it to every word with the
+    * same left-fold list_reduce the encode oracle uses. b$i rows are the
+    * learned merges — the query's output — so Spark's driver-side rounds
+    * and DuckDB's CTE rounds must agree merge-for-merge to hash-match.
+    */
+  private def bpeTrainOracle: String = {
+    val iters = (0 until NumTrainMerges).map { i =>
+      s"""p$i AS (
+            SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(toks)),
+                x -> {'a': toks[x], 'b': toks[x+1]})) AS pr
+              FROM t$i) GROUP BY 1, 2),
+          b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          t${i + 1} AS (
+            SELECT list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND x[1] = m.mb
+                               THEN list_append(acc[:len(acc)-1], m.ma || m.mb)
+                               ELSE list_append(acc, x[1]) END) AS toks, cnt
+            FROM t$i CROSS JOIN (SELECT a AS ma, b AS mb FROM b$i) m)"""
+    }.mkString(",\n")
+    val unions = (0 until NumTrainMerges).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, a, b, CAST(c AS BIGINT) AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+          SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents) GROUP BY word)),
+        $iters
+        SELECT * FROM ($unions) ORDER BY rank"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Token-budget packing: global offsets via the two-phase running sum.
@@ -792,6 +830,31 @@ object TextOps {
                      CAST(SUM(b) AS DOUBLE) / SUM(w) AS tokens_per_word,
                      CAST(SUM(l) AS DOUBLE) / SUM(b) AS chars_per_token
               FROM bk GROUP BY bucket ORDER BY bucket""")),
+
+    // BPE tokenizer TRAINING on the hard gate — the other half of the
+    // subword seam (encode applies a merge table; this LEARNS one from
+    // the corpus). Scale shape is the standard trainer's (subword-nmt /
+    // HF tokenizers): ONE distributed map-side-combined aggregation
+    // builds the word histogram — the only corpus pass — and the merge
+    // rounds then run on the driver over that bounded structure (distinct
+    // word forms, centroid-table-sized even at 100 TB; see
+    // functions.BpeTrainer). Each round: weighted adjacent-pair count,
+    // argmax with (count DESC, a, b) deterministic tie-break, left-to-
+    // right non-overlapping application. The oracle replays the
+    // identical rounds as an unrolled CTE chain built from the same
+    // NumTrainMerges constant.
+    Q("q_bpe_train",
+      (s, dir) => {
+        val hist = t(s, dir, "documents")
+          .select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val merges = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
+        import s.implicits._
+        merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
+      },
+      Some(bpeTrainOracle)),
 
     // Model-based quality scoring (the fasttext-style curation
     // classifier): a 256-feature hashed linear model with a fixed public

@@ -147,4 +147,49 @@ object BpeSpec extends Properties("Bpe") {
       val ts = bigCodec.table.toSet
       toks.mkString == w && toks.zip(toks.tail).forall(p => !ts.contains(p))
     }
+
+  // --- trainer (q_bpe_train) ---
+
+  property("trainer: hand-computed merges on a fixed histogram") = {
+    // "abab"x2 + "ab": (a,b) = 2*2+1 = 5 beats (b,a) = 2; after merging,
+    // (ab,ab) = 2 is the only pair left -> exactly two merges learnable
+    val got = BpeTrainer.train(Seq("abab" -> 2L, "ab" -> 1L), 5)
+    got == Seq((0, "a", "b", 5L), (1, "ab", "ab", 2L))
+  }
+
+  property("trainer: tie on count breaks to the (a, b)-lexicographic pair") = {
+    // (b,a) and (a,c) both appear once; (a,c) < (b,a) lexicographically
+    val got = BpeTrainer.train(Seq("ba" -> 1L, "ac" -> 1L), 1)
+    got == Seq((0, "a", "c", 1L))
+  }
+
+  property("trainer: components of every merge exist before their use") =
+    forAll(Gen.nonEmptyListOf(word)) { ws =>
+      // the valid-table invariant BpeCodec's heap encoder relies on: each
+      // side of merge i is a single char or the product of some merge j < i
+      val hist = ws.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+      val merges = BpeTrainer.train(hist, 8)
+      merges.zipWithIndex.forall { case ((_, a, b, _), i) =>
+        val prior = merges.take(i).map(m => m._2 + m._3).toSet
+        (a.length == 1 || prior.contains(a)) &&
+          (b.length == 1 || prior.contains(b))
+      }
+    }
+
+  property("trainer: encode with the learned table replays training (fixed corpus)") = {
+    // On a deterministic English-ish histogram, encoding a training word
+    // with the learned table reproduces the trainer's final tokenization
+    // of it (learning order == rank order; BPE's training/encode duality)
+    val hist = Seq("the" -> 20L, "then" -> 6L, "they" -> 5L, "table" -> 8L,
+      "stable" -> 4L, "data" -> 12L, "tab" -> 3L)
+    val merges = BpeTrainer.train(hist, 10)
+    val codec = new BpeCodec(merges.map(m => (m._2, m._3)).toIndexedSeq)
+    hist.map(_._1).distinct.forall { w =>
+      var toks = w.toCharArray.map(String.valueOf)
+      merges.foreach(m => toks = BpeTrainer.applyMerge(toks, m._2, m._3))
+      val out = ArrayBuffer.empty[String]
+      codec.encodeWord(w, out)
+      out.toSeq == toks.toSeq
+    }
+  }
 }
