@@ -298,6 +298,39 @@ case class BpeEncodeTokens(child: Expression, codecId: String = "fixture")
   override def prettyName: String = "bpe_encode_tokens"
 }
 
+/** Encode with an ARBITRARY merge table carried in the expression itself
+  * — the q_bpe_train → encode composition seam: the table the trainer
+  * just learned rides the serialized expression to executors (12 pairs
+  * for the trained query; a production-sized learned table would get a
+  * [[BpeCodecs]] id + broadcast instead). Same static-call codegen and
+  * heap encoder as [[BpeEncodeTokens]].
+  */
+case class BpeEncodeTokensWith(child: Expression, table: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val codec = new BpeCodec(table.toIndexedSeq)
+
+  def computeRow(s: UTF8String): ArrayData =
+    BpeEncodeTokens.compute(codec, s)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("bpeWith", this, classOf[BpeEncodeTokensWith].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeTokensWith =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode_tokens_with"
+}
+
 object BpeEncodeTokens {
   def compute(codec: BpeCodec, s: UTF8String): ArrayData = {
     val toks = codec.encodeDoc(s.toString)
@@ -311,6 +344,11 @@ object BpeEncodeTokens {
   def bpeTokens(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Tokens under an arbitrary (e.g. just-learned) merge table. */
+  def bpeTokensWith(c: Column, table: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeTokensWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c), table))
 
   /** Tokens under the generated 4,096-merge table (q_bpe_encode_big). */
   def bpeTokensBig(c: Column): Column =

@@ -378,6 +378,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(exprs.length == 1, s"simhash64 takes 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
       }))
+    // md5_simhash60(text) — the DuckDB-replayable 60-bit SimHash regime
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_simhash60"),
+      new ExpressionInfo(classOf[Md5SimHash60].getName, "md5_simhash60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"md5_simhash60 takes 1 argument, got ${exprs.length}")
+        Md5SimHash60(exprs.head)
+      }))
     // minhash_signature(array<long>, k) — k must be a literal int
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),

@@ -189,6 +189,74 @@ object TextOps {
         SELECT * FROM ($unions) ORDER BY rank"""
   }
 
+  /** DuckDB mirror of q_bpe_train_encode: the SAME unrolled training
+    * rounds as bpeTrainOracle, assembled into a rank-ordered merge list
+    * (mlist), then the bpeCte recursive encode loop runs against that
+    * LEARNED list instead of a committed table literal — train → encode
+    * end-to-end in one SQL statement, the composition the Spark side
+    * performs with BpeTrainer + BpeEncodeTokensWith.
+    */
+  private def bpeTrainEncodeOracle: String = {
+    val iters = (0 until NumTrainMerges).map { i =>
+      s"""p$i AS (
+            SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(toks)),
+                x -> {'a': toks[x], 'b': toks[x+1]})) AS pr
+              FROM t$i) GROUP BY 1, 2),
+          b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          t${i + 1} AS (
+            SELECT list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND x[1] = m.mb
+                               THEN list_append(acc[:len(acc)-1], m.ma || m.mb)
+                               ELSE list_append(acc, x[1]) END) AS toks, cnt
+            FROM t$i CROSS JOIN (SELECT a AS ma, b AS mb FROM b$i) m)"""
+    }.mkString(",\n")
+    val mlUnion = (0 until NumTrainMerges).map(i =>
+      s"SELECT $i AS rank, a, b FROM b$i").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE t0 AS (
+          SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents) GROUP BY word)),
+        $iters,
+        mlist AS (SELECT list(a || chr(1) || b ORDER BY rank) AS ml
+                  FROM ($mlUnion)),
+        w0 AS (SELECT doc_id,
+                      generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
+                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+               FROM documents),
+        enc(doc_id, wid, iter, toks) AS (
+          SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
+          UNION ALL
+          SELECT doc_id, wid, iter + 1,
+            list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
+                               THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
+                               ELSE list_append(acc, x[1]) END)
+          FROM (SELECT doc_id, wid, iter, toks,
+                  string_split(ml[list_min(list_filter(
+                     list_transform(range(1, len(toks)),
+                       i -> list_position(ml, toks[i] || chr(1) || toks[i+1])),
+                     r -> r > 0))], chr(1)) AS sp
+                FROM enc CROSS JOIN mlist)
+          WHERE sp IS NOT NULL
+        ),
+        fin AS (SELECT doc_id, wid, toks FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
+                  FROM enc) WHERE rn = 1),
+        agg AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens_learned,
+                       string_agg(array_to_string(toks, ' '), ' ' ORDER BY wid) AS full
+                FROM fin GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.n_tokens_learned, 0) AS BIGINT) AS n_tokens_learned,
+               array_to_string((string_split(coalesce(a.full, ''), ' '))[:8], ' ') AS first_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Token-budget packing: global offsets via the two-phase running sum.
@@ -855,6 +923,37 @@ object TextOps {
         merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
       },
       Some(bpeTrainOracle)),
+
+    // Train → encode COMPOSITION: learn the merge table from the corpus
+    // (one histogram pass + driver rounds, as q_bpe_train), then
+    // immediately re-price the corpus with the LEARNED tokenizer — the
+    // table rides the serialized BpeEncodeTokensWith expression to
+    // executors, and the encode pass is the same codegen'd heap loop as
+    // the committed-table queries. The oracle chains the unrolled
+    // training rounds into a rank-ordered merge list and runs the
+    // recursive encode CTE against it: train → encode end-to-end in one
+    // SQL statement, hash-matched.
+    Q("q_bpe_train_encode",
+      (s, dir) => {
+        val hist = t(s, dir, "documents")
+          .select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val learned = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
+          .map(m => (m._2, m._3))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens.bpeTokensWith(col("text"), learned)
+              .as("toks"),
+            size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .cast(LongType).as("n_words"))
+          .select(col("doc_id"), col("n_words"),
+            size(col("toks")).cast(LongType).as("n_tokens_learned"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeTrainEncodeOracle)),
 
     // Model-based quality scoring (the fasttext-style curation
     // classifier): a 256-feature hashed linear model with a fixed public

@@ -39,6 +39,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val sh = spark.sql("SELECT simhash64('hello world again') AS f").head.getLong(0)
       assert(sh == SimHash64.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("hello world again")))
+      // md5_simhash60: SQL-callable, equals the expression-path fingerprint
+      val msh = spark.sql("SELECT md5_simhash60('hello world again') AS f").head.getLong(0)
+      assert(msh == Md5SimHash60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("hello world again")))
       // minhash_signature: k slots, equals min(xxhash64(i, h)) per slot
       val sig = spark.sql(
         "SELECT minhash_signature(word_shingle_hashes('a b c d e'), 4) AS s")
