@@ -30,7 +30,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-declared = [d for d in sorted(os.listdir(outdir)) if os.path.isdir(f"{outdir}/{d}")]
+# "plantext" is Verify's SPARK_GRAFT_PLAN_DUMP diagnostic dir, not a query
+declared = [d for d in sorted(os.listdir(outdir))
+            if os.path.isdir(f"{outdir}/{d}") and d != "plantext"]
 fails = 0
 for name in declared:
     spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
