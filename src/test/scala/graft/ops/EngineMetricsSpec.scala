@@ -170,4 +170,24 @@ class EngineMetricsSpec extends SparkSpec {
     assert(read < total / 2,
       s"near-dup probe must read pruned buckets: $read of $total bytes")
   }
+
+  test("BPE trainer input is vocabulary-sized: constant rows across a 10x corpus") {
+    // q_bpe_train's driver-side rounds run over the word HISTOGRAM, and
+    // the 100 TB story rests on that structure being bounded by distinct
+    // word forms, not corpus size. Measure it: the histogram row count
+    // at sf0.1 (10x the corpus words of sf0.01) must not grow with the
+    // corpus — here the synthetic vocabulary is identical at both SFs.
+    import org.apache.spark.sql.functions._
+    def vocabAndWords(dir: String): (Long, Long) = {
+      val w = graft.Tables.load(spark, dir, "documents")
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      (w.select(countDistinct(col("word"))).head.getLong(0),
+        w.count())
+    }
+    val (v001, w001) = vocabAndWords(sf001)
+    val (v01, w01) = vocabAndWords("/root/testdata/sf0.1")
+    assert(w01 > 5 * w001, s"sf0.1 must be a much larger corpus: $w001 -> $w01")
+    assert(v01 == v001,
+      s"histogram rows must be corpus-size-independent: $v001 -> $v01 at ${w01 / w001}x words")
+  }
 }
