@@ -396,6 +396,28 @@ object BpeTrainer {
     out.toArray
   }
 
+  /** Persist a learned merge table as rank-ordered parquet — the
+    * merges.txt equivalent, the artifact a training pipeline ships from
+    * the tokenizer-learning job to every downstream encode job. Load
+    * returns the table in rank order, ready for BpeCodec /
+    * BpeEncodeTokensWith; BpeSpec pins the round trip and that encoding
+    * through a reloaded table is identical.
+    */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Seq[(Int, String, String, Long)]): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "a", "b", "pair_count")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String)
+      : IndexedSeq[(String, String)] =
+    spark.read.parquet(path)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+      .toIndexedSeq
+
   /** First `numMerges` merges learned from a (word, count) histogram:
     * (rank, a, b, pair_count) with pair_count the weighted adjacent-pair
     * frequency at the time the merge was chosen. Stops early if no
