@@ -909,6 +909,136 @@ object CorpusOps {
               FROM dots JOIN norms na ON na.doc_id = probe_id
                         JOIN norms nb ON nb.doc_id = match_id
               WHERE dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= 0.8
-              ORDER BY probe_id, match_id"""))
+              ORDER BY probe_id, match_id""")),
+
+    // TRAINABLE quality classifier — multinomial Naive Bayes with add-one
+    // smoothing, the CCNet/fastText-style "curated vs web" filter trained
+    // IN-ENGINE by distant supervision (positive class = the curated
+    // sources src0-src4, negative = the rest; reference ingests per-source
+    // feeds — fineventstream README.md:19 — so source labels are free).
+    // Training is ONE exploded-token aggregation: the label is a pure
+    // function of the same row's `source` column, so no doc-level join
+    // ever happens — the shuffle carries O(vocab x partitions) partial
+    // (cnt_pos, cnt_neg) pairs with map-side combine, never the token
+    // stream. The model is one row per vocabulary term (broadcastable by
+    // construction), and the per-term log-likelihood ratio follows the
+    // suite's ln-portability convention: each llr is a fixed tree of two
+    // IEEE divisions and two libm lns over exact integers, quantized to
+    // DECIMAL(24,9) at the boundary so downstream sums are exact.
+    Q("q_nb_train",
+      (s, dir) => nbModel(s, dir).orderBy(col("term")),
+      Some(s"""$nbModelSql
+              SELECT term, cnt_pos, cnt_neg, llr FROM model ORDER BY term""")),
+
+    // Scoring pass of the trained NB filter: per-document log-odds of
+    // "curated" = ln prior odds + Σ_term tf * llr(term). Reuses the
+    // session-shared tf relation (one tokenize pass per corpus, same as
+    // q_bm25/q_tfidf) joined against the BROADCAST model — the corpus
+    // side never shuffles by term, and the per-doc aggregate's map-side
+    // combine means the exchange carries one partial row per document.
+    // All sums are exact decimals (tf x DECIMAL(24,9) llr), so partial-agg
+    // order cannot move a bit; the one double appears at the output cast.
+    // At 100 TB: model = vocab rows (broadcast), scoring = one corpus
+    // pass + one thin doc-level exchange — the same plan a production
+    // CCNet filter runs.
+    Q("q_nb_score",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = nbModel(s, dir).select(col("term"), col("llr"))
+        val priors = docs.agg(
+          sum(when(nbIsCurated, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(nbIsCurated, 0L).otherwise(1L)).as("n_neg"))
+        val tf = sharedTf(s, dir)
+        val scores = tf.join(broadcast(model), Seq("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("tf").cast(DecimalType(10, 0)) * col("llr")).as("sum_llr"))
+        scores.crossJoin(broadcast(priors))
+          .withColumn("prior",
+            log(col("n_pos").cast(DoubleType) / col("n_neg"))
+              .cast(DecimalType(24, 9)))
+          .join(docs.select(col("doc_id"), nbIsCurated.as("curated")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("n_terms"),
+            (col("prior") + col("sum_llr")).cast(DoubleType).as("score"),
+            ((col("prior") + col("sum_llr")) > 0).as("pred_curated"),
+            col("curated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$nbModelSql,
+              priors AS (
+                SELECT SUM(CASE WHEN CAST(substring(source, 4) AS INT) < 5
+                                THEN 1 ELSE 0 END) AS n_pos,
+                       SUM(CASE WHEN CAST(substring(source, 4) AS INT) < 5
+                                THEN 0 ELSE 1 END) AS n_neg
+                FROM documents),
+              scores AS (
+                SELECT doc_id, COUNT(*) AS n_terms,
+                       SUM(CAST(tf AS DECIMAL(10,0)) * llr) AS sum_llr
+                FROM tf JOIN model USING (term) GROUP BY doc_id)
+              SELECT s.doc_id, s.n_terms,
+                     CAST(CAST(ln(CAST(n_pos AS DOUBLE) / n_neg) AS DECIMAL(24,9))
+                          + sum_llr AS DOUBLE) AS score,
+                     CAST(ln(CAST(n_pos AS DOUBLE) / n_neg) AS DECIMAL(24,9))
+                          + sum_llr > 0 AS pred_curated,
+                     CAST(substring(d.source, 4) AS INT) < 5 AS curated
+              FROM scores s, priors, documents d
+              WHERE d.doc_id = s.doc_id
+              ORDER BY s.doc_id"""))
   )
+
+  /** Label rule for the NB distant supervision: sources src0-src4 are the
+    * "curated" positive class. A pure function of the row (no join).
+    */
+  private def nbIsCurated =
+    expr("cast(substring(source, 4, 10) as int)") < 5
+
+  /** Multinomial-NB model: (term, cnt_pos, cnt_neg, llr) with add-one
+    * smoothing over the joint vocabulary. llr quantized DECIMAL(24,9)
+    * (see q_nb_train note). One exploded-token aggregation + one tiny
+    * total/vocab aggregate broadcast back.
+    */
+  private def nbModel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tokLab = docs
+      .select(nbIsCurated.as("pos"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cls = tokLab.groupBy(col("term"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
+    val tot = cls.agg(sum(col("cnt_pos")).as("tp"),
+      sum(col("cnt_neg")).as("tn"), count(lit(1)).as("v"))
+    cls.crossJoin(broadcast(tot))
+      .withColumn("llr",
+        (log((col("cnt_pos") + 1).cast(DoubleType) / (col("tp") + col("v"))) -
+          log((col("cnt_neg") + 1).cast(DoubleType) / (col("tn") + col("v"))))
+          .cast(DecimalType(24, 9)))
+      .select(col("term"), col("cnt_pos"), col("cnt_neg"), col("llr"))
+  }
+
+  /** Shared oracle CTE prefix: tokenize, tf, class counts, totals, model.
+    * Mirrors nbModel / sharedTf exactly (string_split on ' ', empty terms
+    * dropped, add-one smoothing, DECIMAL(24,9) llr).
+    */
+  private def nbModelSql: String =
+    """WITH tok AS (
+                SELECT doc_id, CAST(substring(source, 4) AS INT) < 5 AS pos,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents),
+              tokf AS (SELECT * FROM tok WHERE term <> ''),
+              tf AS (SELECT doc_id, term, count(*) AS tf
+                     FROM tokf GROUP BY 1, 2),
+              cls AS (SELECT term,
+                             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos,
+                             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cnt_neg
+                      FROM tokf GROUP BY term),
+              tot AS (SELECT SUM(cnt_pos) AS tp, SUM(cnt_neg) AS tn,
+                             COUNT(*) AS v
+                      FROM cls),
+              model AS (SELECT term, cnt_pos, cnt_neg,
+                               CAST(ln(CAST(cnt_pos + 1 AS DOUBLE) / (tp + v))
+                                    - ln(CAST(cnt_neg + 1 AS DOUBLE) / (tn + v))
+                                    AS DECIMAL(24,9)) AS llr
+                        FROM cls, tot)"""
 }
