@@ -83,9 +83,20 @@ object WarehouseOps {
               FROM part ORDER BY zkey, p_partkey""")),
 
     // Table profile: null count, exact distinct count, min and max (as
-    // strings) for every column of `documents`, computed in ONE scan and
-    // unpivoted. The oracle is the per-column UNION ALL a human would
-    // write — same numbers, five scans (DuckDB's problem, not ours).
+    // strings) for every column of `documents`. Two passes over one scan:
+    // (1) a plain global aggregate for count/min/max (no distinct — fully
+    // map-side combined, one row crosses the wire), and (2) distinct
+    // counts via unpivot -> single-distinct aggregate keyed by column
+    // name. NOT five countDistincts in one agg: Spark's
+    // RewriteDistinctAggregates would Expand every row 6x (six copies of
+    // `text` through the shuffle) AND its gid<->column assignment
+    // iterates a hash structure seeded by session exprId state, so the
+    // physical plan text differs run to run — the one PLANS.json
+    // fingerprint that flapped every gate run until round 9. The
+    // single-distinct shape dedups (col, value) map-side, shuffles each
+    // distinct value once, and plans deterministically. The oracle is
+    // the per-column UNION ALL a human would write — same numbers, five
+    // scans (DuckDB's problem, not ours).
     Q("q_table_profile",
       (s, dir) => {
         val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
@@ -93,15 +104,25 @@ object WarehouseOps {
         val aggs = cols.flatMap { c =>
           Seq(
             (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
-            countDistinct(col(c)).as(s"${c}__nd"),
             min(col(c)).cast(StringType).as(s"${c}__mn"),
             max(col(c)).cast(StringType).as(s"${c}__mx"))
         }
         val one = docs.agg(aggs.head, aggs.tail: _*)
         val stackArgs = cols.map(c =>
-          s"'$c', ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
-        one.selectExpr(
-            s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, vmin, vmax)")
+          s"'$c', ${c}__nn, ${c}__mn, ${c}__mx").mkString(", ")
+        val base = one.selectExpr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, vmin, vmax)")
+        // distinct counts: unpivot to (col_name, value-as-string) — the
+        // string cast is injective per column, so distinct-by-string ==
+        // distinct-by-value — then ONE distinct agg (no gid rewrite)
+        val ndArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+        val nd = docs
+          .selectExpr(s"stack(${cols.size}, $ndArgs) AS (col_name, v)")
+          .groupBy(col("col_name"))
+          .agg(countDistinct(col("v")).as("n_distinct"))
+        base.join(nd, Seq("col_name"))
+          .select(col("col_name"), col("n_null"), col("n_distinct"),
+            col("vmin"), col("vmax"))
           .orderBy(col("col_name"))
       },
       Some("""SELECT 'doc_id' AS col_name, COUNT(*) - COUNT(doc_id) AS n_null,
