@@ -1517,6 +1517,169 @@ object TextDedup {
                                    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))
                             ELSE [text] END AS sh
                 FROM documents)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // MEASURED LSH recall curve — the banding-calibration pass a corpus
+    // team runs BEFORE committing a (bands x rows) geometry to a 100 TB
+    // dedup: per exact-Jaccard decile, how many true near-dup pairs does
+    // the banded candidate generation actually find? Two things make this
+    // the first time the PROBABILISTIC banding itself (not its exact-
+    // regime anchor) sits on the DuckDB gate:
+    //  (1) a PORTABLE hash family — minhash value i = lexicographic MIN
+    //      over shingles of md5(i || ':' || shingle), band key = md5 of
+    //      the joined row slice. Spark md5 == DuckDB md5, so the oracle
+    //      replays the ACTUAL hashes; xxhash64 (the fast production
+    //      family, q_dedup_minhash/SignatureStore) has no DuckDB mirror,
+    //      which is exactly why q_dedup_simhash is a no-oracle row.
+    //  (2) a SYNTHESIZED similarity spectrum (the q_pii_scrub convention:
+    //      real matches, not vacuous ones) — the corpus's planted
+    //      near-dups all sit in the 0.9 decile, so each even-id document
+    //      spawns 7 deterministic prefix variants (45%..95% of its words,
+    //      plus itself); within-document variant pairs span Jaccard
+    //      ~0.45-0.95, and the 8x2 geometry's 1-(1-j^2)^8 dropoff becomes
+    //      a measured, hash-checked curve instead of a formula in a
+    //      comment.
+    // The skew guard (bucket > 64 skipped) runs inside the measurement,
+    // so its recall cost is measured too. Truth = exact Jaccard >= 0.4
+    // over the same shingle sets, restricted to same-base pairs (cross-
+    // base true pairs are all >= 0.9 corpus plants; the variant corpus
+    // would make all-pairs truth quadratic for no extra signal).
+    // Production scale path: everything here is explode -> agg -> equi-
+    // join (the minhashPairs shape); md5-vs-xxhash64 is a per-row map
+    // cost, not a plan change.
+    Q("q_lsh_recall",
+      (s, dir) => {
+        val bands = 8; val rows = 2; val nh = bands * rows
+        val base = t(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
+          .filter(expr("size(split(text, ' '))") >= 3)
+        // 7 deterministic variants per base doc: vidx 0..5 keep the
+        // first ceil(n * (9 + 2*vidx)/20.0) words (45%..95%); vidx 6 is
+        // the document itself. Prefix truncation moves shingle Jaccard
+        // smoothly through the deciles.
+        val variants = base
+          .select(col("doc_id").as("base"), col("text"),
+            explode(expr("sequence(0, 6)")).as("vidx"))
+          .withColumn("vtext", expr(
+            """CASE WHEN vidx = 6 THEN text
+                    ELSE concat_ws(' ', slice(split(text, ' '), 1,
+                           cast(ceil(size(split(text, ' '))
+                             * ((9 + 2 * vidx) / 20.0)) as int)))
+               END"""))
+          .select(col("base"), col("vidx"),
+            (col("base") * 7 + col("vidx")).as("vid"), col("vtext"))
+        // string shingles — the portable family hashes the strings
+        // directly, so the oracle sees identical md5 inputs
+        val sh = variants.withColumn("sh", expr(
+          """CASE WHEN size(split(vtext, ' ')) >= 3
+                  THEN array_distinct(transform(
+                         sequence(0, size(split(vtext, ' ')) - 3),
+                         i -> concat_ws(' ', slice(split(vtext, ' '), i + 1, 3))))
+                  ELSE array(vtext) END"""))
+          .select(col("base"), col("vidx"), col("vid"), col("sh"))
+          .persist() // signatures AND truth pairs re-read it
+        val sig = sh.select(col("vid"), expr(
+          s"""transform(sequence(0, ${nh - 1}),
+                i -> array_min(transform(sh,
+                       x -> md5(concat(cast(i as string), ':', x)))))""")
+          .as("sig"))
+        val bandkeys = sig.select(col("vid"), explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+                b -> struct(b AS band,
+                  md5(concat_ws(',', slice(sig, b * $rows + 1, $rows))) AS bh))"""))
+          .as("bb"))
+          .select(col("vid"), col("bb.band"), col("bb.bh"))
+        val ok = bandkeys.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
+          .select(col("band"), col("bh"))
+        val pruned = bandkeys.join(broadcast(ok), Seq("band", "bh"))
+        val cand = pruned.as("x").join(pruned.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.vid") < col("y.vid"))
+          .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"))
+          .distinct()
+        val a = sh.select(col("base"), col("vidx").as("via"),
+          col("vid").as("a_id"), col("sh").as("sa"))
+        val b = sh.select(col("base"), col("vidx").as("vib"),
+          col("vid").as("b_id"), col("sh").as("sb"))
+        val truth = a.join(b, Seq("base")).filter(col("via") < col("vib"))
+          .withColumn("c",
+            size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+          .withColumn("jaccard", col("c").cast(DoubleType) /
+            (size(col("sa")) + size(col("sb")) - col("c")))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+        val out = truth
+          .join(cand.withColumn("found", lit(1L)), Seq("a_id", "b_id"), "left")
+          .withColumn("found", coalesce(col("found"), lit(0L)))
+          .groupBy(expr("CAST(floor(jaccard * 10) / 10 AS DOUBLE)")
+            .as("j_bucket"))
+          .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
+          .withColumn("recall",
+            col("n_found").cast(DoubleType) / col("n_true"))
+          .orderBy(col("j_bucket"))
+          .localCheckpoint()
+        sh.unpersist()
+        out
+      },
+      Some("""WITH basedocs AS (
+                SELECT doc_id AS base, text FROM documents
+                WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
+              vars AS (
+                SELECT base, vidx, base * 7 + vidx AS vid,
+                       CASE WHEN vidx = 6 THEN text
+                            ELSE array_to_string(string_split(text, ' ')[1 :
+                                   CAST(ceil(len(string_split(text, ' '))
+                                     * ((9 + 2 * vidx) / 20.0)) AS INT)], ' ')
+                       END AS vtext
+                FROM (SELECT base, text, unnest(range(0, 7)) AS vidx
+                      FROM basedocs)),
+              sh AS (
+                SELECT base, vidx, vid,
+                       CASE WHEN len(string_split(vtext, ' ')) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(string_split(vtext, ' ')) - 1),
+                                   i -> string_split(vtext, ' ')[i] || ' ' ||
+                                        string_split(vtext, ' ')[i+1] || ' ' ||
+                                        string_split(vtext, ' ')[i+2]))
+                            ELSE [vtext] END AS sh
+                FROM vars),
+              sig AS (
+                SELECT vid,
+                       list_transform(range(0, 16),
+                         i -> list_aggregate(list_transform(sh,
+                                x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                FROM sh),
+              bandkeys AS (
+                SELECT vid, b AS band,
+                       md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bh
+                FROM (SELECT vid, sig, unnest(range(0, 8)) AS b FROM sig)),
+              ok AS (SELECT band, bh FROM bandkeys
+                     GROUP BY 1, 2 HAVING count(*) <= 64),
+              cand AS (
+                SELECT DISTINCT x.vid AS a_id, y.vid AS b_id
+                FROM (SELECT k.* FROM bandkeys k JOIN ok USING (band, bh)) x
+                JOIN (SELECT k.* FROM bandkeys k JOIN ok USING (band, bh)) y
+                  ON x.band = y.band AND x.bh = y.bh AND x.vid < y.vid),
+              truth AS (
+                SELECT a.vid AS a_id, b.vid AS b_id,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b
+                  ON a.base = b.base AND a.vidx < b.vidx
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh)
+                           - len(list_intersect(a.sh, b.sh))) >= 0.4),
+              j AS (
+                SELECT t.jaccard,
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS found
+                FROM truth t LEFT JOIN cand c
+                  ON t.a_id = c.a_id AND t.b_id = c.b_id)
+              SELECT CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS j_bucket,
+                     COUNT(*) AS n_true,
+                     CAST(SUM(found) AS BIGINT) AS n_found,
+                     CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall
+              FROM j GROUP BY 1 ORDER BY 1"""))
   )
 }
