@@ -146,11 +146,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
-  test("q_table_profile: ONE scan computes every column's stats") {
+  test("q_table_profile: two passes, no gid-rewrite, 5-row join broadcasts") {
     val p = plan("q_table_profile")
+    // one scan feeds the pure map-side count/min/max aggregate, one feeds
+    // the single-distinct unpivot — NOT the one-scan multi-countDistinct
+    // form, whose RewriteDistinctAggregates Expand pushes 6 copies of
+    // every row (text included) through the shuffle AND plans
+    // non-deterministically (the PLANS.json flap fixed in round 9)
     val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected a single table scan, saw $scans:\n" + p.take(1200))
-    assert(p.contains("Expand"), "multi-column distinct should plan via Expand")
+    assert(scans == 2, s"expected two table scans, saw $scans:\n" + p.take(1200))
+    assert(!p.contains("gid") && !p.contains("Expand"),
+      "multi-distinct gid/Expand rewrite must not appear")
+    assert(p.contains("Generate stack"), "unpivot should plan via stack")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the 5-row stats/distinct join must broadcast:\n" + p.take(1200))
   }
 
   test("q_triangle_count: wedge join stays hash/shuffle, never cartesian") {
@@ -239,5 +248,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(600))
     assert("Window".r.findAllIn(p).size >= 1, "lag pair formation must plan a window exec")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("q_nb_score: the NB model broadcasts; the corpus never shuffles by term") {
+    val p = plan("q_nb_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab-model join must broadcast:\n" + p.take(800))
+    // the corpus-side tf relation must meet the model through the
+    // broadcast, never by being shuffled to it: a term-shuffled corpus
+    // join would plan SortMergeJoin / ShuffledHashJoin. (Exchanges keyed
+    // on term DO legitimately appear — they carry the model side's
+    // vocab-level partial counts, one row per distinct term.)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus token stream shuffled to meet the model:\n" + p.take(1200))
+  }
+
+  test("q_nb_train: label is row-local — training plans zero joins") {
+    val p = plan("q_nb_train")
+    // one tiny totals broadcast is allowed; a HASH join would mean the
+    // doc-level label table got joined against the token stream
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "class counts must partial-aggregate before the exchange:\n" + p.take(800))
   }
 }
