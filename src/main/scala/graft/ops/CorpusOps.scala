@@ -926,9 +926,15 @@ object CorpusOps {
     // IEEE divisions and two libm lns over exact integers, quantized to
     // DECIMAL(24,9) at the boundary so downstream sums are exact.
     Q("q_nb_train",
-      (s, dir) => nbModel(s, dir).orderBy(col("term")),
+      (s, dir) => nbModel(s, dir)
+        // the gate hashes DOUBLE, not DECIMAL: the cast is exact
+        .withColumn("llr", col("llr").cast(DoubleType))
+        .orderBy(col("term")),
       Some(s"""$nbModelSql
-              SELECT term, cnt_pos, cnt_neg, llr FROM model ORDER BY term""")),
+              SELECT term, CAST(cnt_pos AS BIGINT) AS cnt_pos,
+                     CAST(cnt_neg AS BIGINT) AS cnt_neg,
+                     CAST(llr AS DOUBLE) AS llr
+              FROM model ORDER BY term""")),
 
     // Scoring pass of the trained NB filter: per-document log-odds of
     // "curated" = ln prior odds + Σ_term tf * llr(term). Reuses the
@@ -942,29 +948,7 @@ object CorpusOps {
     // pass + one thin doc-level exchange — the same plan a production
     // CCNet filter runs.
     Q("q_nb_score",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val model = nbModel(s, dir).select(col("term"), col("llr"))
-        val priors = docs.agg(
-          sum(when(nbIsCurated, 1L).otherwise(0L)).as("n_pos"),
-          sum(when(nbIsCurated, 0L).otherwise(1L)).as("n_neg"))
-        val tf = sharedTf(s, dir)
-        val scores = tf.join(broadcast(model), Seq("term"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"),
-            sum(col("tf").cast(DecimalType(10, 0)) * col("llr")).as("sum_llr"))
-        scores.crossJoin(broadcast(priors))
-          .withColumn("prior",
-            log(col("n_pos").cast(DoubleType) / col("n_neg"))
-              .cast(DecimalType(24, 9)))
-          .join(docs.select(col("doc_id"), nbIsCurated.as("curated")),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("n_terms"),
-            (col("prior") + col("sum_llr")).cast(DoubleType).as("score"),
-            ((col("prior") + col("sum_llr")) > 0).as("pred_curated"),
-            col("curated"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => nbScored(s, dir).orderBy(col("doc_id")),
       Some(s"""$nbModelSql,
               priors AS (
                 SELECT SUM(CASE WHEN CAST(substring(source, 4) AS INT) < 5
@@ -984,8 +968,104 @@ object CorpusOps {
                      CAST(substring(d.source, 4) AS INT) < 5 AS curated
               FROM scores s, priors, documents d
               WHERE d.doc_id = s.doc_id
-              ORDER BY s.doc_id"""))
+              ORDER BY s.doc_id""")),
+
+    // Threshold sweep of the trained NB filter — the calibration artifact
+    // that picks the production cutoff: for each candidate threshold t,
+    // the confusion counts against the distant-supervision label plus
+    // recall and F1. Metric forms are chosen to be DIVISION-SAFE (no
+    // NULL/0-division edge to mirror): recall = tp/n_pos (n_pos > 0 by
+    // construction) and F1 in its 2·TP/(pred_pos + n_pos) form. The
+    // 7-point grid explodes BEFORE the aggregate, so the exchange carries
+    // 7 partial rows per partition, and the final output is 7 rows — the
+    // whole sweep is one corpus-scoring pass regardless of grid size.
+    Q("q_nb_eval",
+      (s, dir) => {
+        val sc = nbScored(s, dir)
+          .select(col("score"), col("curated"),
+            explode(expr("sequence(-6, 0)")).as("k"))
+          .withColumn("t", col("k") * 0.5)
+        sc.groupBy(col("t"))
+          .agg(
+            sum(when(col("score") > col("t"), 1L).otherwise(0L))
+              .as("n_pred_pos"),
+            sum(when(col("score") > col("t") && col("curated"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("curated"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("recall",
+            col("tp").cast(DoubleType) / col("n_pos"))
+          .withColumn("f1",
+            (col("tp") * 2).cast(DoubleType) /
+              (col("n_pred_pos") + col("n_pos")))
+          .orderBy(col("t"))
+      },
+      Some(s"""$nbModelSql,
+              priors AS (
+                SELECT SUM(CASE WHEN CAST(substring(source, 4) AS INT) < 5
+                                THEN 1 ELSE 0 END) AS n_pos,
+                       SUM(CASE WHEN CAST(substring(source, 4) AS INT) < 5
+                                THEN 0 ELSE 1 END) AS n_neg
+                FROM documents),
+              scores AS (
+                SELECT doc_id,
+                       SUM(CAST(tf AS DECIMAL(10,0)) * llr) AS sum_llr
+                FROM tf JOIN model USING (term) GROUP BY doc_id),
+              scored AS (
+                SELECT s.doc_id,
+                       CAST(CAST(ln(CAST(n_pos AS DOUBLE) / n_neg)
+                              AS DECIMAL(24,9)) + sum_llr AS DOUBLE) AS score,
+                       CAST(substring(d.source, 4) AS INT) < 5 AS curated
+                FROM scores s, priors, documents d
+                WHERE d.doc_id = s.doc_id),
+              grid AS (SELECT k * CAST(0.5 AS DOUBLE) AS t
+                       FROM (SELECT unnest(range(-6, 1)) AS k))
+              SELECT t,
+                     CAST(SUM(CASE WHEN score > t THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pred_pos,
+                     CAST(SUM(CASE WHEN score > t AND curated THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN score > t AND curated THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                       / SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS recall,
+                     CAST(2 * SUM(CASE WHEN score > t AND curated THEN 1 ELSE 0 END)
+                          AS DOUBLE)
+                       / (SUM(CASE WHEN score > t THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN curated THEN 1 ELSE 0 END)) AS f1
+              FROM scored, grid GROUP BY t ORDER BY t"""))
   )
+
+  /** Scored corpus under the trained NB model: (doc_id, n_terms, score,
+    * pred_curated, curated). See q_nb_score for the plan notes.
+    */
+  private def nbScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = nbModel(s, dir).select(col("term"), col("llr"))
+    val priors = docs.agg(
+      sum(when(nbIsCurated, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(nbIsCurated, 0L).otherwise(1L)).as("n_neg"))
+    val tf = sharedTf(s, dir)
+    val scores = tf.join(broadcast(model), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf").cast(DecimalType(10, 0)) * col("llr")).as("sum_llr"))
+    scores.crossJoin(broadcast(priors))
+      .withColumn("prior",
+        log(col("n_pos").cast(DoubleType) / col("n_neg"))
+          .cast(DecimalType(24, 9)))
+      .join(docs.select(col("doc_id"), nbIsCurated.as("curated")),
+        Seq("doc_id"))
+      // bound the exact sum's precision BEFORE adding the prior: a
+      // DECIMAL(38,9) + DECIMAL(24,9) addition overflows Spark's
+      // 38-digit cap and silently demotes to scale 8, rounding the 9th
+      // decimal away from the oracle (observed as a 1e-9 score diff)
+      .withColumn("sum9", col("sum_llr").cast(DecimalType(28, 9)))
+      .select(col("doc_id"), col("n_terms"),
+        (col("prior") + col("sum9")).cast(DoubleType).as("score"),
+        ((col("prior") + col("sum9")) > 0).as("pred_curated"),
+        col("curated"))
+  }
 
   /** Label rule for the NB distant supervision: sources src0-src4 are the
     * "curated" positive class. A pure function of the row (no join).
