@@ -548,6 +548,121 @@ object Multimodal {
     graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
   }
 
+  /** Perceptual hash of ONE decoded audio stream (see
+    * perceptualHashAudioBatched).
+    */
+  final case class AudioPerceptualHash(
+      media_id: Long,
+      sample_rate: Int,
+      n_frames: Long,
+      ehash: Long) // 64-bit energy-envelope hash
+
+  /** PERCEPTUAL audio fingerprint — the audio member of the near-dup
+    * triple (images: aHash/dHash over the pixel grid; video: frame-level
+    * pixel hashes; audio: THIS). The classic envelope hash (public
+    * knowledge, the aHash idea transposed to time): decode to canonical
+    * signed-16-bit PCM exactly as decodeAudioBatched does, collapse
+    * channels to mono mean, split the clip into 64 equal TIME windows,
+    * and set bit w iff window w's mean |amplitude| exceeds the whole-clip
+    * mean. By construction the hash is invariant to
+    *  - container/encoding (it hashes decoded PCM — WAV/AU/AIFF, u-law vs
+    *    linear all collapse, same as pcm_crc),
+    *  - volume scaling (bits compare a window mean to the clip mean:
+    *    positive gain cancels), and
+    *  - resampling (windows are fractions of TOTAL duration, so a 2:1
+    *    decimation sees the same envelope).
+    * What pcm_crc (exact content identity) can't catch — the same clip
+    * re-mastered at a different level or rate — lands within a small
+    * Hamming radius here, and audioNearDupPerceptual finds it with the
+    * SAME 8-band Hamming machinery the image path rides. The PCM buffers
+    * per row (an audio clip, bounded; a pipeline ingesting hour-long
+    * masters would window the decode), the envelope accumulates in
+    * O(windows) longs, and only (id, 8-byte hash) rows ever reach a
+    * shuffle. Undecodable payloads skip (R2), NonFatal like every codec
+    * seam.
+    */
+  def perceptualHashAudioBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[AudioPerceptualHash] = {
+    implicit val enc = Encoders.product[AudioPerceptualHash]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit()
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            import javax.sound.sampled.{AudioFormat, AudioSystem}
+            val raw = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val src = raw.getFormat
+              val rate = math.round(src.getSampleRate).toInt
+              if (rate <= 0 || src.getChannels <= 0) None
+              else {
+                val ch = src.getChannels
+                val canon = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                  src.getSampleRate, 16, ch, 2 * ch, src.getSampleRate, false)
+                val ais =
+                  if (src.matches(canon)) raw
+                  else AudioSystem.getAudioInputStream(canon, raw)
+                val pcm = new java.io.ByteArrayOutputStream()
+                val b = new Array[Byte](math.max(8192 / (2 * ch), 1) * 2 * ch)
+                var n = ais.read(b)
+                while (n > 0) { pcm.write(b, 0, n); n = ais.read(b) }
+                val a = pcm.toByteArray
+                val frames = a.length / (2 * ch)
+                if (frames < 64) None // too short for a 64-window envelope
+                else {
+                  // mean |amplitude| per window, mono-collapsed
+                  val env = new Array[Long](64)
+                  val cnt = new Array[Long](64)
+                  var f = 0
+                  while (f < frames) {
+                    val w = ((f.toLong * 64) / frames).toInt
+                    var c = 0
+                    var acc = 0L
+                    while (c < ch) {
+                      val off = (f * ch + c) * 2
+                      // little-endian signed 16-bit
+                      val v = ((a(off + 1).toInt << 8) | (a(off) & 0xff)).toShort
+                      acc += math.abs(v.toLong)
+                      c += 1
+                    }
+                    env(w) += acc / ch
+                    cnt(w) += 1
+                    f += 1
+                  }
+                  var i = 0
+                  var totNum = 0L
+                  while (i < 64) { env(i) = env(i) / math.max(cnt(i), 1L); totNum += env(i); i += 1 }
+                  var ehash = 0L
+                  i = 0
+                  while (i < 64) {
+                    if (64L * env(i) > totNum) ehash |= (1L << i)
+                    i += 1
+                  }
+                  Some(AudioPerceptualHash(id, rate, frames, ehash))
+                }
+              }
+            } finally raw.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => None // skip (R2)
+          }
+        }
+      }
+    }
+  }
+
+  /** Audio near-dup pairs within `maxHamming` of the 64-bit envelope
+    * hash — same banded machinery as the image path (lossless for
+    * maxHamming < 8 by pigeonhole; only 8-byte fingerprints shuffle).
+    */
+  def audioNearDupPerceptual(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val fp = perceptualHashAudioBatched(media.filter(col("kind") === "audio"))
+      .toDF().select(col("media_id").as("id"), col("ehash").as("h"))
+    graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
+  }
+
   /** The stub-raster aHash band keys of q_media_neardup as ONE codegen
     * pass (static-call pattern): pixel i = code point of the char at
     * position i*L div 64 (mod 256), bit i = 64*p_i > sum, keys = four
