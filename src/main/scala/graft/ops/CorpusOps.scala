@@ -1036,6 +1036,29 @@ object CorpusOps {
               FROM scored, grid GROUP BY t ORDER BY t"""))
   )
 
+  /** The trained NB model as a shippable fixed-point artifact: per-term
+    * llr in NANOS (the DECIMAL(24,9) lattice as a long — exact), plus the
+    * prior in nanos and the decision threshold context. This is the form
+    * a streaming scorer broadcasts to executors (the fastText deployment
+    * shape: model in memory, scoring a pure per-row map) — see
+    * streaming.StreamingNbFilter, whose spec pins streaming scores
+    * bit-equal to q_nb_score's.
+    */
+  def nbModelNanos(s: SparkSession, dir: String): (Map[String, Long], Long) = {
+    val m = nbModel(s, dir)
+      .select(col("term"),
+        (col("llr") * lit(1000000000L)).cast(LongType).as("nanos"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = t(s, dir, "documents")
+    val pr = docs.agg(
+      sum(when(nbIsCurated, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(nbIsCurated, 0L).otherwise(1L)).as("n_neg"))
+      .select((log(col("n_pos").cast(DoubleType) / col("n_neg"))
+        .cast(DecimalType(24, 9)) * lit(1000000000L)).cast(LongType))
+      .collect()(0).getLong(0)
+    (m, pr)
+  }
+
   /** Scored corpus under the trained NB model: (doc_id, n_terms, score,
     * pred_curated, curated). See q_nb_score for the plan notes.
     */
