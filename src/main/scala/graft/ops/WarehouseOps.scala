@@ -426,6 +426,83 @@ object WarehouseOps {
                      FROM p2 p LEFT JOIN s3 ON s3.dst = p.node)
               SELECT node, pr FROM p3 ORDER BY pr DESC, node""")),
 
+    // Synchronous label propagation (3 rounds) over the same minute
+    // co-occurrence graph — the classic LPA community detector,
+    // completing the graph family (components, PageRank, k-core,
+    // triangles): community(v) starts as v; each round every node adopts
+    // the most frequent label among its neighbors, ties broken toward the
+    // SMALLEST label. Sync rounds + integer tie-break make the fixture
+    // deterministic, so communities hash-match (async/random-order LPA,
+    // the usual formulation, cannot). Each round is one join of the
+    // persisted edge list against the label vector, one (dst, label)
+    // count, and one deterministic argmax via max(struct(c, -label)) —
+    // exact integers end to end. At 100 TB: a round's shuffle is
+    // O(edges) with map-side combine on (dst, label); rounds re-read the
+    // persisted edge list, never the events table (the PageRank cost
+    // model). The oracle unrolls the same 3 rounds with the row_number
+    // (c DESC, label ASC) argmax — the same function by construction.
+    Q("q_label_prop",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), date_trunc("minute", col("ts")).as("h"),
+            col("user_id"))
+          .distinct()
+        val e2 = ev.as("a").join(ev.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.h") === col("b.h") &&
+              col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct()
+        val ed = e2.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e2.select(col("v").as("src"), col("u").as("dst")))
+          .persist()
+        var lab = ed.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        (1 to 3).foreach { _ =>
+          lab = ed.join(lab, ed("src") === lab("node"))
+            .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+        }
+        val out = lab
+          .select(col("node").as("user_id"), col("label").as("community"))
+          .orderBy(col("user_id")).localCheckpoint()
+        ed.unpersist()
+        out
+      },
+      Some("""WITH ev AS (
+                SELECT DISTINCT event_type, date_trunc('minute', ts) AS h, user_id
+                FROM events),
+              e AS (
+                SELECT DISTINCT a.user_id AS u, b.user_id AS v
+                FROM ev a JOIN ev b
+                  ON a.event_type = b.event_type AND a.h = b.h
+                 AND a.user_id < b.user_id),
+              ed AS (SELECT u AS src, v AS dst FROM e
+                     UNION ALL SELECT v, u FROM e),
+              l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+              g1 AS (SELECT ed.dst, l.label, COUNT(*) AS c
+                     FROM ed JOIN l0 l ON ed.src = l.node GROUP BY 1, 2),
+              l1 AS (SELECT dst AS node, label FROM (
+                       SELECT dst, label, ROW_NUMBER() OVER (
+                         PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                       FROM g1) WHERE rn = 1),
+              g2 AS (SELECT ed.dst, l.label, COUNT(*) AS c
+                     FROM ed JOIN l1 l ON ed.src = l.node GROUP BY 1, 2),
+              l2 AS (SELECT dst AS node, label FROM (
+                       SELECT dst, label, ROW_NUMBER() OVER (
+                         PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                       FROM g2) WHERE rn = 1),
+              g3 AS (SELECT ed.dst, l.label, COUNT(*) AS c
+                     FROM ed JOIN l2 l ON ed.src = l.node GROUP BY 1, 2),
+              l3 AS (SELECT dst AS node, label FROM (
+                       SELECT dst, label, ROW_NUMBER() OVER (
+                         PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+                       FROM g3) WHERE rn = 1)
+              SELECT node AS user_id, label AS community
+              FROM l3 ORDER BY user_id""")),
+
     // Heavy hitters via the frequent-items sketch (approx_top_k,
     // DataSketches ItemsSketch): THE bounded-memory answer to "top
     // values" over an unbounded-cardinality column — one pass, fixed
