@@ -425,6 +425,120 @@ object Md5SimHash60 {
   }
 }
 
+/** Band keys of the PORTABLE md5 minhash family over string shingles —
+  * sig[i] = lexicographic min over shingles of md5hex(i ":" shingle),
+  * band key b = md5hex(sig[b*rows] "," ... sig[b*rows+rows-1]) — as ONE
+  * tight loop per row (the StubAHashKeys/Md5SimHash60 static-call
+  * codegen pattern). Exists because the declarative nested-HOF
+  * formulation (transform -> array_min -> transform md5(concat)) runs
+  * its lambdas interpreted with per-element UTF8String churn: measured
+  * 21 s at sf0.1 on q_lsh_recall vs ~1 s for this pass. Arithmetic is
+  * bit-identical to the DuckDB oracle CTE chain: hex strings compare
+  * exactly like the digest bytes unsigned-lexicographically, so the min
+  * runs on raw digests and hex-encodes once.
+  */
+case class Md5MinhashBandKeys(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_minhash_band_keys expects array<string>, got ${other.catalogString}")
+    }
+
+  def computeRow(arr: ArrayData): ArrayData =
+    Md5MinhashBandKeys.compute(arr, bands, rows)
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("mmbk", this, classOf[Md5MinhashBandKeys].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashBandKeys =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_minhash_band_keys"
+}
+
+object Md5MinhashBandKeys {
+
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < a.length) {
+      val x = a(k) & 0xff; val y = b(k) & 0xff
+      if (x != y) return x < y
+      k += 1
+    }
+    false
+  }
+
+  private def hex(h: Array[Byte], sb: java.lang.StringBuilder): Unit = {
+    var k = 0
+    while (k < h.length) {
+      sb.append(HEX((h(k) >> 4) & 0xf)); sb.append(HEX(h(k) & 0xf))
+      k += 1
+    }
+  }
+
+  def compute(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val nh = bands * rows
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val sbytes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) { sbytes(j) = arr.getUTF8String(j).getBytes; j += 1 }
+    val d = digest.get()
+    val mins = new Array[Array[Byte]](nh)
+    var i = 0
+    while (i < nh) {
+      val prefix = (i.toString + ":").getBytes
+      var best: Array[Byte] = null
+      var k = 0
+      while (k < n) {
+        d.reset(); d.update(prefix); d.update(sbytes(k))
+        val h = d.digest()
+        if (best == null || unsignedLess(h, best)) best = h
+        k += 1
+      }
+      mins(i) = best
+      i += 1
+    }
+    val keys = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(rows * 33)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        hex(mins(b * rows + r), sb)
+        r += 1
+      }
+      d.reset(); d.update(sb.toString.getBytes)
+      val out = new java.lang.StringBuilder(32)
+      hex(d.digest(), out)
+      keys(b) = org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
 /** Custom Generator (UDTF surface, the extension point explode/posexplode
   * cover for built-ins): one output row per DISTINCT n-word shingle hash
   * of the text — the row-generating form of WordShingleHashes, usable
@@ -911,6 +1025,11 @@ object TextFunctions {
   def md5Simhash60(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       Md5SimHash60(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Portable md5-family minhash band keys of an array<string> column. */
+  def md5MinhashBandKeys(c: Column, bands: Int, rows: Int): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      Md5MinhashBandKeys(org.apache.spark.sql.graft.GraftSqlShims.expression(c), bands, rows))
 
   /** Karp-Rabin rolling polynomial fingerprint of a string column. */
   def karpRabinFingerprint(c: Column): Column =

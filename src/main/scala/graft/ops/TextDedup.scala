@@ -1549,7 +1549,7 @@ object TextDedup {
     // cost, not a plan change.
     Q("q_lsh_recall",
       (s, dir) => {
-        val bands = 8; val rows = 2; val nh = bands * rows
+        val bands = 8; val rows = 2
         val base = t(s, dir, "documents")
           .filter(col("doc_id") % 2 === 0)
           .filter(expr("size(split(text, ' '))") >= 3)
@@ -1569,26 +1569,30 @@ object TextDedup {
           .select(col("base"), col("vidx"),
             (col("base") * 7 + col("vidx")).as("vid"), col("vtext"))
         // string shingles — the portable family hashes the strings
-        // directly, so the oracle sees identical md5 inputs
-        val sh = variants.withColumn("sh", expr(
-          """CASE WHEN size(split(vtext, ' ')) >= 3
-                  THEN array_distinct(transform(
-                         sequence(0, size(split(vtext, ' ')) - 3),
-                         i -> concat_ws(' ', slice(split(vtext, ' '), i + 1, 3))))
-                  ELSE array(vtext) END"""))
-          .select(col("base"), col("vidx"), col("vid"), col("sh"))
-          .persist() // signatures AND truth pairs re-read it
-        val sig = sh.select(col("vid"), expr(
-          s"""transform(sequence(0, ${nh - 1}),
-                i -> array_min(transform(sh,
-                       x -> md5(concat(cast(i as string), ':', x)))))""")
-          .as("sig"))
-        val bandkeys = sig.select(col("vid"), explode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-                b -> struct(b AS band,
-                  md5(concat_ws(',', slice(sig, b * $rows + 1, $rows))) AS bh))"""))
-          .as("bb"))
-          .select(col("vid"), col("bb.band"), col("bb.bh"))
+        // directly, so the oracle sees identical md5 inputs. Codegen
+        // WordWindows(3, stride 1) IS the sliding 3-word shingle set
+        // incl. the <3-word whole-text fallback (the interpreted
+        // transform/slice form re-split vtext per element: O(words²)
+        // splits per row, the dominant cost of the first cut)
+        val sh = variants.withColumn("sh",
+            array_distinct(graft.functions.TextFunctions
+              .wordWindows(col("vtext"), 3, 1)))
+          // long-shingle twin of `sh` for the truth kernel (same sets)
+          .withColumn("hsh", array_sort(
+            graft.functions.TextFunctions.shingleHashes(col("vtext"))))
+          // signature + band keys in ONE codegen array walk per row
+          // (functions.Md5MinhashBandKeys — the declarative nested-HOF
+          // form of the same arithmetic ran interpreted at 21 s sf0.1).
+          // Computed INTO the persisted relation: the bucket self-join
+          // below references the band keys three times (count, both join
+          // sides), and outside the cache each reference re-ran the full
+          // md5 pass (measured 3x ~1.9 s of the first cut's cost)
+          .withColumn("keys", graft.functions.TextFunctions
+            .md5MinhashBandKeys(col("sh"), bands, rows))
+          .select(col("base"), col("vidx"), col("vid"), col("hsh"), col("keys"))
+          .persist() // band keys AND truth pairs re-read it
+        val bandkeys = sh.select(col("vid"), posexplode(col("keys")))
+          .toDF("vid", "band", "bh")
         val ok = bandkeys.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
           .select(col("band"), col("bh"))
@@ -1598,13 +1602,19 @@ object TextDedup {
               col("x.vid") < col("y.vid"))
           .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"))
           .distinct()
+        // truth-side Jaccard over the SAME shingle sets, via the
+        // allocation-free sorted-long kernel (the minhashPairs
+        // convention: xxhash64-of-shingle Jaccard == string-shingle
+        // Jaccard collision-free, and the oracle keeps the string form) —
+        // string-array array_intersect built a UTF8String hash set per
+        // pair here
         val a = sh.select(col("base"), col("vidx").as("via"),
-          col("vid").as("a_id"), col("sh").as("sa"))
+          col("vid").as("a_id"), col("hsh").as("sa"))
         val b = sh.select(col("base"), col("vidx").as("vib"),
-          col("vid").as("b_id"), col("sh").as("sb"))
+          col("vid").as("b_id"), col("hsh").as("sb"))
         val truth = a.join(b, Seq("base")).filter(col("via") < col("vib"))
-          .withColumn("c",
-            size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+          .withColumn("c", graft.functions.TextFunctions
+            .sortedIntersectCount(col("sa"), col("sb")).cast(LongType))
           .withColumn("jaccard", col("c").cast(DoubleType) /
             (size(col("sa")) + size(col("sb")) - col("c")))
           .filter(col("jaccard") >= 0.4)
