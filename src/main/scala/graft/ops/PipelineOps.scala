@@ -524,6 +524,84 @@ object PipelineOps {
                      CAST(SUM(CASE WHEN score_int > 0 AND rn = 1
                               THEN len(string_split(scrubbed, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens
               FROM r GROUP BY src
-              ORDER BY src"""))
+              ORDER BY src""")),
+
+    // Per-source dataset card — the one-row-per-source datasheet a corpus
+    // team publishes with a training run (docs, token volume, language
+    // spread + dominant language, duplicate exposure): everything a
+    // mixing/budget decision reads first. Duplicate exposure uses the
+    // PREFIX-32 fingerprint (md5 of the first 32 words — the
+    // q_dedup_prefix32 / RefinedWeb signal): this corpus has zero
+    // byte-exact dups, so an exact-hash column would report a vacuous
+    // 0.0 while the planted near-dups (33 docs sharing a 32-word prefix
+    // at sf0.01) go unreported. A doc counts as duplicated if its prefix
+    // fingerprint occurs ≥ 2 times ANYWHERE in the corpus (dup exposure
+    // is a cross-source property; a per-source count would hide mirror
+    // sites). Shuffles: O(docs) 16-byte hash rows + O(sources)
+    // partials — text never moves. Dominant language via the
+    // deterministic max(struct(count, lang)) argmax (ties -> largest
+    // lang code, mirrored ORDER BY c DESC, lang DESC).
+    Q("q_corpus_datasheet",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val base = docs.select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 32))).as("h"))
+        val dup = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        val withDup = base.join(dup, Seq("h"))
+        val langTop = base.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+          .groupBy(col("source"))
+          .agg(max(struct(col("lc"), col("lang"))).as("m"),
+            count(lit(1)).as("n_langs"))
+          .select(col("source"), col("m.lang").as("top_lang"), col("n_langs"))
+        withDup.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_predup_docs"))
+          .join(langTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("total_chars"),
+            (col("total_tokens").cast(DoubleType) / col("n_docs"))
+              .as("avg_tokens"),
+            col("n_langs"), col("top_lang"), col("n_predup_docs"),
+            (col("n_predup_docs").cast(DoubleType) / col("n_docs"))
+              .as("predup_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+                SELECT source, lang, n_chars,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS h
+                FROM documents),
+              dup AS (SELECT h, COUNT(*) AS c FROM base GROUP BY h),
+              lt AS (
+                SELECT source, lang AS top_lang, n_langs FROM (
+                  SELECT source, lang, lc,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY lc DESC, lang DESC) AS rn,
+                         COUNT(*) OVER (PARTITION BY source) AS n_langs
+                  FROM (SELECT source, lang, COUNT(*) AS lc
+                        FROM base GROUP BY 1, 2))
+                WHERE rn = 1),
+              agg AS (
+                SELECT b.source,
+                       COUNT(*) AS n_docs,
+                       SUM(b.n_tokens) AS total_tokens,
+                       SUM(b.n_chars) AS total_chars,
+                       SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS n_predup_docs
+                FROM base b JOIN dup d USING (h)
+                GROUP BY b.source)
+              SELECT a.source,
+                     CAST(n_docs AS BIGINT) AS n_docs,
+                     CAST(total_tokens AS BIGINT) AS total_tokens,
+                     CAST(total_chars AS BIGINT) AS total_chars,
+                     CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens,
+                     lt.n_langs, lt.top_lang,
+                     CAST(n_predup_docs AS BIGINT) AS n_predup_docs,
+                     CAST(n_predup_docs AS DOUBLE) / n_docs AS predup_rate
+              FROM agg a JOIN lt ON lt.source = a.source
+              ORDER BY a.source"""))
   )
 }

@@ -22,7 +22,13 @@ class PartitionInvarianceSpec extends SparkSpec {
   // form co-occurrence edges at all (empty graph -> empty result)
   private val pinned = Seq("q1_agg" -> sf0001, "q_stats_agg" -> sf0001,
     "q_corr" -> sf0001, "q_kl_sources" -> sf0001, "q_pagerank" -> sf001,
-    "q_ewma" -> sf0001, "q_tfidf" -> sf0001, "q_token_entropy" -> sf0001)
+    "q_ewma" -> sf0001, "q_tfidf" -> sf0001, "q_token_entropy" -> sf0001,
+    // round-9 late: NB llr lattice + exact-decimal scoring sums; the
+    // md5-minhash recall curve's counts; LPA's argmax tie-break (the
+    // property async LPA lacks); q_label_prop needs sf0.01 like pagerank
+    // (sf0.001 forms no co-occurrence edges)
+    "q_nb_train" -> sf0001, "q_nb_score" -> sf0001, "q_nb_eval" -> sf0001,
+    "q_lsh_recall" -> sf0001, "q_label_prop" -> sf001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
