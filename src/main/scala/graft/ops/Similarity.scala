@@ -518,6 +518,42 @@ object Similarity {
                  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
                WHERE cosine >= 0.5 ORDER BY a_id, b_id""")),
 
+    // LAION-style CLIP-score gate — the cross-modal alignment filter a
+    // multimodal corpus runs after caption pairing (q_caption_pairs does
+    // the structural checks; this is the semantic one): a pair survives
+    // iff cosine(image embedding, caption embedding) clears the
+    // threshold. Pairing convention on the synthetic embeddings table:
+    // pair p = (vec_id 2p as the image tower's vector, vec_id 2p+1 as
+    // the caption tower's) — the stub stands in for the CLIP encoders
+    // the way decodeStub stands in for codecs; the Spark-side shape
+    // (pair equi-join on pair_id, one codegen float dot per row, gate) is
+    // the real one and is what's measured. One co-partitioned join of
+    // two projections of the same scan; only 64-float rows move; at
+    // 100 TB the pair id is the lake layout key so the join is
+    // zero-exchange under bucketing. Keep flag reported (not filtered):
+    // the gate's both sides hash-match the oracle.
+    Q("q_clip_gate",
+      (s, dir) => {
+        val e = withNorm(s, t(s, dir, "embeddings"))
+        val img = e.filter(col("vec_id") % 2 === 0)
+          .select(expr("vec_id div 2").as("pair_id"),
+            col("embedding").as("a_emb"), col("norm").as("a_norm"))
+        val cap = e.filter(col("vec_id") % 2 === 1)
+          .select(expr("vec_id div 2").as("pair_id"),
+            col("embedding").as("b_emb"), col("norm").as("b_norm"))
+        img.join(cap, Seq("pair_id"))
+          .withColumn("clip_score", dot(s) / (col("a_norm") * col("b_norm")))
+          .select(col("pair_id"), col("clip_score"),
+            (col("clip_score") >= 0.1).as("keep"))
+          .orderBy(col("pair_id"))
+      },
+      Some(s"""SELECT a.vec_id // 2 AS pair_id,
+                      ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS clip_score,
+                      ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) >= 0.1 AS keep
+               FROM embeddings a JOIN embeddings b
+                 ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1
+               ORDER BY pair_id""")),
+
     Q("q_sim_topk",
       (s, dir) => bruteForceTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
