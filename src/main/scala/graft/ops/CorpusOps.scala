@@ -915,7 +915,7 @@ object CorpusOps {
     // smoothing, the CCNet/fastText-style "curated vs web" filter trained
     // IN-ENGINE by distant supervision (positive class = the curated
     // sources src0-src4, negative = the rest; reference ingests per-source
-    // feeds — fineventstream README.md:19 — so source labels are free).
+    // feeds — fineventstream README.md:12 — so source labels are free).
     // Training is ONE exploded-token aggregation: the label is a pure
     // function of the same row's `source` column, so no doc-level join
     // ever happens — the shuffle carries O(vocab x partitions) partial
