@@ -1092,24 +1092,30 @@ object CorpusOps {
 
   /** Label rule for the NB distant supervision: sources src0-src4 are the
     * "curated" positive class. A pure function of the row (no join).
+    * private[graft]: the streaming trainer labels identically.
     */
-  private def nbIsCurated =
+  private[graft] def nbIsCurated =
     expr("cast(substring(source, 4, 10) as int)") < 5
 
-  /** Multinomial-NB model: (term, cnt_pos, cnt_neg, llr) with add-one
-    * smoothing over the joint vocabulary. llr quantized DECIMAL(24,9)
-    * (see q_nb_train note). One exploded-token aggregation + one tiny
-    * total/vocab aggregate broadcast back.
+  /** Per-class token counts of a (text, source) corpus slice — the
+    * ADDITIVE half of NB training (counts sum across any partition of
+    * the corpus, which is what makes the streaming trainer's per-batch
+    * layers fold to the batch model exactly).
     */
-  private def nbModel(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val tokLab = docs
-      .select(nbIsCurated.as("pos"),
+  private[graft] def nbClassCounts(docs: DataFrame): DataFrame =
+    docs.select(nbIsCurated.as("pos"),
         explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
-    val cls = tokLab.groupBy(col("term"))
+      .groupBy(col("term"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cnt_pos"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("cnt_neg"))
+
+  /** The NB model from class counts: add-one smoothing over the joint
+    * vocabulary, llr quantized DECIMAL(24,9) (see q_nb_train note). The
+    * ONE formula both the batch trainer and the streaming trainer's
+    * merge-on-read consume — "same llr" is by construction.
+    */
+  private[graft] def nbLlr(cls: DataFrame): DataFrame = {
     val tot = cls.agg(sum(col("cnt_pos")).as("tp"),
       sum(col("cnt_neg")).as("tn"), count(lit(1)).as("v"))
     cls.crossJoin(broadcast(tot))
@@ -1119,6 +1125,12 @@ object CorpusOps {
           .cast(DecimalType(24, 9)))
       .select(col("term"), col("cnt_pos"), col("cnt_neg"), col("llr"))
   }
+
+  /** Multinomial-NB model: (term, cnt_pos, cnt_neg, llr). One exploded-
+    * token aggregation + one tiny total/vocab aggregate broadcast back.
+    */
+  private def nbModel(s: SparkSession, dir: String): DataFrame =
+    nbLlr(nbClassCounts(t(s, dir, "documents")))
 
   /** Shared oracle CTE prefix: tokenize, tf, class counts, totals, model.
     * Mirrors nbModel / sharedTf exactly (string_split on ' ', empty terms
