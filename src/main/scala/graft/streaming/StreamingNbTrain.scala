@@ -74,6 +74,29 @@ object StreamingNbTrain {
           sum(col("cnt_neg")).as("cnt_neg")))
   }
 
+  /** Compact the layer store: rewrite the summed counts as ONE layer
+    * (batch_id = -1, the compaction epoch) and drop the per-batch
+    * layers — same merge-on-read result, O(vocab) files instead of
+    * O(batches). The swap is staged-then-renamed (sources.StoreSwap) so
+    * a concurrent reader never sees a half-store.
+    */
+  def compact(spark: SparkSession, store: String): Unit = {
+    spark.catalog.refreshByPath(s"$store/counts")
+    val summed = spark.read.parquet(s"$store/counts")
+      .groupBy(col("term"))
+      .agg(sum(col("cnt_pos")).as("cnt_pos"),
+        sum(col("cnt_neg")).as("cnt_neg"))
+      .withColumn("batch_id", lit(-1L))
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/.compact-counts")
+    summed.write.mode("overwrite").partitionBy("batch_id")
+      .parquet(tmp.toString)
+    graft.sources.StoreSwap.swapIn(fs, tmp,
+      new org.apache.hadoop.fs.Path(s"$store/counts"))
+    spark.catalog.refreshByPath(s"$store/counts")
+  }
+
   /** The merged model in StreamingNbFilter's shipping form (llr nanos). */
   def llrNanos(model: DataFrame): Map[String, Long] =
     model.select(col("term"),

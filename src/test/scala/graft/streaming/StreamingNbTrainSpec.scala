@@ -63,5 +63,14 @@ class StreamingNbTrainSpec extends SparkSpec {
     val keptBatch = StreamingNbFilter(docs.toDS(), llrB, prior)
       .collect().map(_.doc_id).toSet
     assert(kept == keptBatch)
+
+    // compaction: one summed layer, same model, fewer layer partitions
+    StreamingNbTrain.compact(spark, s"$dir/store")
+    val layerDirs = new java.io.File(s"$dir/store/counts")
+      .listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName)
+    assert(layerDirs.toSeq == Seq("batch_id=-1"),
+      s"compaction must leave one layer, got ${layerDirs.mkString(",")}")
+    assert(modelSet(StreamingNbTrain.mergedModel(spark, s"$dir/store")) ==
+      modelSet(batchExact), "compaction must not change the model")
   }
 }
