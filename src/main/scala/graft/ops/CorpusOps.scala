@@ -911,6 +911,88 @@ object CorpusOps {
               WHERE dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)) >= 0.8
               ORDER BY probe_id, match_id""")),
 
+    // Chunk-granularity BM25 passage retrieval — the RAG retrieval shape
+    // (chunk -> index -> query -> top passages) as one declared query:
+    // documents chunk into the q_chunk_windows geometry (32-word windows,
+    // stride 16, codegen WordWindows), BM25 runs over CHUNKS (document
+    // length/df statistics at passage granularity — what a passage store
+    // actually indexes), and the top-10 passages return as (doc, chunk)
+    // coordinates. Same determinism conventions as q_bm25 (fixed query
+    // terms, one IEEE tree per term, fixed-order coalesced sum); same
+    // plan shape (df/stats broadcast, corpus-sized shuffles are the
+    // chunk-tf and chunk-dl aggregations only, TakeOrderedAndProject
+    // tail). The chunk tf relation persists for its four consumers and
+    // unpersists after the checkpoint (the tfidf_cosine pattern). At
+    // 100 TB chunking multiplies rows ~2x at stride k/2 — the passage
+    // index is the thing a production retrieval lake stores
+    // (TextIndexStore's layout applies unchanged at chunk granularity).
+    Q("q_passage_search",
+      (s, dir) => {
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(
+            graft.functions.TextFunctions.wordWindows(col("text"), 32, 16)))
+          .toDF("doc_id", "cidx", "ctext")
+          .withColumn("cidx", col("cidx").cast(LongType))
+        val tf = chunks.select(col("doc_id"), col("cidx"),
+            explode(split(col("ctext"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("doc_id"), col("cidx"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .persist()
+        val dl = tf.groupBy(col("doc_id"), col("cidx"))
+          .agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_chunks"),
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val tfq = tf.filter(col("term").isin("sort", "stream", "data"))
+        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scored = tfq.join(broadcast(dfq), Seq("term"))
+          .join(dl, Seq("doc_id", "cidx"))
+          .crossJoin(broadcast(stats))
+          .withColumn("score",
+            col("tf") * 2.2 / (col("tf") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+              * ((col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5)))
+        val out = scored.groupBy(col("doc_id"), col("cidx"))
+          .agg(max(when(col("term") === "sort", col("score"))).as("s1"),
+            max(when(col("term") === "stream", col("score"))).as("s2"),
+            max(when(col("term") === "data", col("score"))).as("s3"))
+          .withColumn("bm25",
+            coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+              + coalesce(col("s3"), lit(0.0)))
+          .select(col("doc_id"), col("cidx"), col("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"), col("cidx"))
+          .limit(10)
+          .localCheckpoint()
+        tf.unpersist()
+        out
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                   x AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+                   chunks AS (SELECT doc_id, j AS cidx,
+                                     array_to_string(ws[j*16+1 : j*16+32], ' ') AS ctext
+                              FROM x, LATERAL (SELECT unnest(range(0,
+                                CASE WHEN n <= 32 THEN 1
+                                     ELSE CAST(ceil((n - 32) / 16.0) AS BIGINT) + 1 END)) AS j)),
+                   toks AS (SELECT doc_id, cidx, unnest(string_split(ctext, ' ')) AS term
+                            FROM chunks),
+                   tf AS (SELECT doc_id, cidx, term, count(*) AS tf
+                          FROM toks WHERE term <> '' GROUP BY 1, 2, 3),
+                   dl AS (SELECT doc_id, cidx, SUM(tf) AS dl FROM tf GROUP BY 1, 2),
+                   stats AS (SELECT COUNT(*) AS n_chunks,
+                                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+                   dfq AS (SELECT term, count(*) AS df FROM tf
+                           WHERE term IN ('sort', 'stream', 'data') GROUP BY 1),
+                   scored AS (SELECT tf.doc_id, tf.cidx, tf.term,
+                                     tf.tf * 2.2::DOUBLE / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl / stats.avgdl)))
+                                       * ((stats.n_chunks - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) AS score
+                              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id, cidx), stats)
+              SELECT doc_id, cidx,
+                     COALESCE(MAX(CASE WHEN term = 'sort' THEN score END), 0.0::DOUBLE)
+                       + COALESCE(MAX(CASE WHEN term = 'stream' THEN score END), 0.0::DOUBLE)
+                       + COALESCE(MAX(CASE WHEN term = 'data' THEN score END), 0.0::DOUBLE) AS bm25
+              FROM scored GROUP BY 1, 2
+              ORDER BY bm25 DESC, doc_id, cidx LIMIT 10""")),
+
     // TRAINABLE quality classifier — multinomial Naive Bayes with add-one
     // smoothing, the CCNet/fastText-style "curated vs web" filter trained
     // IN-ENGINE by distant supervision (positive class = the curated
