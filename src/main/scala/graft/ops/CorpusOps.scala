@@ -928,43 +928,10 @@ object CorpusOps {
     // (TextIndexStore's layout applies unchanged at chunk granularity).
     Q("q_passage_search",
       (s, dir) => {
-        val chunks = t(s, dir, "documents")
-          .select(col("doc_id"), posexplode(
-            graft.functions.TextFunctions.wordWindows(col("text"), 32, 16)))
-          .toDF("doc_id", "cidx", "ctext")
-          .withColumn("cidx", col("cidx").cast(LongType))
-        val tf = chunks.select(col("doc_id"), col("cidx"),
-            explode(split(col("ctext"), " ")).as("term"))
-          .filter(col("term") =!= "")
-          .groupBy(col("doc_id"), col("cidx"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-          .persist()
-        val dl = tf.groupBy(col("doc_id"), col("cidx"))
-          .agg(sum(col("tf")).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_chunks"),
-          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-        val tfq = tf.filter(col("term").isin("sort", "stream", "data"))
-        val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val scored = tfq.join(broadcast(dfq), Seq("term"))
-          .join(dl, Seq("doc_id", "cidx"))
-          .crossJoin(broadcast(stats))
-          .withColumn("score",
-            col("tf") * 2.2 / (col("tf") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
-              * ((col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5)))
-        val out = scored.groupBy(col("doc_id"), col("cidx"))
-          .agg(max(when(col("term") === "sort", col("score"))).as("s1"),
-            max(when(col("term") === "stream", col("score"))).as("s2"),
-            max(when(col("term") === "data", col("score"))).as("s3"))
-          .withColumn("bm25",
-            coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
-              + coalesce(col("s3"), lit(0.0)))
-          .select(col("doc_id"), col("cidx"), col("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"), col("cidx"))
-          .limit(10)
-          .localCheckpoint()
+        val (out, tf) = passageSearchPipeline(s, dir)
+        val res = out.localCheckpoint()
         tf.unpersist()
-        out
+        res
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
                    x AS (SELECT doc_id, ws, len(ws) AS n FROM w),
@@ -1170,6 +1137,52 @@ object CorpusOps {
         (col("prior") + col("sum9")).cast(DoubleType).as("score"),
         ((col("prior") + col("sum9")) > 0).as("pred_curated"),
         col("curated"))
+  }
+
+  /** The passage-retrieval pipeline PRE-checkpoint — factored out of
+    * q_passage_search (the pagerankRanks convention) so PlanShapeSpec can
+    * pin the broadcast/TakeOrdered shape that the Q's localCheckpoint
+    * would otherwise hide behind an RDD scan. Returns (result, the
+    * persisted chunk-tf relation the caller must unpersist after
+    * materializing).
+    */
+  private[graft] def passageSearchPipeline(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.wordWindows(col("text"), 32, 16)))
+      .toDF("doc_id", "cidx", "ctext")
+      .withColumn("cidx", col("cidx").cast(LongType))
+    val tf = chunks.select(col("doc_id"), col("cidx"),
+        explode(split(col("ctext"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("cidx"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id"), col("cidx"))
+      .agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_chunks"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tfq = tf.filter(col("term").isin("sort", "stream", "data"))
+    val dfq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tfq.join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id", "cidx"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        col("tf") * 2.2 / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+          * ((col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5)))
+    val out = scored.groupBy(col("doc_id"), col("cidx"))
+      .agg(max(when(col("term") === "sort", col("score"))).as("s1"),
+        max(when(col("term") === "stream", col("score"))).as("s2"),
+        max(when(col("term") === "data", col("score"))).as("s3"))
+      .withColumn("bm25",
+        coalesce(col("s1"), lit(0.0)) + coalesce(col("s2"), lit(0.0))
+          + coalesce(col("s3"), lit(0.0)))
+      .select(col("doc_id"), col("cidx"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("cidx"))
+      .limit(10)
+    (out, tf)
   }
 
   /** Label rule for the NB distant supervision: sources src0-src4 are the

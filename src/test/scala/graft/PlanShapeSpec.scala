@@ -263,6 +263,24 @@ class PlanShapeSpec extends SparkSpec {
       "corpus token stream shuffled to meet the model:\n" + p.take(1200))
   }
 
+  test("q_passage_search: df/stats broadcast; top-10 is TakeOrdered, not a global sort") {
+    // pre-checkpoint pipeline (the pagerankRanks convention): the Q's
+    // localCheckpoint would hide the shape behind an RDD scan
+    val (out, tf) = ops.CorpusOps.passageSearchPipeline(spark, sf0001)
+    val p = out.queryExecution.executedPlan.toString
+    tf.unpersist()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "chunk-level df/stats must broadcast:\n" + p.take(800))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 passages must plan O(k), not a global sort:\n" + p.take(800))
+  }
+
+  test("q_clip_gate: pair join stays hash-shuffle/broadcast, never a cartesian") {
+    val p = plan("q_clip_gate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the image/caption pair join must be an equi-join:\n" + p.take(800))
+  }
+
   test("q_nb_train: label is row-local — training plans zero joins") {
     val p = plan("q_nb_train")
     // one tiny totals broadcast is allowed; a HASH join would mean the
