@@ -1555,7 +1555,11 @@ object TextDedup {
           .filter(expr("size(split(text, ' '))") >= 3)
         // 7 deterministic variants per base doc: vidx 0..5 keep the
         // first ceil(n * (9 + 2*vidx)/20.0) words (45%..95%); vidx 6 is
-        // the document itself. Prefix truncation moves shingle Jaccard
+        // the document itself. The divisor is an EXPLICIT double cast on
+        // both engines: Spark parses a bare `20.0` literal as DECIMAL,
+        // making the fraction exact (ceil(100 x 0.55) = 55) where
+        // DuckDB's double gives 55.000000000000007 -> 56 — a boundary
+        // divergence that surfaced as one sf0.1 pair switching deciles. Prefix truncation moves shingle Jaccard
         // smoothly through the deciles.
         val variants = base
           .select(col("doc_id").as("base"), col("text"),
@@ -1564,7 +1568,7 @@ object TextDedup {
             """CASE WHEN vidx = 6 THEN text
                     ELSE concat_ws(' ', slice(split(text, ' '), 1,
                            cast(ceil(size(split(text, ' '))
-                             * ((9 + 2 * vidx) / 20.0)) as int)))
+                             * ((9 + 2 * vidx) / cast(20 as double))) as int)))
                END"""))
           .select(col("base"), col("vidx"),
             (col("base") * 7 + col("vidx")).as("vid"), col("vtext"))
@@ -1640,7 +1644,7 @@ object TextDedup {
                        CASE WHEN vidx = 6 THEN text
                             ELSE array_to_string(string_split(text, ' ')[1 :
                                    CAST(ceil(len(string_split(text, ' '))
-                                     * ((9 + 2 * vidx) / 20.0)) AS INT)], ' ')
+                                     * ((9 + 2 * vidx) / CAST(20 AS DOUBLE))) AS INT)], ' ')
                        END AS vtext
                 FROM (SELECT base, text, unnest(range(0, 7)) AS vidx
                       FROM basedocs)),
