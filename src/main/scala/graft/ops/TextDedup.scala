@@ -1549,88 +1549,21 @@ object TextDedup {
     // cost, not a plan change.
     Q("q_lsh_recall",
       (s, dir) => {
-        val bands = 8; val rows = 2
-        val base = t(s, dir, "documents")
-          .filter(col("doc_id") % 2 === 0)
-          .filter(expr("size(split(text, ' '))") >= 3)
-        // 7 deterministic variants per base doc: vidx 0..5 keep the
-        // first ceil(n * (9 + 2*vidx)/20.0) words (45%..95%); vidx 6 is
-        // the document itself. The divisor is an EXPLICIT double cast on
-        // both engines: Spark parses a bare `20.0` literal as DECIMAL,
-        // making the fraction exact (ceil(100 x 0.55) = 55) where
-        // DuckDB's double gives 55.000000000000007 -> 56 — a boundary
-        // divergence that surfaced as one sf0.1 pair switching deciles. Prefix truncation moves shingle Jaccard
-        // smoothly through the deciles.
-        val variants = base
-          .select(col("doc_id").as("base"), col("text"),
-            explode(expr("sequence(0, 6)")).as("vidx"))
-          .withColumn("vtext", expr(
-            """CASE WHEN vidx = 6 THEN text
-                    ELSE concat_ws(' ', slice(split(text, ' '), 1,
-                           cast(ceil(size(split(text, ' '))
-                             * ((9 + 2 * vidx) / cast(20 as double))) as int)))
-               END"""))
-          .select(col("base"), col("vidx"),
-            (col("base") * 7 + col("vidx")).as("vid"), col("vtext"))
-        // string shingles — the portable family hashes the strings
-        // directly, so the oracle sees identical md5 inputs. Codegen
-        // WordWindows(3, stride 1) IS the sliding 3-word shingle set
-        // incl. the <3-word whole-text fallback (the interpreted
-        // transform/slice form re-split vtext per element: O(words²)
-        // splits per row, the dominant cost of the first cut)
-        val sh = variants.withColumn("sh",
-            array_distinct(graft.functions.TextFunctions
-              .wordWindows(col("vtext"), 3, 1)))
-          // long-shingle twin of `sh` for the truth kernel (same sets)
-          .withColumn("hsh", array_sort(
-            graft.functions.TextFunctions.shingleHashes(col("vtext"))))
+        val sh = lshCalibShingled(s, dir)
           // signature + band keys in ONE codegen array walk per row
           // (functions.Md5MinhashBandKeys — the declarative nested-HOF
           // form of the same arithmetic ran interpreted at 21 s sf0.1).
           // Computed INTO the persisted relation: the bucket self-join
-          // below references the band keys three times (count, both join
+          // references the band keys three times (count, both join
           // sides), and outside the cache each reference re-ran the full
           // md5 pass (measured 3x ~1.9 s of the first cut's cost)
           .withColumn("keys", graft.functions.TextFunctions
-            .md5MinhashBandKeys(col("sh"), bands, rows))
+            .md5MinhashBandKeys(col("sh"), 8, 2))
           .select(col("base"), col("vidx"), col("vid"), col("hsh"), col("keys"))
           .persist() // band keys AND truth pairs re-read it
-        val bandkeys = sh.select(col("vid"), posexplode(col("keys")))
-          .toDF("vid", "band", "bh")
-        val ok = bandkeys.groupBy(col("band"), col("bh"))
-          .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
-          .select(col("band"), col("bh"))
-        val pruned = bandkeys.join(broadcast(ok), Seq("band", "bh"))
-        val cand = pruned.as("x").join(pruned.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.vid") < col("y.vid"))
-          .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"))
-          .distinct()
-        // truth-side Jaccard over the SAME shingle sets, via the
-        // allocation-free sorted-long kernel (the minhashPairs
-        // convention: xxhash64-of-shingle Jaccard == string-shingle
-        // Jaccard collision-free, and the oracle keeps the string form) —
-        // string-array array_intersect built a UTF8String hash set per
-        // pair here
-        val a = sh.select(col("base"), col("vidx").as("via"),
-          col("vid").as("a_id"), col("hsh").as("sa"))
-        val b = sh.select(col("base"), col("vidx").as("vib"),
-          col("vid").as("b_id"), col("hsh").as("sb"))
-        val truth = a.join(b, Seq("base")).filter(col("via") < col("vib"))
-          .withColumn("c", graft.functions.TextFunctions
-            .sortedIntersectCount(col("sa"), col("sb")).cast(LongType))
-          .withColumn("jaccard", col("c").cast(DoubleType) /
-            (size(col("sa")) + size(col("sb")) - col("c")))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-        val out = truth
-          .join(cand.withColumn("found", lit(1L)), Seq("a_id", "b_id"), "left")
-          .withColumn("found", coalesce(col("found"), lit(0L)))
-          .groupBy(expr("CAST(floor(jaccard * 10) / 10 AS DOUBLE)")
-            .as("j_bucket"))
-          .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
-          .withColumn("recall",
-            col("n_found").cast(DoubleType) / col("n_true"))
+        val cand = lshBandCandidates(
+          sh.select(col("vid"), posexplode(col("keys"))).toDF("vid", "band", "bh"))
+        val out = lshRecallBuckets(lshCalibTruth(sh), cand)
           .orderBy(col("j_bucket"))
           .localCheckpoint()
         sh.unpersist()
@@ -1694,6 +1627,212 @@ object TextDedup {
                      COUNT(*) AS n_true,
                      CAST(SUM(found) AS BIGINT) AS n_found,
                      CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall
-              FROM j GROUP BY 1 ORDER BY 1"""))
+              FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // GEOMETRY SWEEP of the recall measurement — the actual calibration
+    // table a dedup team reads before fixing (bands x rows) for a 100 TB
+    // run: the SAME 16-slot portable signature sliced three ways (16x1 /
+    // 8x2 / 4x4 — all geometries consume exactly sig[0..15], so the
+    // signature cost is paid once per geometry call and the comparison is
+    // apples-to-apples), each geometry's banded candidates measured
+    // against ONE shared exact-truth pass. The measured contrast IS the
+    // 1-(1-j^r)^b family: 16x1 recalls ~everything from j 0.4 up (r=1 is
+    // the high-recall/low-precision end), 8x2 gives the production curve,
+    // 4x4 collapses below j~0.7 (r=4 is the high-precision end) — as
+    // hash-checked numbers, not formulas. Same skew guard inside every
+    // geometry's measurement.
+    Q("q_lsh_geometry",
+      (s, dir) => {
+        val geoms = Seq((16, 1, "k16"), (8, 2, "k8"), (4, 4, "k4"))
+        val sh = geoms.foldLeft(lshCalibShingled(s, dir)) {
+            case (df, (b, r, kc)) =>
+              df.withColumn(kc, graft.functions.TextFunctions
+                .md5MinhashBandKeys(col("sh"), b, r))
+          }
+          .select(col("base") +: col("vidx") +: col("vid") +: col("hsh") +:
+            geoms.map(g => col(g._3)): _*)
+          .persist()
+        val truth = lshCalibTruth(sh).persist()
+        truth.count() // materialize before the three geometry joins
+        val out = geoms.map { case (b, r, kc) =>
+            val cand = lshBandCandidates(
+              sh.select(col("vid"), posexplode(col(kc)))
+                .toDF("vid", "band", "bh"))
+            lshRecallBuckets(truth, cand)
+              .withColumn("n_bands", lit(b))
+              .withColumn("n_rows", lit(r))
+              .select(col("n_bands"), col("n_rows"), col("j_bucket"),
+                col("n_true"), col("n_found"), col("recall"))
+          }
+          .reduce(_ unionAll _)
+          .orderBy(col("n_bands").desc, col("j_bucket"))
+          .localCheckpoint()
+        truth.unpersist(); sh.unpersist()
+        out
+      },
+      Some("""WITH basedocs AS (
+                SELECT doc_id AS base, text FROM documents
+                WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
+              vars AS (
+                SELECT base, vidx, base * 7 + vidx AS vid,
+                       CASE WHEN vidx = 6 THEN text
+                            ELSE array_to_string(string_split(text, ' ')[1 :
+                                   CAST(ceil(len(string_split(text, ' '))
+                                     * ((9 + 2 * vidx) / CAST(20 AS DOUBLE))) AS INT)], ' ')
+                       END AS vtext
+                FROM (SELECT base, text, unnest(range(0, 7)) AS vidx
+                      FROM basedocs)),
+              sh AS (
+                SELECT base, vidx, vid,
+                       CASE WHEN len(string_split(vtext, ' ')) >= 3
+                            THEN list_distinct(list_transform(
+                                   range(1, len(string_split(vtext, ' ')) - 1),
+                                   i -> string_split(vtext, ' ')[i] || ' ' ||
+                                        string_split(vtext, ' ')[i+1] || ' ' ||
+                                        string_split(vtext, ' ')[i+2]))
+                            ELSE [vtext] END AS sh
+                FROM vars),
+              sig AS (
+                SELECT vid,
+                       list_transform(range(0, 16),
+                         i -> list_aggregate(list_transform(sh,
+                                x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                FROM sh),
+              bk16 AS (
+                SELECT vid, b AS band,
+                       md5(array_to_string(sig[b+1 : b+1], ',')) AS bh
+                FROM (SELECT vid, sig, unnest(range(0, 16)) AS b FROM sig)),
+              bk8 AS (
+                SELECT vid, b AS band,
+                       md5(array_to_string(sig[b*2+1 : b*2+2], ',')) AS bh
+                FROM (SELECT vid, sig, unnest(range(0, 8)) AS b FROM sig)),
+              bk4 AS (
+                SELECT vid, b AS band,
+                       md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bh
+                FROM (SELECT vid, sig, unnest(range(0, 4)) AS b FROM sig)),
+              ok16 AS (SELECT band, bh FROM bk16 GROUP BY 1, 2 HAVING count(*) <= 64),
+              ok8 AS (SELECT band, bh FROM bk8 GROUP BY 1, 2 HAVING count(*) <= 64),
+              ok4 AS (SELECT band, bh FROM bk4 GROUP BY 1, 2 HAVING count(*) <= 64),
+              c16 AS (SELECT DISTINCT x.vid AS a_id, y.vid AS b_id
+                      FROM (SELECT k.* FROM bk16 k JOIN ok16 USING (band, bh)) x
+                      JOIN (SELECT k.* FROM bk16 k JOIN ok16 USING (band, bh)) y
+                        ON x.band = y.band AND x.bh = y.bh AND x.vid < y.vid),
+              c8 AS (SELECT DISTINCT x.vid AS a_id, y.vid AS b_id
+                     FROM (SELECT k.* FROM bk8 k JOIN ok8 USING (band, bh)) x
+                     JOIN (SELECT k.* FROM bk8 k JOIN ok8 USING (band, bh)) y
+                       ON x.band = y.band AND x.bh = y.bh AND x.vid < y.vid),
+              c4 AS (SELECT DISTINCT x.vid AS a_id, y.vid AS b_id
+                     FROM (SELECT k.* FROM bk4 k JOIN ok4 USING (band, bh)) x
+                     JOIN (SELECT k.* FROM bk4 k JOIN ok4 USING (band, bh)) y
+                       ON x.band = y.band AND x.bh = y.bh AND x.vid < y.vid),
+              truth AS (
+                SELECT a.vid AS a_id, b.vid AS b_id,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))) AS jaccard
+                FROM sh a JOIN sh b
+                  ON a.base = b.base AND a.vidx < b.vidx
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh)
+                           - len(list_intersect(a.sh, b.sh))) >= 0.4),
+              g AS (
+                SELECT 16 AS n_bands, 1 AS n_rows, t.jaccard,
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS found
+                FROM truth t LEFT JOIN c16 c
+                  ON t.a_id = c.a_id AND t.b_id = c.b_id
+                UNION ALL
+                SELECT 8, 2, t.jaccard,
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END
+                FROM truth t LEFT JOIN c8 c
+                  ON t.a_id = c.a_id AND t.b_id = c.b_id
+                UNION ALL
+                SELECT 4, 4, t.jaccard,
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END
+                FROM truth t LEFT JOIN c4 c
+                  ON t.a_id = c.a_id AND t.b_id = c.b_id)
+              SELECT n_bands, n_rows,
+                     CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS j_bucket,
+                     COUNT(*) AS n_true,
+                     CAST(SUM(found) AS BIGINT) AS n_found,
+                     CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall
+              FROM g GROUP BY 1, 2, 3
+              ORDER BY n_bands DESC, j_bucket"""))
   )
+
+  /** Shared calibration fixture of the LSH-recall family: the synthesized
+    * similarity spectrum (7 prefix variants per even-id doc, Jaccard
+    * ~0.45-0.95 — the q_pii_scrub real-matches convention) with string
+    * shingles for the portable md5 banding and the sorted-long twin for
+    * the truth kernel. The fraction divisor is an EXPLICIT double cast
+    * on both engines: Spark parses a bare `20.0` literal as DECIMAL,
+    * making the fraction exact (ceil(100 x 0.55) = 55) where DuckDB's
+    * double gives 55.000000000000007 -> 56 — a boundary divergence that
+    * surfaced as one sf0.1 pair switching deciles.
+    */
+  private def lshCalibShingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .filter(expr("size(split(text, ' '))") >= 3)
+      .select(col("doc_id").as("base"), col("text"),
+        explode(expr("sequence(0, 6)")).as("vidx"))
+      .withColumn("vtext", expr(
+        """CASE WHEN vidx = 6 THEN text
+                ELSE concat_ws(' ', slice(split(text, ' '), 1,
+                       cast(ceil(size(split(text, ' '))
+                         * ((9 + 2 * vidx) / cast(20 as double))) as int)))
+           END"""))
+      .select(col("base"), col("vidx"),
+        (col("base") * 7 + col("vidx")).as("vid"), col("vtext"))
+      // codegen WordWindows(3, stride 1) IS the sliding 3-word shingle
+      // set incl. the <3-word whole-text fallback (the interpreted
+      // transform/slice form re-split vtext per element: O(words^2))
+      .withColumn("sh", array_distinct(graft.functions.TextFunctions
+        .wordWindows(col("vtext"), 3, 1)))
+      // long-shingle twin for the truth kernel (same sets)
+      .withColumn("hsh", array_sort(
+        graft.functions.TextFunctions.shingleHashes(col("vtext"))))
+
+  /** Banded candidate pairs from (vid, band, bh) keys, with the bucket
+    * skew guard — the production candidate generator under measurement.
+    */
+  private def lshBandCandidates(bandkeys: DataFrame): DataFrame = {
+    val ok = bandkeys.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucketSize)
+      .select(col("band"), col("bh"))
+    val pruned = bandkeys.join(broadcast(ok), Seq("band", "bh"))
+    pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact-truth pairs (Jaccard >= 0.4) within each variant group, via
+    * the allocation-free sorted-long kernel (xxhash64-of-shingle Jaccard
+    * == string-shingle Jaccard collision-free; the oracle keeps strings).
+    */
+  private def lshCalibTruth(sh: DataFrame): DataFrame = {
+    val a = sh.select(col("base"), col("vidx").as("via"),
+      col("vid").as("a_id"), col("hsh").as("sa"))
+    val b = sh.select(col("base"), col("vidx").as("vib"),
+      col("vid").as("b_id"), col("hsh").as("sb"))
+    a.join(b, Seq("base")).filter(col("via") < col("vib"))
+      .withColumn("c", graft.functions.TextFunctions
+        .sortedIntersectCount(col("sa"), col("sb")).cast(LongType))
+      .withColumn("jaccard", col("c").cast(DoubleType) /
+        (size(col("sa")) + size(col("sb")) - col("c")))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Per-decile (n_true, n_found, recall) of truth vs candidates. */
+  private def lshRecallBuckets(truth: DataFrame, cand: DataFrame): DataFrame =
+    truth
+      .join(cand.withColumn("found", lit(1L)), Seq("a_id", "b_id"), "left")
+      .withColumn("found", coalesce(col("found"), lit(0L)))
+      .groupBy(expr("CAST(floor(jaccard * 10) / 10 AS DOUBLE)")
+        .as("j_bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("found")).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast(DoubleType) / col("n_true"))
 }
