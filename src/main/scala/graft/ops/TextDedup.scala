@@ -1644,7 +1644,13 @@ object TextDedup {
     Q("q_lsh_geometry",
       (s, dir) => {
         val geoms = Seq((16, 1, "k16"), (8, 2, "k8"), (4, 4, "k4"))
-        val sh = geoms.foldLeft(lshCalibShingled(s, dir)) {
+        // calibration runs on a QUARTER sample (every 4th doc), not the
+        // full corpus: a geometry sweep is a sampling exercise — the
+        // recall/price ratios are per-pair properties — and the 16x1
+        // end's candidate flood (1.4M pairs on the half-corpus at sf0.1,
+        // 21x the 8x2 volume) is exactly the behavior being priced, so
+        // the query reports it (n_cand) instead of paying it corpus-wide
+        val sh = geoms.foldLeft(lshCalibShingled(s, dir, everyNth = 4)) {
             case (df, (b, r, kc)) =>
               df.withColumn(kc, graft.functions.TextFunctions
                 .md5MinhashBandKeys(col("sh"), b, r))
@@ -1657,22 +1663,26 @@ object TextDedup {
         val out = geoms.map { case (b, r, kc) =>
             val cand = lshBandCandidates(
               sh.select(col("vid"), posexplode(col(kc)))
-                .toDF("vid", "band", "bh"))
-            lshRecallBuckets(truth, cand)
+                .toDF("vid", "band", "bh")).persist()
+            val nCand = cand.agg(count(lit(1)).as("n_cand"))
+            val res = lshRecallBuckets(truth, cand)
+              .crossJoin(broadcast(nCand))
               .withColumn("n_bands", lit(b))
               .withColumn("n_rows", lit(r))
               .select(col("n_bands"), col("n_rows"), col("j_bucket"),
-                col("n_true"), col("n_found"), col("recall"))
+                col("n_true"), col("n_found"), col("recall"), col("n_cand"))
+              .localCheckpoint()
+            cand.unpersist()
+            res
           }
           .reduce(_ unionAll _)
           .orderBy(col("n_bands").desc, col("j_bucket"))
-          .localCheckpoint()
         truth.unpersist(); sh.unpersist()
         out
       },
       Some("""WITH basedocs AS (
                 SELECT doc_id AS base, text FROM documents
-                WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
+                WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 3),
               vars AS (
                 SELECT base, vidx, base * 7 + vidx AS vid,
                        CASE WHEN vidx = 6 THEN text
@@ -1737,24 +1747,28 @@ object TextDedup {
                            - len(list_intersect(a.sh, b.sh))) >= 0.4),
               g AS (
                 SELECT 16 AS n_bands, 1 AS n_rows, t.jaccard,
-                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS found
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS found,
+                       (SELECT count(*) FROM c16) AS n_cand
                 FROM truth t LEFT JOIN c16 c
                   ON t.a_id = c.a_id AND t.b_id = c.b_id
                 UNION ALL
                 SELECT 8, 2, t.jaccard,
-                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END,
+                       (SELECT count(*) FROM c8)
                 FROM truth t LEFT JOIN c8 c
                   ON t.a_id = c.a_id AND t.b_id = c.b_id
                 UNION ALL
                 SELECT 4, 4, t.jaccard,
-                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END
+                       CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END,
+                       (SELECT count(*) FROM c4)
                 FROM truth t LEFT JOIN c4 c
                   ON t.a_id = c.a_id AND t.b_id = c.b_id)
               SELECT n_bands, n_rows,
                      CAST(floor(jaccard * 10) / 10 AS DOUBLE) AS j_bucket,
                      COUNT(*) AS n_true,
                      CAST(SUM(found) AS BIGINT) AS n_found,
-                     CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall
+                     CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall,
+                     CAST(MAX(n_cand) AS BIGINT) AS n_cand
               FROM g GROUP BY 1, 2, 3
               ORDER BY n_bands DESC, j_bucket"""))
   )
@@ -1769,10 +1783,16 @@ object TextDedup {
     * double gives 55.000000000000007 -> 56 — a boundary divergence that
     * surfaced as one sf0.1 pair switching deciles.
     */
-  private def lshCalibShingled(s: SparkSession, dir: String): DataFrame =
+  private def lshCalibShingled(s: SparkSession, dir: String,
+      everyNth: Int = 2): DataFrame =
     t(s, dir, "documents")
-      .filter(col("doc_id") % 2 === 0)
+      .filter(col("doc_id") % everyNth === 0)
       .filter(expr("size(split(text, ' '))") >= 3)
+      // the sampled corpus may be one file split — without this the
+      // whole signature pass (the md5-heavy map) runs on ONE thread
+      // (the minhashPairs repartition note; measured 4.5 s -> ~0.6 s
+      // for the 3-geometry persist at sf0.1)
+      .repartition()
       .select(col("doc_id").as("base"), col("text"),
         explode(expr("sequence(0, 6)")).as("vidx"))
       .withColumn("vtext", expr(
