@@ -28,7 +28,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // property async LPA lacks); q_label_prop needs sf0.01 like pagerank
     // (sf0.001 forms no co-occurrence edges)
     "q_nb_train" -> sf0001, "q_nb_score" -> sf0001, "q_nb_eval" -> sf0001,
-    "q_lsh_recall" -> sf0001, "q_label_prop" -> sf001)
+    "q_lsh_recall" -> sf0001, "q_lsh_geometry" -> sf0001,
+    "q_label_prop" -> sf001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
