@@ -364,11 +364,15 @@ object BpeEncodeTokens {
   * loop is the DESIGNED scale path, not a shortcut: training operates on
   * the corpus's WORD HISTOGRAM (distinct word → occurrence count), never
   * on documents. The histogram is produced by one distributed
-  * aggregation (map-side-combined, the only corpus pass); its size is
-  * the distinct-word-form count — bounded like a centroid table, a few
-  * MB even at 100 TB of text — and each merge round is then O(vocab)
-  * on the driver, which is exactly how reference trainers
-  * (subword-nmt, HF tokenizers) structure it.
+  * aggregation (map-side-combined, the only corpus pass). Its raw size
+  * is NOT bounded — distinct word forms on web text (typos,
+  * concatenations, romanized foreign text) run to hundreds of millions —
+  * so the collect is only safe behind a count floor + top-N cap applied
+  * INSIDE the aggregation (TextOps.bpeWordHistogram; [[capHistogram]] is
+  * the pure form BpeSpec pins): standard practice (subword-nmt's
+  * --min-frequency, HF trainers' limits), and training is invariant to
+  * histogram order so the cap's sort changes nothing when nothing is
+  * cut. Each merge round is then O(kept vocab) on the driver.
   *
   * Per round: count every adjacent token pair once per occurrence
   * (weighted by word count, overlaps counted per position), pick the
@@ -383,6 +387,20 @@ object BpeEncodeTokens {
   * q_bpe_encode machinery), so training sits on the hard gate.
   */
 object BpeTrainer {
+
+  /** The pure form of the histogram bound (the DataFrame form lives in
+    * TextOps.bpeWordHistogram where it runs inside the distributed
+    * aggregation): drop words below `minCount`, keep the top `maxWords`
+    * by (count DESC, word ASC) — the deterministic total order a
+    * TakeOrderedAndProject realizes. BpeSpec pins that training on the
+    * capped histogram equals training on the full one whenever nothing
+    * is actually cut (train is order-invariant).
+    */
+  def capHistogram(hist: Seq[(String, Long)], minCount: Long,
+      maxWords: Int): Seq[(String, Long)] =
+    hist.filter(_._2 >= minCount)
+      .sortBy { case (w, c) => (-c, w) }
+      .take(maxWords)
 
   /** Left-to-right non-overlapping application of one merge. */
   def applyMerge(toks: Array[String], a: String, b: String): Array[String] = {

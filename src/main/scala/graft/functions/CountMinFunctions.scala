@@ -196,13 +196,37 @@ object CmsFunctions {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.call_function
 
+  /** Parse the advertised optional [depth, width] literals (the
+    * KllFunctions.literalK convention): 1 argument → the 4x512 default,
+    * 3 arguments → (key, depth, width) with both dims literal ints.
+    * Anything else fails loudly instead of silently sketching at the
+    * default geometry.
+    */
+  private[functions] def literalDims(exprs: Seq[Expression],
+      fn: String): (Int, Int) = exprs.length match {
+    case 1 => (CountMin.DefaultDepth, CountMin.DefaultWidth)
+    case 3 => (exprs(1), exprs(2)) match {
+      case (Literal(d: Int, _), Literal(w: Int, _)) => (d, w)
+      case other => throw new IllegalArgumentException(
+        s"$fn: depth and width must be literal ints, got $other")
+    }
+    case n => throw new IllegalArgumentException(
+      s"$fn takes (value) or (value, depth, width), got $n arguments")
+  }
+
   /** Idempotent per-session registration (same seam as KllFunctions). */
   def register(spark: SparkSession): Unit = {
     val fr = spark.sessionState.functionRegistry
     fr.createOrReplaceTempFunction("cms_agg",
-      exprs => CmsAgg(exprs.head), "built-in")
+      exprs => {
+        val (d, w) = literalDims(exprs, "cms_agg")
+        CmsAgg(exprs.head, d, w)
+      }, "built-in")
     fr.createOrReplaceTempFunction("cms_merge_agg",
-      exprs => CmsMergeAgg(exprs.head), "built-in")
+      exprs => {
+        val (d, w) = literalDims(exprs, "cms_merge_agg")
+        CmsMergeAgg(exprs.head, d, w)
+      }, "built-in")
     fr.createOrReplaceTempFunction("cms_query",
       exprs => CmsQuery(exprs(0), exprs(1)), "built-in")
   }

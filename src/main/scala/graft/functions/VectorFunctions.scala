@@ -519,11 +519,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_agg"),
       new ExpressionInfo(classOf[CmsAgg].getName, "cms_agg"),
-      (exprs: Seq[Expression]) => CmsAgg(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        val (d, w) = CmsFunctions.literalDims(exprs, "cms_agg")
+        CmsAgg(exprs.head, d, w)
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_merge_agg"),
       new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge_agg"),
-      (exprs: Seq[Expression]) => CmsMergeAgg(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        val (d, w) = CmsFunctions.literalDims(exprs, "cms_merge_agg")
+        CmsMergeAgg(exprs.head, d, w)
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cms_query"),
       new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),

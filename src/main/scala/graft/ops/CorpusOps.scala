@@ -1093,8 +1093,19 @@ object CorpusOps {
     * streaming.StreamingNbFilter, whose spec pins streaming scores
     * bit-equal to q_nb_score's.
     */
-  def nbModelNanos(s: SparkSession, dir: String): (Map[String, Long], Long) = {
+  def nbModelNanos(s: SparkSession, dir: String,
+      maxVocab: Int = 1 << 20): (Map[String, Long], Long) = {
+    // same driver-safety bound as the BPE trainer's histogram
+    // (TextOps.bpeWordHistogram): the term vocabulary is unbounded on
+    // web text, so cap the collect at the top `maxVocab` terms by
+    // corpus frequency (deterministic tie-break on term) INSIDE the
+    // plan — a TakeOrderedAndProject, so only kept rows reach the
+    // driver. The default is far above the gate fixture's vocabulary,
+    // so the capped path is bit-identical there (StreamingNbFilterSpec
+    // still pins streamed scores == q_nb_score's).
     val m = nbModel(s, dir)
+      .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("term"))
+      .limit(maxVocab)
       .select(col("term"),
         (col("llr") * lit(1000000000L)).cast(LongType).as("nanos"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1529,8 +1529,10 @@ object TextDedup {
     //      over shingles of md5(i || ':' || shingle), band key = md5 of
     //      the joined row slice. Spark md5 == DuckDB md5, so the oracle
     //      replays the ACTUAL hashes; xxhash64 (the fast production
-    //      family, q_dedup_minhash/SignatureStore) has no DuckDB mirror,
-    //      which is exactly why q_dedup_simhash is a no-oracle row.
+    //      family, q_dedup_minhash/SignatureStore, and SimHash64's
+    //      per-shingle hash) has no DuckDB mirror — which is why
+    //      q_dedup_simhash runs the md5Simhash60 regime on the gate
+    //      while the xxhash64 production path stays spec-pinned.
     //  (2) a SYNTHESIZED similarity spectrum (the q_pii_scrub convention:
     //      real matches, not vacuous ones) — the corpus's planted
     //      near-dups all sit in the 0.9 decile, so each even-id document

@@ -154,6 +154,38 @@ object TextOps {
   /** Merges learned by q_bpe_train (and unrolled by its oracle). */
   private val NumTrainMerges = 12
 
+  /** Bounds on the training word histogram (q_bpe_train /
+    * q_bpe_train_encode): distinct `[a-z]+` forms on real web text run
+    * to hundreds of millions (typos, concatenations, romanized foreign
+    * text), so an unbounded collect() of the histogram is a driver OOM
+    * at 100 TB. Standard tokenizer-training practice (subword-nmt's
+    * --min-frequency, HF tokenizers' vocab limits) bounds it INSIDE the
+    * aggregation: a count floor plus a top-N-by-(count, word) cap — the
+    * cap runs as a distributed TakeOrderedAndProject, so only the kept
+    * rows ever reach the driver. Training is invariant to histogram
+    * ORDER (BpeSpec pins this, plus capped==full when nothing is cut),
+    * and at the gate's corpus (31 distinct forms at sf0.01) nothing is
+    * cut, so the bounded path IS the gate path.
+    */
+  private val TrainMinWordCount = 1L
+  private val TrainMaxVocabWords = 100000
+
+  /** The bounded training histogram: one map-side-combined aggregation,
+    * floor + deterministic top-N cap pushed into the plan, then a
+    * driver collect of at most `maxWords` rows.
+    */
+  def bpeWordHistogram(docs: DataFrame,
+      minCount: Long = TrainMinWordCount,
+      maxWords: Int = TrainMaxVocabWords): Seq[(String, Long)] =
+    docs
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** DuckDB mirror of BPE TRAINING (q_bpe_train): t0 is the word
     * histogram split to characters; each unrolled round counts weighted
     * adjacent pairs (every position, overlaps included), picks the
@@ -903,9 +935,11 @@ object TextOps {
     // subword seam (encode applies a merge table; this LEARNS one from
     // the corpus). Scale shape is the standard trainer's (subword-nmt /
     // HF tokenizers): ONE distributed map-side-combined aggregation
-    // builds the word histogram — the only corpus pass — and the merge
-    // rounds then run on the driver over that bounded structure (distinct
-    // word forms, centroid-table-sized even at 100 TB; see
+    // builds the word histogram — the only corpus pass — bounded by a
+    // count floor + top-N cap INSIDE the plan (bpeWordHistogram above;
+    // distinct word forms are NOT bounded on web text, so the cap is
+    // what makes the driver collect safe at 100 TB), and the merge
+    // rounds then run on the driver over the capped histogram (see
     // functions.BpeTrainer). Each round: weighted adjacent-pair count,
     // argmax with (count DESC, a, b) deterministic tie-break, left-to-
     // right non-overlapping application. The oracle replays the
@@ -913,11 +947,7 @@ object TextOps {
     // NumTrainMerges constant.
     Q("q_bpe_train",
       (s, dir) => {
-        val hist = t(s, dir, "documents")
-          .select(explode(
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val hist = bpeWordHistogram(t(s, dir, "documents"))
         val merges = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
         import s.implicits._
         merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
@@ -935,11 +965,7 @@ object TextOps {
     // SQL statement, hash-matched.
     Q("q_bpe_train_encode",
       (s, dir) => {
-        val hist = t(s, dir, "documents")
-          .select(explode(
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val hist = bpeWordHistogram(t(s, dir, "documents"))
         val learned = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
           .map(m => (m._2, m._3))
         t(s, dir, "documents")

@@ -27,12 +27,15 @@ object StoreSwap {
     if (hadOld && !f.rename(root, aside)) { f.delete(tmp, true); return false }
     if (f.rename(tmp, root)) { if (hadOld) f.delete(aside, true); true }
     else {
-      // restore the original tree; if that rename ALSO fails the only
-      // cause is a concurrent builder having already renamed its own
-      // staged tree into `root` — the winner's equivalent tree is live,
-      // so our moved-aside copy is garbage: delete it rather than leak
-      // a full store copy per lost race
-      if (hadOld && !f.rename(aside, root)) f.delete(aside, true)
+      // restore the original tree; if that rename ALSO fails, the
+      // expected cause is a concurrent builder having already renamed
+      // its own staged tree into `root` — but only discard our
+      // moved-aside copy when a replacement tree is VERIFIABLY live at
+      // root (a transient FS failure, not a lost race, must not delete
+      // the only copy of the store; ensure() could rebuild from source,
+      // but that is recovery, not license)
+      if (hadOld && !f.rename(aside, root) && f.exists(root))
+        f.delete(aside, true)
       f.delete(tmp, true)
       false
     }

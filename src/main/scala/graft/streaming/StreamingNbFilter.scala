@@ -46,10 +46,14 @@ object StreamingNbFilter {
     s
   }
 
-  /** The streaming transform: score each document, keep those at or
-    * above `thresholdNanos` (default 0 = the prior-odds decision rule,
-    * matching q_nb_score's pred_curated). Pure map+filter — works on
-    * batch and streaming Datasets alike.
+  /** The streaming transform: score each document, flag those STRICTLY
+    * above `thresholdNanos` (default 0: `score > 0`, exactly q_nb_score's
+    * pred_curated). One deliberate difference from the batch query's
+    * shape: a document with zero model-vocabulary terms is scored
+    * prior-only here (every token contributes 0), whereas q_nb_score's
+    * inner join omits such documents from its output entirely — the
+    * streaming filter must emit a verdict for every document. Pure
+    * map+filter — works on batch and streaming Datasets alike.
     */
   def apply(docs: Dataset[CurationIngestJob.IncomingDoc],
       llrNanos: Map[String, Long], priorNanos: Long,

@@ -176,6 +176,30 @@ object BpeSpec extends Properties("Bpe") {
       }
     }
 
+  private val histGen: Gen[Seq[(String, Long)]] =
+    Gen.listOf(word).map(_.groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }.toSeq)
+
+  property("trainer: invariant to histogram order") =
+    forAll(histGen) { hist =>
+      BpeTrainer.train(hist.reverse, 6) == BpeTrainer.train(hist, 6)
+    }
+
+  property("trainer: capped histogram == full when nothing is cut") =
+    forAll(histGen) { hist =>
+      // the driver-safety bound (TextOps.bpeWordHistogram pushes the same
+      // floor + cap into the distributed aggregation): with a floor of 1
+      // and a cap at/above the vocabulary size nothing is dropped, and
+      // train's order-invariance makes the capped result identical
+      val capped = BpeTrainer.capHistogram(hist, 1L, hist.size + 3)
+      BpeTrainer.train(capped, 6) == BpeTrainer.train(hist, 6)
+    }
+
+  property("trainer: cap keeps the top-N by (count desc, word)") = {
+    val hist = Seq("cc" -> 5L, "aa" -> 2L, "bb" -> 2L, "dd" -> 1L)
+    BpeTrainer.capHistogram(hist, 2L, 2) == Seq("cc" -> 5L, "aa" -> 2L)
+  }
+
   property("trainer: encode with the learned table replays training (fixed corpus)") = {
     // On a deterministic English-ish histogram, encoding a training word
     // with the learned table reproduces the trainer's final tokenization
