@@ -202,6 +202,64 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     }
     ops
   }
+
+  /** FULL-CHARSET pre-tokenization (the GPT-2 byte-level convention,
+    * Radford et al. 2019: nothing in the input is ever dropped) — the
+    * fix for the `[a-z]`-only word class undercounting token budgets on
+    * real web text:
+    *
+    *  1. ASCII-lowercase only (A-Z → a-z; everything else untouched —
+    *     deliberately locale-free, so Spark and the DuckDB oracle's
+    *     `translate` agree on every input).
+    *  2. Maximal `[a-z0-9]+` runs are words → the same heap merge loop
+    *     (digits ride through: the committed tables carry no digit
+    *     pairs, so digits stay single-char tokens until a learned table
+    *     includes them).
+    *  3. ASCII whitespace (space, tab, LF, CR) separates and emits
+    *     nothing.
+    *  4. EVERY other code point falls back to its UTF-8 bytes, one
+    *     `<0xNN>` token per byte (uppercase hex) — punctuation,
+    *     symbols, and non-Latin scripts all count toward budgets
+    *     instead of vanishing.
+    *
+    * Walks by code point (surrogate pairs encode as one unit), so the
+    * byte fallback is exactly the UTF-8 encoding of the text. Returns
+    * the op count (byte tokens cost 1 op each), same contract as
+    * [[encodeDocCounted]]. BpeSpec pins: losslessness (tokens rebuild
+    * the FULL input up to ASCII case), agreement with [[encodeDoc]] on
+    * pure `[a-z ]` text, and linear op count.
+    */
+  def encodeDocFull(text: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Long = {
+    var ops = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        sb.append(c); i += 1
+      } else {
+        if (sb.length > 0) { ops += encodeWord(sb.toString, out); sb.setLength(0) }
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else {
+          val cp = text.codePointAt(i)
+          val bytes = new String(Character.toChars(cp))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var b = 0
+          while (b < bytes.length) {
+            out += f"<0x${bytes(b) & 0xff}%02X>"
+            b += 1
+          }
+          ops += bytes.length
+          i += Character.charCount(cp)
+        }
+      }
+    }
+    if (sb.length > 0) ops += encodeWord(sb.toString, out)
+    ops
+  }
 }
 
 object BpeMerges {
@@ -272,8 +330,8 @@ object BpeCodecs {
   * merge loop in ONE per-row call, codegen'd via the static-call pattern
   * (stays inside whole-stage codegen like the rest of functions/).
   */
-case class BpeEncodeTokens(child: Expression, codecId: String = "fixture")
-    extends UnaryExpression {
+case class BpeEncodeTokens(child: Expression, codecId: String = "fixture",
+    fullCharset: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -281,7 +339,8 @@ case class BpeEncodeTokens(child: Expression, codecId: String = "fixture")
   @transient private lazy val codec = BpeCodecs.byId(codecId)
 
   def computeRow(s: UTF8String): ArrayData =
-    BpeEncodeTokens.compute(codec, s)
+    if (fullCharset) BpeEncodeTokens.computeFull(codec, s)
+    else BpeEncodeTokens.compute(codec, s)
 
   override protected def nullSafeEval(input: Any): Any =
     computeRow(input.asInstanceOf[UTF8String])
@@ -340,6 +399,15 @@ object BpeEncodeTokens {
     new GenericArrayData(out)
   }
 
+  def computeFull(codec: BpeCodec, s: UTF8String): ArrayData = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    codec.encodeDocFull(s.toString, toks)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Column wrapper (same shims path as TextFunctions). */
   def bpeTokens(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
@@ -349,6 +417,14 @@ object BpeEncodeTokens {
   def bpeTokensWith(c: Column, table: Seq[(String, String)]): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeTokensWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c), table))
+
+  /** Full-charset tokens (byte-fallback pre-tokenization, fixture
+    * table) — the budget-accurate tokenizer for real web text.
+    */
+  def bpeTokensFull(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        fullCharset = true))
 
   /** Tokens under the generated 4,096-merge table (q_bpe_encode_big). */
   def bpeTokensBig(c: Column): Column =

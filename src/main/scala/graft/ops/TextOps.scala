@@ -151,6 +151,81 @@ object TextOps {
                  FROM bpe) WHERE rn = 1)"""
   }
 
+  /** The deterministic full-charset test suffix (q_bpe_encode_full):
+    * appended to every document so the fixture corpus — pure `[a-z ]`
+    * text — actually exercises ASCII-case folding ("Qty"), in-word and
+    * standalone digits (doc_id, 42, 100), single-byte punctuation
+    * (# : , % !), and multi-byte UTF-8 (ï U+00EF, é U+00E9, — U+2014).
+    * One string literal shared verbatim by the Spark column and the
+    * DuckDB oracle.
+    */
+  private val FullCharsetSuffix = " Qty:42, naïve café — 100%!"
+
+  /** DuckDB mirror of the FULL-CHARSET BPE encode (q_bpe_encode_full —
+    * BpeCodec.encodeDocFull): ASCII-lower via translate (locale-free on
+    * both engines), segment the text into `[a-z0-9]+` word runs and
+    * single other code points (one ordered regexp pass), run the word
+    * runs through the SAME recursive merge CTE as bpeCte (tagged isf=1;
+    * the old `[a-z]+`-word tokenization rides the same CTE tagged isf=0
+    * so the query can report the exact undercount it fixes), drop ASCII
+    * whitespace segments, and explode every remaining code point into
+    * `<0xNN>` UTF-8 byte tokens — hex(encode(s)) IS the byte-fallback
+    * (uppercase on both engines). Token order is reassembled by segment
+    * position, so first_tokens pins the interleaving, not just counts.
+    */
+  private def bpeCteFull: String = {
+    val ml = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       corp AS (SELECT doc_id,
+                  translate(text || ' #' || doc_id || '$FullCharsetSuffix',
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                    'abcdefghijklmnopqrstuvwxyz') AS t
+                FROM documents),
+       seg AS (SELECT doc_id,
+                 generate_subscripts(regexp_extract_all(t, '[a-z0-9]+|[^a-z0-9]'), 1) AS sid,
+                 unnest(regexp_extract_all(t, '[a-z0-9]+|[^a-z0-9]')) AS s
+               FROM corp),
+       w0 AS (SELECT doc_id, 1 AS isf, sid, s AS word FROM seg
+              WHERE regexp_matches(s, '^[a-z0-9]+$$')
+              UNION ALL
+              SELECT doc_id, 0 AS isf,
+                     generate_subscripts(regexp_extract_all(t, '[a-z]+'), 1) AS sid,
+                     unnest(regexp_extract_all(t, '[a-z]+')) AS word
+              FROM corp),
+       bpe(doc_id, isf, sid, iter, toks) AS (
+         SELECT doc_id, isf, sid, 0, regexp_extract_all(word, '.') FROM w0
+         UNION ALL
+         SELECT doc_id, isf, sid, iter + 1,
+           list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
+                              THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
+                              ELSE list_append(acc, x[1]) END)
+         FROM (SELECT doc_id, isf, sid, iter, toks,
+                 string_split($ml[list_min(list_filter(
+                    list_transform(range(1, len(toks)),
+                      i -> list_position($ml, toks[i] || chr(1) || toks[i+1])),
+                    r -> r > 0))], chr(1)) AS sp
+               FROM bpe)
+         WHERE sp IS NOT NULL
+       ),
+       fin AS (SELECT doc_id, isf, sid, toks FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id, isf, sid ORDER BY iter DESC) rn
+                 FROM bpe) WHERE rn = 1),
+       fb AS (SELECT doc_id, sid,
+                list_transform(range(1, octet_length(encode(s)) + 1),
+                  i -> '<0x' || substr(hex(encode(s)), 2*i - 1, 2) || '>') AS toks
+              FROM seg
+              WHERE NOT regexp_matches(s, '^[a-z0-9]+$$')
+                AND s NOT IN (' ', chr(9), chr(10), chr(13))),
+       strm AS (SELECT doc_id, sid, toks FROM fin WHERE isf = 1
+                UNION ALL SELECT doc_id, sid, toks FROM fb),
+       agg AS (SELECT doc_id, flatten(list(toks ORDER BY sid)) AS tk
+               FROM strm GROUP BY doc_id),
+       oldc AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_letters
+                FROM fin WHERE isf = 0 GROUP BY doc_id)"""
+  }
+
   /** Merges learned by q_bpe_train (and unrolled by its oracle). */
   private val NumTrainMerges = 12
 
@@ -754,6 +829,43 @@ object TextOps {
                      array_to_string((string_split(coalesce(a.full, ''), ' '))[:8], ' ') AS first_tokens
               FROM documents d LEFT JOIN agg a USING (doc_id)
               ORDER BY d.doc_id""")),
+
+    // FULL-CHARSET BPE (BpeCodec.encodeDocFull — the GPT-2 byte-level
+    // convention): digits join words, ASCII case folds, and every other
+    // code point falls back to <0xNN> UTF-8 byte tokens, so NOTHING in
+    // the input stops counting toward token budgets — the fix for the
+    // [a-z]-only word class silently dropping digits, punctuation, and
+    // non-Latin scripts on real web text. The fixture corpus is pure
+    // [a-z ], so a deterministic suffix (FullCharsetSuffix + doc_id,
+    // shared verbatim with the oracle) plants case/digit/punct/
+    // multi-byte content per document; the query reports the
+    // letters-only count beside the full count, making the measured
+    // undercount (the fertility delta) a hash-checked column. Still ONE
+    // codegen per-row call — a pure map at input bandwidth at 100 TB.
+    Q("q_bpe_encode_full",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
+              lit(FullCharsetSuffix)).as("tf"))
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens.bpeTokensFull(col("tf")).as("toks"),
+            graft.functions.BpeEncodeTokens.bpeTokens(col("tf")).as("toks_l"))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens_full"),
+            size(col("toks_l")).cast(LongType).as("n_tokens_letters"),
+            (size(col("toks")) - size(col("toks_l"))).cast(LongType)
+              .as("undercount"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
+          .orderBy(col("doc_id")),
+      Some(s"""$bpeCteFull
+              SELECT a.doc_id,
+                     CAST(len(a.tk) AS BIGINT) AS n_tokens_full,
+                     CAST(coalesce(o.n_letters, 0) AS BIGINT) AS n_tokens_letters,
+                     CAST(len(a.tk) - coalesce(o.n_letters, 0) AS BIGINT) AS undercount,
+                     array_to_string(a.tk[:8], ' ') AS first_tokens
+              FROM agg a LEFT JOIN oldc o USING (doc_id)
+              ORDER BY a.doc_id""")),
 
     // Sequence packing re-pointed at BPE counts — budget-accurate
     // packing: the 256-token training sequences are cut in SUBWORD

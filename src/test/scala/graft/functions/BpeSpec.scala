@@ -148,6 +148,69 @@ object BpeSpec extends Properties("Bpe") {
       toks.mkString == w && toks.zip(toks.tail).forall(p => !ts.contains(p))
     }
 
+  // --- full-charset pre-tokenization (q_bpe_encode_full) ---
+
+  private val anyChr: Gen[Char] = Gen.frequency(
+    4 -> Gen.alphaLowerChar,
+    2 -> Gen.alphaUpperChar,
+    2 -> Gen.numChar,
+    2 -> Gen.oneOf(" \t\n\r".toSeq),
+    2 -> Gen.oneOf("#:,%!.()[]{}'\"@&*-_=+/<>".toSeq),
+    1 -> Gen.oneOf("éïü—№日本¥œß".toSeq))
+  private val anyDoc: Gen[String] = Gen.listOf(anyChr).map(_.mkString)
+
+  private def asciiLower(s: String): String =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+
+  /** Inverse of the byte fallback: <0xNN> runs decode as UTF-8, word
+    * tokens concatenate verbatim.
+    */
+  private def decodeFull(toks: Seq[String]): String = {
+    val sb = new StringBuilder
+    val bytes = ArrayBuffer.empty[Byte]
+    def flush(): Unit = if (bytes.nonEmpty) {
+      sb.append(new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.clear()
+    }
+    toks.foreach { t =>
+      if (t.length == 6 && t.startsWith("<0x") && t.endsWith(">"))
+        bytes += Integer.parseInt(t.substring(3, 5), 16).toByte
+      else { flush(); sb.append(t) }
+    }
+    flush()
+    sb.toString
+  }
+
+  private def encodeFull(d: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    BpeMerges.default.encodeDocFull(d, out)
+    out.toSeq
+  }
+
+  property("full charset: lossless up to ASCII case and whitespace") =
+    forAll(anyDoc) { d =>
+      // decode(tokens) rebuilds the ascii-lowered input with ASCII
+      // whitespace removed — NOTHING else is dropped (the property the
+      // [a-z]-only path lacks by design)
+      decodeFull(encodeFull(d)) ==
+        asciiLower(d).filterNot(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+    }
+
+  property("full charset: agrees with encodeDoc on pure [a-z ] text") =
+    forAll(doc) { d => encodeFull(d) == BpeMerges.default.encodeDoc(d) }
+
+  property("full charset: surrogate pair encodes as one 4-byte fallback") = {
+    val g = new String(Character.toChars(0x1D11E)) // 𝄞 MUSICAL SYMBOL G CLEF
+    encodeFull(g) == Seq("<0xF0>", "<0x9D>", "<0x84>", "<0x9E>")
+  }
+
+  property("full charset: op count linear in doc length") =
+    forAll(anyDoc) { d =>
+      val out = ArrayBuffer.empty[String]
+      val ops = BpeMerges.default.encodeDocFull(d, out)
+      ops <= 12L * (4L * d.length + 1)
+    }
+
   // --- trainer (q_bpe_train) ---
 
   property("trainer: hand-computed merges on a fixed histogram") = {
