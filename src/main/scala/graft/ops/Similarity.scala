@@ -239,6 +239,116 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
+  /** IVF CALIBRATION SWEEP (the vector sibling of q_lsh_geometry): per
+    * probe depth, recall@k of the IVF result against the exact
+    * brute-force truth, plus the candidate volume that depth pays — the
+    * measured recall×price table a team reads before fixing `nprobe`
+    * for a lake-scale embedding store, as hash-checked numbers instead
+    * of a formula in a comment.
+    *
+    * ONE shared pass for every geometry: centroids and corpus
+    * assignments are built once; queries probe at the WIDEST depth and
+    * each candidate pair records `first_probe` — the 1-based probe
+    * position that first reaches it — so a narrower depth's candidate
+    * set is a filter over the same relation, never a re-join (the
+    * q_lsh_geometry sharing discipline). Truth is one brute-force top-k
+    * pass. IVF is deterministic end-to-end (seeded k-means, dot-ordered
+    * probes, index-ordered cosine), so the full sweep oracles as SQL.
+    */
+  def ivfRecallSweep(s: SparkSession, embRaw: DataFrame, nQueries: Int,
+      k: Int, nlist: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val maxP = probes.max
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val centroids = refinedCentroids(s, emb, nlist)
+    val e = withNorm(s, emb)
+    val corpus = nearestCells(s, e, centroids, 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cells")(0).as("cell"))
+    val queries = nearestCells(s, e.filter(col("vec_id") < nQueries),
+        centroids, maxP)
+      .select(col("vec_id").as("q_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"), posexplode(col("cells")).as(Seq("pos", "cell")))
+    // cosine BEFORE the group-by: identical inputs give bitwise-identical
+    // values on every duplicate route, so min() is a deterministic pick
+    val cand = broadcast(queries).join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg((min(col("pos")) + 1).as("first_probe"),
+        min(col("cosine")).as("cosine"))
+      .persist() // every probe depth filters this one relation
+    val truth = bruteForceTopK(s, emb, nQueries, k)
+      .select(col("q_id"), col("n_id")).persist()
+    val rows = probes.map { p =>
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      val sub = cand.filter(col("first_probe") <= p)
+      val topk = sub.withColumn("rank", row_number().over(wp))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), lit(1).as("f"))
+      val counts = truth.join(topk, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("f"), lit(0))).cast(LongType).as("n_found"))
+      counts.crossJoin(sub.agg(count(lit(1)).as("n_cand")))
+        .select(lit(p).as("nprobe"), col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"),
+          col("n_cand"))
+    }
+    val out = rows.reduce(_ unionAll _).orderBy(col("nprobe")).localCheckpoint()
+    cand.unpersist()
+    truth.unpersist()
+    out
+  }
+
+  // DuckDB mirror of the IVF recall sweep: shared kmeans CTEs, probes at
+  // the widest depth with their rank kept, MIN(rank) per candidate pair
+  // (first_probe), one truth pass, then one (top-k ∩ truth) count per
+  // probe depth — the same single-pass sharing as the Spark side.
+  private def sqlIvfRecall(nlist: Int, nQueries: Int, k: Int,
+      probes: Seq[Int]): String = {
+    def dc(a: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val maxP = probes.max
+    val perP = probes.map { p =>
+      s"""k$p AS (SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS rnk
+               FROM sc WHERE first_probe <= $p) WHERE rnk <= $k),
+          r$p AS (SELECT CAST($p AS INT) AS nprobe,
+                   CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+                   CAST((SELECT COUNT(*) FROM truth t JOIN k$p x
+                         ON t.q_id = x.q_id AND t.n_id = x.n_id) AS BIGINT) AS n_found,
+                   CAST((SELECT COUNT(*) FROM sc WHERE first_probe <= $p) AS BIGINT) AS n_cand)"""
+    }.mkString(",\n")
+    val unions = probes.map(p => s"SELECT * FROM r$p").mkString(" UNION ALL ")
+    s"""WITH ${sqlKmeansCtes(nlist)},
+           probe AS (SELECT vec_id AS q_id, cell, rn FROM (
+                       SELECT a.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                       FROM e a CROSS JOIN cent c WHERE a.vec_id < $nQueries)
+                     WHERE rn <= $maxP),
+           cand AS (SELECT p.q_id, s.vec_id AS n_id, MIN(p.rn) AS first_probe
+                    FROM probe p JOIN asg s ON s.cell = p.cell
+                    WHERE s.vec_id <> p.q_id GROUP BY 1, 2),
+           sc AS (SELECT c.q_id, c.n_id, c.first_probe,
+                         ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine
+                  FROM cand c JOIN embeddings a ON a.vec_id = c.q_id
+                              JOIN embeddings b ON b.vec_id = c.n_id),
+           truth AS (SELECT q_id, n_id FROM (
+                       SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, b.vec_id) AS rnk
+                       FROM e a JOIN e b ON b.vec_id <> a.vec_id
+                       WHERE a.vec_id < $nQueries) WHERE rnk <= $k),
+           $perP
+         SELECT nprobe, n_true, n_found,
+                CAST(n_found AS DOUBLE) / n_true AS recall, n_cand
+         FROM ($unions) ORDER BY nprobe"""
+  }
+
   /** SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embeddings,
     * then WITHIN each cluster drop every vector that has a lower-id
     * near-duplicate (cosine >= minCos) in the same cluster. The cluster
@@ -589,6 +699,18 @@ object Similarity {
     // IVF is deterministic end-to-end (seeded k-means, dot-ordered probe,
     // exact re-rank), so unlike a seeded sketch it ADMITS a full SQL
     // mirror — oracled since round 7 rather than spec-pinned.
+    // IVF CALIBRATION SWEEP — the artifact a team reads before fixing
+    // nprobe for a 100 TB embedding store: measured recall@5 against
+    // the exact truth per probe depth, with the candidate volume each
+    // depth pays (n_cand), all from ONE shared centroid/assignment/
+    // candidate pass (see ivfRecallSweep). Deterministic end-to-end,
+    // so the whole sweep sits on the DuckDB gate.
+    Q("q_ivf_recall",
+      (s, dir) => ivfRecallSweep(s, t(s, dir, "embeddings"),
+        nQueries = 20, k = 5),
+      Some(sqlIvfRecall(nlist = 16, nQueries = 20, k = 5,
+        probes = Seq(1, 2, 4, 8)))),
+
     Q("q_sim_topk_ivf",
       (s, dir) => ivfTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
