@@ -314,6 +314,44 @@ object BpeMerges {
   def encodeDoc(text: String): Seq[String] = default.encodeDoc(text)
 }
 
+/** Deterministic token-id vocabulary for a merge table — the id scheme
+  * the packed-shard writer (sources.PackedShards) and its DuckDB oracle
+  * share: a-z → 0..25, 0-9 → 26..35, byte-fallback `<0xNN>` → 36 + NN
+  * (36..291), merge rank r → 292 + r. A codec's output alphabet is
+  * exactly {single base chars} ∪ {merge products} ∪ {byte tokens}, and
+  * products are distinct strings in every committed table, so the map
+  * is total and injective on everything the encoder can emit.
+  */
+final class BpeVocab(val table: IndexedSeq[(String, String)])
+    extends Serializable {
+  val MergeIdBase = 292
+
+  @transient private lazy val productId: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](table.size * 2)
+    var i = 0
+    while (i < table.size) {
+      m.put(table(i)._1 + table(i)._2, Integer.valueOf(MergeIdBase + i))
+      i += 1
+    }
+    m
+  }
+
+  def id(tok: String): Int = {
+    if (tok.length == 1) {
+      val c = tok.charAt(0)
+      if (c >= 'a' && c <= 'z') return c - 'a'
+      if (c >= '0' && c <= '9') return 26 + (c - '0')
+    }
+    if (tok.length == 6 && tok.charAt(0) == '<' && tok.charAt(1) == '0' &&
+        tok.charAt(2) == 'x' && tok.charAt(5) == '>')
+      return 36 + Integer.parseInt(tok.substring(3, 5), 16)
+    val r = productId.get(tok)
+    if (r == null)
+      throw new IllegalArgumentException(s"token outside vocabulary: $tok")
+    r.intValue()
+  }
+}
+
 /** Codec registry for BpeEncodeTokens: the expression serializes only the
   * id, executors re-resolve the codec (tables are deterministic, so the
   * resolution is reproducible anywhere).
@@ -355,6 +393,53 @@ case class BpeEncodeTokens(child: Expression, codecId: String = "fixture",
     copy(child = newChild)
 
   override def prettyName: String = "bpe_encode_tokens"
+}
+
+/** array<int> of BPE token IDS of a text column (the [[BpeVocab]] id
+  * scheme) — the form a packed training shard stores. Same static-call
+  * codegen and heap encoder as [[BpeEncodeTokens]]; the id map is one
+  * hash lookup per token on top of the merge loop.
+  */
+case class BpeEncodeIds(child: Expression, codecId: String = "fixture",
+    fullCharset: Boolean = false) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val codec = BpeCodecs.byId(codecId)
+  @transient private lazy val vocab = new BpeVocab(codec.table)
+
+  def computeRow(s: UTF8String): ArrayData = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    if (fullCharset) codec.encodeDocFull(s.toString, toks)
+    else codec.encodeDocCounted(s.toString, toks)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = vocab.id(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("bpeIds", this, classOf[BpeEncodeIds].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode_ids"
+}
+
+object BpeEncodeIds {
+  def bpeIds(c: Column, codecId: String = "fixture",
+      fullCharset: Boolean = false): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeIds(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        codecId, fullCharset))
 }
 
 /** Encode with an ARBITRARY merge table carried in the expression itself

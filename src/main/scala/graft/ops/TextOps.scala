@@ -905,6 +905,64 @@ object TextOps {
               FROM (SELECT doc_id, off, n_tokens, unnest(range(s0, s1 + 1)) AS seq FROM b)
               ORDER BY doc_id, seq""")),
 
+    // PACKED SHARDS ON THE GATE — the reader-side audit of the
+    // packed-training-shard writer (sources.PackedShards): pack the
+    // corpus into 256-token-id sequences, WRITE them as shard-partitioned
+    // parquet, read the artifact back, and report per-shard totals —
+    // sequence count, token count, full-sequence count, the SUM OF TOKEN
+    // IDS (a content checksum: any dropped/duplicated/misordered-across-
+    // boundary token moves it), and contributing-doc count. The oracle
+    // never sees the writer: it rebuilds the expected numbers
+    // arithmetically from the same BPE token stream (bpeCte) + the
+    // BpeVocab id scheme + integer offset arithmetic, so a hash match
+    // proves the MATERIALIZED artifact carries exactly the right ids in
+    // exactly the right sequences. Writer scale shape: one codegen
+    // id-encode pass, two-phase offsets, one grouped shuffle of output
+    // bytes (see PackedShards doc); budget exactness + replay idempotence
+    // of the streaming form are spec-pinned (PackedShardsSpec).
+    Q("q_pack_shards",
+      (s, dir) => {
+        val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
+        graft.sources.PackedShards.writeBatch(s, t(s, dir, "documents"), out)
+          .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
+            col("n_docs"),
+            expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_seqs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(when(col("n_tokens") === 256L, 1L).otherwise(0L)).as("n_full"),
+            sum(col("tid_sum")).as("tid_sum"),
+            sum(col("n_docs")).as("n_contribs"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        val prods = graft.functions.BpeMerges.table
+          .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+        s"""$bpeCte,
+           flat AS (SELECT doc_id, wid, generate_subscripts(toks, 1) AS ti,
+                           unnest(toks) AS t
+                    FROM fin),
+           g AS (SELECT doc_id, t,
+                        row_number() OVER (ORDER BY doc_id, wid, ti) - 1 AS pos
+                 FROM flat),
+           ids AS (SELECT doc_id, pos,
+                          CASE WHEN len(t) = 1 THEN ascii(t) - 97
+                               ELSE 291 + list_position($prods, t) END AS tid
+                   FROM g),
+           seqs AS (SELECT pos // 256 AS seq,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(tid) AS BIGINT) AS ts,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                    FROM ids GROUP BY 1)
+           SELECT CAST(seq // 8 AS BIGINT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_seqs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+                  CAST(sum(ts) AS BIGINT) AS tid_sum,
+                  CAST(sum(nd) AS BIGINT) AS n_contribs
+           FROM seqs GROUP BY 1 ORDER BY 1"""
+      }),
+
     // PII scrubbing (the redaction pass every public-web training corpus
     // runs before anything else): emails, NANP-style phone numbers and
     // IPv4 addresses are counted and replaced with typed placeholder

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PACKED-TRAINING-SHARD WRITER — the final hand-off artifact of the
+  * whole pipeline (ingest → curate → dedup → tokenize → pack → SHIP):
+  * documents become fixed-budget token-id sequences (the Megatron-style
+  * training shard shape: every sequence holds exactly `budget` token ids
+  * except the final partial one), materialized as parquet partitioned by
+  * shard (`seqsPerShard` consecutive sequences per shard directory).
+  *
+  * Reference cites: the reference ships its lake artifacts as
+  * hive-partitioned batches (processor_stock_quotes.py:68-73); this is
+  * the same partitioned-sink discipline applied to the training-token
+  * hand-off. Token ids use the functions.BpeVocab scheme, so the DuckDB
+  * oracle of q_pack_shards replays ids arithmetically.
+  *
+  * Scale shape: token ids are computed in ONE codegen pass per document
+  * (functions.BpeEncodeIds); global offsets come from the same two-phase
+  * prefix sum as ops.TextOps.tokenShards (per-chunk totals → prefix sum
+  * over the FEW chunk rows → within-chunk window), so no global
+  * single-partition scan of documents ever happens. Each document then
+  * explodes into its (usually 1-2) overlapping sequences carrying the
+  * SLICE of its id array — token arrays shuffle once, grouped by
+  * sequence, never one row per token — and each sequence reassembles its
+  * contributions by document offset. A 100 TB corpus streams through at
+  * input bandwidth with one grouped shuffle of exactly the output bytes.
+  */
+object PackedShards {
+
+  val DefaultBudget = 256L
+  val DefaultSeqsPerShard = 8L
+  private val DocsPerChunk = 1024L
+
+  /** (doc_id, tids, n_tokens, offset): every non-empty document with its
+    * token-id array and global starting token offset (doc_id order),
+    * starting at `baseOffset`. The two-phase tokenShards prefix sum.
+    */
+  private[graft] def withOffsets(docs: DataFrame,
+      idsCol: org.apache.spark.sql.Column,
+      baseOffset: Long = 0L): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), idsCol.as("tids"))
+      .withColumn("n_tokens", size(col("tids")).cast(LongType))
+      .filter(col("n_tokens") > 0)
+      .withColumn("chunk", floor(col("doc_id") / DocsPerChunk))
+      .persist() // chunk totals and the probe side both read it
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = sized.groupBy(col("chunk"))
+      .agg(sum(col("n_tokens")).as("cs"))
+      .withColumn("chunk_off",
+        coalesce(sum(col("cs")).over(wChunks), lit(0L)) + baseOffset)
+      .select(col("chunk"), col("chunk_off"))
+    val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = sized.join(broadcast(chunkOffsets), Seq("chunk"))
+      .withColumn("offset",
+        col("chunk_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("tids"), col("n_tokens"), col("offset"))
+      .localCheckpoint()
+    sized.unpersist()
+    out
+  }
+
+  /** (seq, tokens, n_tokens, n_docs): the packed sequences of a
+    * doc-offset relation — each document contributes the slice of its id
+    * array that falls in each overlapping sequence, and each sequence
+    * reassembles its contributions in offset order.
+    */
+  private[graft] def packed(offs: DataFrame, budget: Long): DataFrame =
+    offs
+      .withColumn("seq", explode(sequence(
+        expr(s"offset div ${budget}L"),
+        expr(s"(offset + n_tokens - 1) div ${budget}L"))))
+      .withColumn("cfrom",
+        (greatest(col("seq") * budget - col("offset"), lit(0L)) + 1)
+          .cast(IntegerType))
+      .withColumn("clen",
+        (least((col("seq") + 1) * budget, col("offset") + col("n_tokens"))
+          - greatest(col("seq") * budget, col("offset"))).cast(IntegerType))
+      .select(col("seq"), col("offset"),
+        slice(col("tids"), col("cfrom"), col("clen")).as("chunk"))
+      .groupBy(col("seq"))
+      .agg(collect_list(struct(col("offset"), col("chunk"))).as("cl"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("tokens",
+        expr("flatten(transform(array_sort(cl), x -> x.chunk))"))
+      .select(col("seq"),
+        col("tokens"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        col("n_docs"))
+
+  /** Pack `docs` (doc_id, text) into fixed-budget token-id sequences and
+    * write them to `outDir` partitioned by shard. Returns the written
+    * relation. Overwrite mode: the writer is a deterministic function of
+    * its input, so a re-run converges byte-for-byte.
+    */
+  def writeBatch(spark: SparkSession, docs: DataFrame, outDir: String,
+      budget: Long = DefaultBudget,
+      seqsPerShard: Long = DefaultSeqsPerShard,
+      codecId: String = "fixture", fullCharset: Boolean = false): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0)
+    val offs = withOffsets(docs,
+      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
+    val seqs = packed(offs, budget)
+      .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
+    seqs.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+}

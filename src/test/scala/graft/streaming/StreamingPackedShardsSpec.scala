@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+import graft.SparkSpec
+import graft.functions.{BpeMerges, BpeVocab}
+import graft.sources.PackedShards
+
+/** The packed-training-shard writer end-to-end: exact budget (every
+  * sequence but the last holds exactly `budget` ids), token conservation
+  * and ORDER across sequence boundaries (the concatenation of all
+  * sequences equals the concatenation of the per-doc token-id streams in
+  * doc_id order), shard assignment, stream==batch parity under different
+  * micro-batch slicings, and replay idempotence of the streaming form.
+  */
+class StreamingPackedShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Budget = 16L
+
+  // texts over the fixture-merge alphabet so merges actually fire, with
+  // lengths chosen to force sequences to span document boundaries
+  private val docs: Seq[(Long, String)] = Seq(
+    0L -> "table scan data",
+    1L -> "fast query spark window",
+    2L -> "the key lower value",
+    3L -> "spark spark table",
+    4L -> "scan",
+    5L -> "window query data fast table scan",
+    6L -> "value the key",
+    7L -> "query window spark data table fast scan key")
+
+  private lazy val vocab = new BpeVocab(BpeMerges.table)
+
+  private def expectedIds(text: String): Seq[Int] = {
+    val out = ArrayBuffer.empty[String]
+    BpeMerges.default.encodeDocCounted(text, out)
+    out.map(vocab.id).toSeq
+  }
+
+  private val fullStream: Seq[Int] =
+    docs.sortBy(_._1).flatMap(d => expectedIds(d._2))
+
+  private def readSeqs(path: String): Seq[(Long, Seq[Int])] =
+    spark.read.parquet(path)
+      .select(col("seq"), col("tokens"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+
+  test("batch writer: exact budget, conservation, order, shard assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    val rel = PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", budget = Budget, seqsPerShard = 4)
+    val rows = rel.select(col("seq"), col("tokens"), col("n_tokens"),
+        col("shard").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // contiguous numbering from 0
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // every sequence except the last holds EXACTLY the budget; none over
+    rows.init.foreach { r => assert(r._3 == Budget, s"seq ${r._1}: ${r._3}") }
+    assert(rows.last._3 <= Budget && rows.last._3 > 0)
+    rows.foreach { r =>
+      assert(r._2.size.toLong == r._3)
+      assert(r._4 == r._1 / 4, s"seq ${r._1} in shard ${r._4}")
+    }
+    // conservation + ORDER: sequences concatenate back to the exact
+    // per-doc token-id streams in doc_id order
+    assert(rows.flatMap(_._2).toSeq == fullStream)
+  }
+
+  test("streaming: any slicing == batch, including the flushed tail") {
+    val batchOut = java.nio.file.Files.createTempDirectory("graft_pack_b").toString
+    PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
+      s"$batchOut/out", budget = Budget)
+    val expected = readSeqs(s"$batchOut/out")
+
+    for ((slicing, tag) <- Seq(
+        Seq(docs) -> "one batch",
+        Seq(docs.take(3), docs.slice(3, 6), docs.drop(6)) -> "three batches",
+        docs.grouped(1).toSeq -> "one doc per batch")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pack_s").toString
+      slicing.zipWithIndex.foreach { case (b, i) =>
+        StreamingPackedShards.packBatch(spark, b.toDF("doc_id", "text"),
+          i.toLong, s"$dir/store", s"$dir/out", budget = Budget)
+      }
+      StreamingPackedShards.flush(spark, s"$dir/store", s"$dir/out")
+      assert(readSeqs(s"$dir/out") == expected, s"slicing: $tag")
+    }
+  }
+
+  test("streaming: replaying a batch converges (same rows, same ledger)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_r").toString
+    val batches = Seq(docs.take(3), docs.slice(3, 6), docs.drop(6))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPackedShards.packBatch(spark, b.toDF("doc_id", "text"),
+        i.toLong, s"$dir/store", s"$dir/out", budget = Budget)
+    }
+    StreamingPackedShards.flush(spark, s"$dir/store", s"$dir/out")
+    val before = readSeqs(s"$dir/out")
+    val ledgerBefore = spark.read.parquet(s"$dir/store")
+      .select(col("__batch_id").cast("long"), col("next_seq"), col("tail"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    // replay the MIDDLE batch (its predecessor row is already on disk):
+    // the dynamic-overwrite discipline must rewrite identical content
+    StreamingPackedShards.packBatch(spark, batches(1).toDF("doc_id", "text"),
+      1L, s"$dir/store", s"$dir/out", budget = Budget)
+    StreamingPackedShards.flush(spark, s"$dir/store", s"$dir/out")
+    assert(readSeqs(s"$dir/out") == before)
+    val ledgerAfter = spark.read.parquet(s"$dir/store")
+      .select(col("__batch_id").cast("long"), col("next_seq"), col("tail"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    assert(ledgerAfter == ledgerBefore)
+  }
+}
