@@ -526,29 +526,43 @@ object PipelineOps {
               FROM r GROUP BY src
               ORDER BY src""")),
 
-    // Per-source dataset card — the one-row-per-source datasheet a corpus
-    // team publishes with a training run (docs, token volume, language
-    // spread + dominant language, duplicate exposure): everything a
-    // mixing/budget decision reads first. Duplicate exposure uses the
-    // PREFIX-32 fingerprint (md5 of the first 32 words — the
-    // q_dedup_prefix32 / RefinedWeb signal): this corpus has zero
-    // byte-exact dups, so an exact-hash column would report a vacuous
-    // 0.0 while the planted near-dups (33 docs sharing a 32-word prefix
-    // at sf0.01) go unreported. A doc counts as duplicated if its prefix
-    // fingerprint occurs ≥ 2 times ANYWHERE in the corpus (dup exposure
-    // is a cross-source property; a per-source count would hide mirror
-    // sites). Shuffles: O(docs) 16-byte hash rows + O(sources)
-    // partials — text never moves. Dominant language via the
-    // deterministic max(struct(count, lang)) argmax (ties -> largest
-    // lang code, mirrored ORDER BY c DESC, lang DESC).
+    // Per-source dataset card v2 — the one-row-per-source datasheet a
+    // corpus team publishes with a training run: docs, WHITESPACE token
+    // volume AND subword token volume under the committed merge table
+    // (the number the trainer actually consumes — budget decisions read
+    // this column, and the fixture's tokens_per_word ~1.4 gap between
+    // the two is exactly why the card carries both), language spread +
+    // dominant language, and TWO duplicate-exposure signals: prefix-32
+    // (md5 of the first 32 words — the q_dedup_prefix32 / RefinedWeb
+    // signal) and NEAR-DUP exposure through the md5-regime 60-bit
+    // SimHash + 4-band Hamming LSH (the q_dedup_simhash machinery — the
+    // document-perceptual fingerprint, so reworded/truncated copies
+    // count, not just shared prefixes). Both exposures are cross-source
+    // properties (a per-source count would hide mirror sites); a doc is
+    // exposed if its fingerprint collides anywhere in the corpus.
+    // Shuffles: O(docs) fingerprint rows + O(sources) partials — text
+    // never moves. Dominant language via the deterministic
+    // max(struct(count, lang)) argmax (ties -> largest lang code,
+    // mirrored ORDER BY c DESC, lang DESC).
     Q("q_corpus_datasheet",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val base = docs.select(col("source"), col("lang"), col("n_chars"),
+        val base = docs.select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"),
           size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
-          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 32))).as("h"))
-        val dup = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        val withDup = base.join(dup, Seq("h"))
+          size(graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
+            .cast(LongType).as("n_bpe"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 32))).as("ph"))
+        val dup = base.groupBy(col("ph")).agg(count(lit(1)).as("c"))
+        val ndPairs = graft.ops.TextDedup.hammingBandedPairs(
+          docs.select(col("doc_id").as("id"),
+            graft.functions.TextFunctions.md5Simhash60(col("text")).as("h")),
+          maxHamming = 3, bands = 4)
+        val ndIds = ndPairs.select(col("a_id").as("doc_id"))
+          .unionAll(ndPairs.select(col("b_id").as("doc_id")))
+          .distinct().withColumn("isnd", lit(1L))
+        val withDup = base.join(dup, Seq("ph"))
+          .join(ndIds, Seq("doc_id"), "left")
         val langTop = base.groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("lc"))
           .groupBy(col("source"))
@@ -558,24 +572,62 @@ object PipelineOps {
         withDup.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
+            sum(col("n_bpe")).as("total_bpe_tokens"),
             sum(col("n_chars")).as("total_chars"),
-            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_predup_docs"))
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_predup_docs"),
+            sum(coalesce(col("isnd"), lit(0L))).as("n_neardup_docs"))
           .join(langTop, Seq("source"))
           .select(col("source"), col("n_docs"), col("total_tokens"),
-            col("total_chars"),
+            col("total_bpe_tokens"), col("total_chars"),
             (col("total_tokens").cast(DoubleType) / col("n_docs"))
               .as("avg_tokens"),
             col("n_langs"), col("top_lang"), col("n_predup_docs"),
             (col("n_predup_docs").cast(DoubleType) / col("n_docs"))
-              .as("predup_rate"))
+              .as("predup_rate"),
+            col("n_neardup_docs"),
+            (col("n_neardup_docs").cast(DoubleType) / col("n_docs"))
+              .as("neardup_rate"))
           .orderBy(col("source"))
       },
-      Some("""WITH base AS (
-                SELECT source, lang, n_chars,
+      Some(s"""${TextOps.bpeCte},
+              bt AS (SELECT doc_id,
+                            CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS nb
+                     FROM fin GROUP BY doc_id),
+              sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       list_transform(ws, wd ->
+                         CAST(list_sum(list_transform(range(1, 16), j ->
+                           CAST(strpos('0123456789abcdef', substr(md5(wd), j, 1)) - 1 AS BIGINT)
+                             << (4 * (15 - j)))) AS BIGINT)) AS hs
+                FROM sw),
+              sf AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0, 60), b ->
+                         CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs)
+                              THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+                FROM sh),
+              sbanded AS (
+                SELECT doc_id, fp, b AS band, (fp >> (b * 16)) & 65535 AS key
+                FROM (SELECT doc_id, fp, unnest(range(0, 4)) AS b FROM sf)),
+              sguard AS (
+                SELECT band, key FROM sbanded GROUP BY band, key HAVING COUNT(*) <= 64),
+              spruned AS (SELECT sbanded.* FROM sbanded JOIN sguard USING (band, key)),
+              spairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.fp AS fa, b.fp AS fb
+                FROM spruned a JOIN spruned b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+              nd AS (SELECT DISTINCT doc_id FROM (
+                       SELECT a_id AS doc_id FROM spairs WHERE bit_count(xor(fa, fb)) <= 3
+                       UNION ALL
+                       SELECT b_id FROM spairs WHERE bit_count(xor(fa, fb)) <= 3)),
+              base AS (
+                SELECT d.doc_id, source, lang, n_chars,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                       md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS h
-                FROM documents),
-              dup AS (SELECT h, COUNT(*) AS c FROM base GROUP BY h),
+                       coalesce(bt.nb, 0) AS n_bpe,
+                       md5(array_to_string(string_split(text, ' ')[1:32], ' ')) AS ph
+                FROM documents d LEFT JOIN bt USING (doc_id)),
+              dup AS (SELECT ph, COUNT(*) AS c FROM base GROUP BY ph),
               lt AS (
                 SELECT source, lang AS top_lang, n_langs FROM (
                   SELECT source, lang, lc,
@@ -589,18 +641,24 @@ object PipelineOps {
                 SELECT b.source,
                        COUNT(*) AS n_docs,
                        SUM(b.n_tokens) AS total_tokens,
+                       SUM(b.n_bpe) AS total_bpe_tokens,
                        SUM(b.n_chars) AS total_chars,
-                       SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS n_predup_docs
-                FROM base b JOIN dup d USING (h)
+                       SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS n_predup_docs,
+                       SUM(CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END) AS n_neardup_docs
+                FROM base b JOIN dup d USING (ph)
+                     LEFT JOIN nd ON nd.doc_id = b.doc_id
                 GROUP BY b.source)
               SELECT a.source,
                      CAST(n_docs AS BIGINT) AS n_docs,
                      CAST(total_tokens AS BIGINT) AS total_tokens,
+                     CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
                      CAST(total_chars AS BIGINT) AS total_chars,
                      CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens,
                      lt.n_langs, lt.top_lang,
                      CAST(n_predup_docs AS BIGINT) AS n_predup_docs,
-                     CAST(n_predup_docs AS DOUBLE) / n_docs AS predup_rate
+                     CAST(n_predup_docs AS DOUBLE) / n_docs AS predup_rate,
+                     CAST(n_neardup_docs AS BIGINT) AS n_neardup_docs,
+                     CAST(n_neardup_docs AS DOUBLE) / n_docs AS neardup_rate
               FROM agg a JOIN lt ON lt.source = a.source
               ORDER BY a.source"""))
   )

@@ -72,7 +72,7 @@ object TextOps {
     * the left element within the same pass). Validated against an
     * independent Python reference on all 500 sf0.01 docs before landing.
     */
-  private def bpeCte: String = {
+  private[ops] def bpeCte: String = {
     val ml = graft.functions.BpeMerges.table
       .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
     s"""WITH RECURSIVE
