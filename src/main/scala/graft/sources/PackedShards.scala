@@ -108,7 +108,15 @@ object PackedShards {
       graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
     val seqs = packed(offs, budget)
       .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
-    seqs.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // repartition BY THE PARTITION COLUMN before the write: without it
+    // every task holding rows of a shard opens its own file under that
+    // shard's directory — measured 5.2 s at sf0.1 (~370 dirs × per-task
+    // files, the classic small-file explosion; a 100 TB run would write
+    // millions of tiny files). One shuffle co-locates each shard and the
+    // writer emits exactly one file per shard — which is the POINT of a
+    // shard: a contiguous, whole-file unit the trainer streams.
+    seqs.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     spark.read.parquet(outDir)
   }
 }

@@ -67,6 +67,18 @@ class StreamingPackedShardsSpec extends SparkSpec {
     // conservation + ORDER: sequences concatenate back to the exact
     // per-doc token-id streams in doc_id order
     assert(rows.flatMap(_._2).toSeq == fullStream)
+    // the artifact is ONE file per shard directory (the repartition-by-
+    // shard discipline): a trainer streams whole files, and a writer
+    // that leaks per-task files per shard would write millions of tiny
+    // files at 100 TB — pin the shape, not just the values
+    val shardDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${d.getName}: ${parts.length} files — small-file leak")
+    }
   }
 
   test("streaming: any slicing == batch, including the flushed tail") {
