@@ -134,6 +134,84 @@ object PipelineOps {
     out
   }
 
+  /** The curation pipeline's scrub expression (q_curation_pipeline /
+    * q_pipeline_pack): the q_pii_scrub fixture (deterministic synthetic
+    * PII per doc_id) followed by the three typed redactions, as ONE
+    * codegen expression chain over the scan row.
+    */
+  private def curationScrubbedExpr: org.apache.spark.sql.Column = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val withPii = concat(
+      when(col("doc_id") % 3 === 0,
+        concat(lit("contact user"), col("doc_id").cast(StringType),
+          lit("@example.com "))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("call 555-"),
+          lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
+          lit("-4321 "))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("from 10.0."), (col("doc_id") % 256).cast(StringType),
+          lit("."), (col("doc_id") % 100).cast(StringType), lit(" ")))
+        .otherwise(lit("")),
+      col("text"))
+    regexp_replace(
+      regexp_replace(regexp_replace(withPii, lit(email), lit("[EMAIL]")),
+        lit(ip), lit("[IP]")),
+      lit(phone), lit("[PHONE]"))
+  }
+
+  /** The curated survivor set (doc_id, text=scrubbed): quality gate →
+    * scrub → exact dedup on scrubbed content, first KEPT copy per
+    * fingerprint wins — the document set q_curation_pipeline counts and
+    * q_pipeline_pack ships.
+    */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("content_md5"))
+      .orderBy(when(col("score_int") > 0, 0).otherwise(1), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.linearTextScore(col("text"))
+          .as("score_int"),
+        curationScrubbedExpr.as("scrubbed"))
+      .withColumn("content_md5", md5(col("scrubbed").cast("binary")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("score_int") > 0 && col("rn") === 1)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+  }
+
+  // DuckDB mirror of curatedDocs — the (doc_id, text) SELECT handed to
+  // TextOps.bpeCteOver so the pack-audit oracle replays the WHOLE
+  // pipeline: fixture PII + scrub + linear score + dedup window.
+  private def curatedDocsSql: String =
+    """WITH cp AS (SELECT doc_id,
+             CAST(list_sum(list_transform(
+               list_filter(string_split(text, ' '), w -> w <> ''),
+               w -> ((list_reduce(list_prepend(0::BIGINT,
+                       list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                     (a, x) -> (a * 31 + x) % 1000000007) % 256)
+                     * 2654435761) % 2001 - 1000)) AS BIGINT) AS score_int,
+             regexp_replace(regexp_replace(regexp_replace(
+               (CASE WHEN doc_id % 3 = 0
+                     THEN 'contact user' || doc_id || '@example.com ' ELSE '' END) ||
+               (CASE WHEN doc_id % 5 = 0
+                     THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4321 ' ELSE '' END) ||
+               (CASE WHEN doc_id % 7 = 0
+                     THEN 'from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) || ' ' ELSE '' END) ||
+               text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+           FROM documents),
+         cr AS (SELECT doc_id, scrubbed, score_int,
+                       row_number() OVER (PARTITION BY md5(scrubbed)
+                         ORDER BY CASE WHEN score_int > 0 THEN 0 ELSE 1 END,
+                                  doc_id) AS rn
+                FROM cp)
+         SELECT doc_id, scrubbed AS text FROM cr
+         WHERE score_int > 0 AND rn = 1"""
+
   val queries: Seq[Q] = Seq(
 
     // Epoch shuffle: reproducible training order + loader shards. The
@@ -445,26 +523,7 @@ object PipelineOps {
     // declaring pipelines instead of materializing between stages.
     Q("q_curation_pipeline",
       (s, dir) => {
-        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-        val withPii = concat(
-          when(col("doc_id") % 3 === 0,
-            concat(lit("contact user"), col("doc_id").cast(StringType),
-              lit("@example.com "))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 0,
-            concat(lit("call 555-"),
-              lpad((col("doc_id") % 1000).cast(StringType), 3, "0"),
-              lit("-4321 "))).otherwise(lit("")),
-          when(col("doc_id") % 7 === 0,
-            concat(lit("from 10.0."), (col("doc_id") % 256).cast(StringType),
-              lit("."), (col("doc_id") % 100).cast(StringType), lit(" ")))
-            .otherwise(lit("")),
-          col("text"))
-        val scrubbed = regexp_replace(
-          regexp_replace(regexp_replace(withPii, lit(email), lit("[EMAIL]")),
-            lit(ip), lit("[IP]")),
-          lit(phone), lit("[PHONE]"))
+        val scrubbed = curationScrubbedExpr
         // ONE corpus scan: every stage is an expression over the same
         // row, the dedup rank is one content-keyed window, and ALL four
         // funnel counters come out of a single conditional aggregation.
@@ -525,6 +584,24 @@ object PipelineOps {
                               THEN len(string_split(scrubbed, ' ')) ELSE 0 END) AS BIGINT) AS total_tokens
               FROM r GROUP BY src
               ORDER BY src""")),
+
+    // THE PIPELINE, CLOSED END-TO-END ON THE GATE: quality gate → PII
+    // scrub → exact dedup → BPE tokenize → pack into fixed-budget
+    // token-id sequences → SHIP as shard-partitioned parquet → read the
+    // artifact back and audit it. The Spark side actually materializes
+    // the shards (sources.PackedShards on the curated survivor set); the
+    // oracle never sees the writer — it replays curation (fixture PII +
+    // scrub + linear score + dedup window), the BPE merge loop, the
+    // BpeVocab id map, and the integer offset arithmetic, all in SQL, so
+    // the hash match proves the SHIPPED BYTES of the whole pipeline, not
+    // any intermediate. This is the hand-off artifact of the entire
+    // engine: a trainer streams these files. Scale shape: curation is
+    // one scan + one content-keyed window, packing adds the two-phase
+    // offsets and ONE grouped shuffle of the output bytes, the write is
+    // one file per shard.
+    Q("q_pipeline_pack",
+      (s, dir) => TextOps.packShardsAudit(s, curatedDocs(s, dir)),
+      Some(TextOps.bpeCteOver(curatedDocsSql) + TextOps.packShardsTailSql)),
 
     // Per-source dataset card v2 — the one-row-per-source datasheet a
     // corpus team publishes with a training run: docs, WHITESPACE token

@@ -72,14 +72,20 @@ object TextOps {
     * the left element within the same pass). Validated against an
     * independent Python reference on all 500 sf0.01 docs before landing.
     */
-  private[ops] def bpeCte: String = {
+  /** The merge-loop replay CTE over an ARBITRARY (doc_id, text) corpus
+    * SELECT — the parameterized form that lets composed-pipeline oracles
+    * (q_pipeline_pack: curate → scrub → dedup → pack) run the same BPE
+    * replay over their curated survivor set instead of raw documents.
+    */
+  private[ops] def bpeCteOver(corpus: String): String = {
     val ml = graft.functions.BpeMerges.table
       .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
     s"""WITH RECURSIVE
+       corpus_docs AS ($corpus),
        w0 AS (SELECT doc_id,
                      generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
                      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-              FROM documents),
+              FROM corpus_docs),
        bpe(doc_id, wid, iter, toks) AS (
          SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
          UNION ALL
@@ -99,6 +105,42 @@ object TextOps {
        fin AS (SELECT doc_id, wid, toks FROM (
                  SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
                  FROM bpe) WHERE rn = 1)"""
+  }
+
+  private[ops] def bpeCte: String =
+    bpeCteOver("SELECT doc_id, text FROM documents")
+
+  /** The reader-side per-shard audit SQL (q_pack_shards /
+    * q_pipeline_pack): global token positions from the `fin` relation of
+    * a [[bpeCteOver]] replay, BpeVocab ids, then integer sequence/shard
+    * arithmetic — appended after a bpeCteOver(...) prefix.
+    */
+  private[ops] def packShardsTailSql: String = {
+    val prods = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+    s""",
+       flat AS (SELECT doc_id, wid, generate_subscripts(toks, 1) AS ti,
+                       unnest(toks) AS t
+                FROM fin),
+       g AS (SELECT doc_id, t,
+                    row_number() OVER (ORDER BY doc_id, wid, ti) - 1 AS pos
+             FROM flat),
+       ids AS (SELECT doc_id, pos,
+                      CASE WHEN len(t) = 1 THEN ascii(t) - 97
+                           ELSE 291 + list_position($prods, t) END AS tid
+               FROM g),
+       seqs AS (SELECT pos // 256 AS seq,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(tid) AS BIGINT) AS ts,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM ids GROUP BY 1)
+       SELECT CAST(seq // 8 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+              CAST(sum(ts) AS BIGINT) AS tid_sum,
+              CAST(sum(nd) AS BIGINT) AS n_contribs
+       FROM seqs GROUP BY 1 ORDER BY 1"""
   }
 
   /** DuckDB mirror of the BPE loop at the GENERATED ~4k-merge
@@ -244,6 +286,27 @@ object TextOps {
     */
   private val TrainMinWordCount = 1L
   private val TrainMaxVocabWords = 100000
+
+  /** The reader-side per-shard audit (q_pack_shards / q_pipeline_pack):
+    * write `docs` (doc_id, text) as packed shards into a scratch dir,
+    * read the ARTIFACT back, and report per-shard sequence/token/full
+    * counts plus the token-id sum — the numbers [[packShardsTailSql]]
+    * rebuilds arithmetically without ever seeing the writer.
+    */
+  private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+    val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
+    graft.sources.PackedShards.writeBatch(s, docs, out)
+      .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
+        col("n_docs"),
+        expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_tokens") === 256L, 1L).otherwise(0L)).as("n_full"),
+        sum(col("tid_sum")).as("tid_sum"),
+        sum(col("n_docs")).as("n_contribs"))
+      .orderBy(col("shard"))
+  }
 
   /** The bounded training histogram: one map-side-combined aggregation,
     * floor + deterministic top-N cap pushed into the plan, then a
@@ -921,47 +984,8 @@ object TextOps {
     // bytes (see PackedShards doc); budget exactness + replay idempotence
     // of the streaming form are spec-pinned (PackedShardsSpec).
     Q("q_pack_shards",
-      (s, dir) => {
-        val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
-        graft.sources.PackedShards.writeBatch(s, t(s, dir, "documents"), out)
-          .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
-            col("n_docs"),
-            expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_seqs"),
-            sum(col("n_tokens")).as("n_tokens"),
-            sum(when(col("n_tokens") === 256L, 1L).otherwise(0L)).as("n_full"),
-            sum(col("tid_sum")).as("tid_sum"),
-            sum(col("n_docs")).as("n_contribs"))
-          .orderBy(col("shard"))
-      },
-      Some {
-        val prods = graft.functions.BpeMerges.table
-          .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
-        s"""$bpeCte,
-           flat AS (SELECT doc_id, wid, generate_subscripts(toks, 1) AS ti,
-                           unnest(toks) AS t
-                    FROM fin),
-           g AS (SELECT doc_id, t,
-                        row_number() OVER (ORDER BY doc_id, wid, ti) - 1 AS pos
-                 FROM flat),
-           ids AS (SELECT doc_id, pos,
-                          CASE WHEN len(t) = 1 THEN ascii(t) - 97
-                               ELSE 291 + list_position($prods, t) END AS tid
-                   FROM g),
-           seqs AS (SELECT pos // 256 AS seq,
-                           CAST(count(*) AS BIGINT) AS n,
-                           CAST(sum(tid) AS BIGINT) AS ts,
-                           CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-                    FROM ids GROUP BY 1)
-           SELECT CAST(seq // 8 AS BIGINT) AS shard,
-                  CAST(count(*) AS BIGINT) AS n_seqs,
-                  CAST(sum(n) AS BIGINT) AS n_tokens,
-                  CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
-                  CAST(sum(ts) AS BIGINT) AS tid_sum,
-                  CAST(sum(nd) AS BIGINT) AS n_contribs
-           FROM seqs GROUP BY 1 ORDER BY 1"""
-      }),
+      (s, dir) => packShardsAudit(s, t(s, dir, "documents")),
+      Some(s"$bpeCte$packShardsTailSql")),
 
     // PII scrubbing (the redaction pass every public-web training corpus
     // runs before anything else): emails, NANP-style phone numbers and
