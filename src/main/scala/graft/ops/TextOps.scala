@@ -314,10 +314,12 @@ object TextOps {
     */
   def bpeWordHistogram(docs: DataFrame,
       minCount: Long = TrainMinWordCount,
-      maxWords: Int = TrainMaxVocabWords): Seq[(String, Long)] =
+      maxWords: Int = TrainMaxVocabWords,
+      wordsExpr: org.apache.spark.sql.Column =
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      : Seq[(String, Long)] =
     docs
-      .select(explode(
-        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .select(explode(wordsExpr).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("word"))
@@ -332,7 +334,14 @@ object TextOps {
     * learned merges — the query's output — so Spark's driver-side rounds
     * and DuckDB's CTE rounds must agree merge-for-merge to hash-match.
     */
-  private def bpeTrainOracle: String = {
+  /** `wordsSql` is the word extraction the trainer histograms —
+    * parameterized so q_bpe_train (letters only) and q_bpe_train_full
+    * (the full-charset `[a-z0-9]+` class over the ASCII-folded derived
+    * corpus) share the unrolled-round machinery verbatim.
+    */
+  private def bpeTrainOracle(
+      wordsSql: String = "regexp_extract_all(lower(text), '[a-z]+')")
+      : String = {
     val iters = (0 until NumTrainMerges).map { i =>
       s"""p$i AS (
             SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
@@ -353,7 +362,7 @@ object TextOps {
     s"""WITH t0 AS (
           SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-              SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              SELECT unnest($wordsSql) AS word
               FROM documents) GROUP BY word)),
         $iters
         SELECT * FROM ($unions) ORDER BY rank"""
@@ -1146,7 +1155,36 @@ object TextOps {
         import s.implicits._
         merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
       },
-      Some(bpeTrainOracle)),
+      Some(bpeTrainOracle())),
+
+    // Full-charset TRAINING — the byte-level sibling of q_bpe_train,
+    // learning merges from the [a-z0-9]+ word class over the ASCII-
+    // folded derived corpus (the q_bpe_encode_full fixture: digits and
+    // mixed case actually reach the histogram; byte-fallback tokens
+    // never merge under this convention, so they never enter it). Same
+    // bounded histogram (floor + top-N INSIDE the aggregation), same
+    // driver rounds, same unrolled-CTE oracle with the word extraction
+    // swapped — Spark's merges and DuckDB's must agree merge-for-merge.
+    Q("q_bpe_train_full",
+      (s, dir) => {
+        val corpus = t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
+              lit(FullCharsetSuffix)).as("text"))
+        val hist = bpeWordHistogram(corpus,
+          wordsExpr = expr(
+            "regexp_extract_all(translate(text, " +
+              "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')" +
+              ", '[a-z0-9]+', 0)"))
+        val merges = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
+        import s.implicits._
+        merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
+      },
+      Some(bpeTrainOracle(wordsSql =
+        "regexp_extract_all(translate(text || ' #' || doc_id || '" +
+          FullCharsetSuffix + "', " +
+          "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
+          "'[a-z0-9]+')"))),
 
     // Train → encode COMPOSITION: learn the merge table from the corpus
     // (one histogram pass + driver rounds, as q_bpe_train), then
