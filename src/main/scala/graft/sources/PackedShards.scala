@@ -66,12 +66,11 @@ object PackedShards {
     out
   }
 
-  /** (seq, tokens, n_tokens, n_docs): the packed sequences of a
-    * doc-offset relation — each document contributes the slice of its id
-    * array that falls in each overlapping sequence, and each sequence
-    * reassembles its contributions in offset order.
+  /** (seq, offset, chunk): each document's contribution rows — the slice
+    * of its id array falling in each of its (usually 1-2) overlapping
+    * sequences.
     */
-  private[graft] def packed(offs: DataFrame, budget: Long): DataFrame =
+  private def contributions(offs: DataFrame, budget: Long): DataFrame =
     offs
       .withColumn("seq", explode(sequence(
         expr(s"offset div ${budget}L"),
@@ -84,14 +83,41 @@ object PackedShards {
           - greatest(col("seq") * budget, col("offset"))).cast(IntegerType))
       .select(col("seq"), col("offset"),
         slice(col("tids"), col("cfrom"), col("clen")).as("chunk"))
-      .groupBy(col("seq"))
+
+  private def assemble(grouped: org.apache.spark.sql.RelationalGroupedDataset)
+      : DataFrame =
+    grouped
       .agg(collect_list(struct(col("offset"), col("chunk"))).as("cl"),
         count(lit(1)).as("n_docs"))
       .withColumn("tokens",
         expr("flatten(transform(array_sort(cl), x -> x.chunk))"))
-      .select(col("seq"),
-        col("tokens"),
-        size(col("tokens")).cast(LongType).as("n_tokens"),
+      .drop("cl")
+      .withColumn("n_tokens", size(col("tokens")).cast(LongType))
+
+  /** (seq, tokens, n_tokens, n_docs): the packed sequences of a
+    * doc-offset relation — each sequence reassembles its contributions
+    * in offset order.
+    */
+  private[graft] def packed(offs: DataFrame, budget: Long): DataFrame =
+    assemble(contributions(offs, budget).groupBy(col("seq")))
+      .select(col("seq"), col("tokens"), col("n_tokens"), col("n_docs"))
+
+  /** The shard-aware form writeBatch uses: repartition the CONTRIBUTION
+    * rows by shard, then group by (shard, seq) — hash(shard) satisfies
+    * the (shard, seq) clustering requirement, so the aggregation reuses
+    * the partitioning and the whole pack runs on ONE shuffle (the
+    * groupBy-then-repartition first cut paid two full shuffles of the
+    * packed bytes), with every shard's rows co-located for the one-file
+    * write.
+    */
+  private def packedSharded(offs: DataFrame, budget: Long,
+      seqsPerShard: Long): DataFrame =
+    assemble(
+      contributions(offs, budget)
+        .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
+        .repartition(col("shard"))
+        .groupBy(col("shard"), col("seq")))
+      .select(col("shard"), col("seq"), col("tokens"), col("n_tokens"),
         col("n_docs"))
 
   /** Pack `docs` (doc_id, text) into fixed-budget token-id sequences and
@@ -106,16 +132,14 @@ object PackedShards {
     require(budget > 0 && seqsPerShard > 0)
     val offs = withOffsets(docs,
       graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
-    val seqs = packed(offs, budget)
-      .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
-    // repartition BY THE PARTITION COLUMN before the write: without it
-    // every task holding rows of a shard opens its own file under that
-    // shard's directory — measured 5.2 s at sf0.1 (~370 dirs × per-task
-    // files, the classic small-file explosion; a 100 TB run would write
-    // millions of tiny files). One shuffle co-locates each shard and the
-    // writer emits exactly one file per shard — which is the POINT of a
-    // shard: a contiguous, whole-file unit the trainer streams.
-    seqs.repartition(col("shard"))
+    // packedSharded co-locates every shard's rows on its ONE shuffle, so
+    // the partitioned write emits exactly one file per shard directory —
+    // a contiguous, whole-file unit the trainer streams. (The first cut
+    // wrote per-task files per shard — ~370 dirs × small files at sf0.1,
+    // the classic small-file explosion, millions of tiny files at
+    // 100 TB; the second cut fixed that with a SECOND full shuffle;
+    // this shape needs neither.)
+    packedSharded(offs, budget, seqsPerShard)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     spark.read.parquet(outDir)
   }
