@@ -88,18 +88,29 @@ class TokenBudgetGateProcessor(cap: Long)
 
 object StreamingTokenBudget {
 
+  private def tokenCount(fullCharset: Boolean): org.apache.spark.sql.Column =
+    (if (fullCharset)
+      size(graft.functions.BpeEncodeTokens.bpeTokensFull(col("text")))
+    else
+      size(graft.functions.BpeEncodeTokens.bpeTokens(col("text"))))
+      .cast("long")
+
   /** Budget-gate a (source, doc_id, text) stream: emit only documents
     * admitted under the per-source subword cap. Tokenization is the
     * codegen expression upstream of the shuffle, as in apply().
+    * `fullCharset = true` counts with the byte-fallback tokenizer
+    * (BpeCodec.encodeDocFull) so digits/punctuation/non-Latin scripts
+    * charge the budget instead of slipping past it — the production
+    * setting for real web text.
     */
-  def gate(docs: DataFrame, cap: Long): Dataset[AdmittedDoc] = {
+  def gate(docs: DataFrame, cap: Long,
+      fullCharset: Boolean = false): Dataset[AdmittedDoc] = {
     implicit val tupleEnc =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[AdmittedDoc]
     docs
       .select(col("source"), col("doc_id"),
-        size(graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
-          .cast("long").as("n"))
+        tokenCount(fullCharset).as("n"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new TokenBudgetGateProcessor(cap), TimeMode.None(),
@@ -109,15 +120,15 @@ object StreamingTokenBudget {
   /** Wire a (source, text) document stream into per-source budget
     * tracking. Requires the RocksDB state store provider in production
     * (same contract as the other transformWithState jobs).
+    * `fullCharset` as in [[gate]].
     */
-  def apply(docs: DataFrame): Dataset[TokenBudgetUpdate] = {
-    val s = docs.sparkSession
+  def apply(docs: DataFrame,
+      fullCharset: Boolean = false): Dataset[TokenBudgetUpdate] = {
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[TokenBudgetUpdate]
     docs
       .select(col("source"),
-        size(graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
-          .cast("long").as("n"))
+        tokenCount(fullCharset).as("n"))
       .as[(String, Long)]
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new TokenBudgetProcessor, TimeMode.None(),

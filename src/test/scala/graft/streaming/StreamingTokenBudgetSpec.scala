@@ -109,4 +109,31 @@ class StreamingTokenBudgetSpec extends SparkSpec {
       assert(one == three, s"slicing changed totals: $one vs $three")
     }
   }
+
+  test("full-charset mode charges digits/punctuation to the budget") {
+    withRocksDBStateStore {
+      // letters-only undercounts this text; byte-level counts everything
+      val text = "Qty:42, table — 100%!"
+      val expectedFull = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        BpeMerges.default.encodeDocFull(text, out)
+        out.length.toLong
+      }
+      assert(expectedFull > toks(text), "fixture lost its undercount")
+      val dir = java.nio.file.Files.createTempDirectory("graft_budget_f").toString
+      val in = MemoryStream[(String, String)]
+      val q = StreamingTokenBudget(in.toDF().toDF("source", "text"),
+          fullCharset = true)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+      in.addData(("web", text))
+      q.processAllAvailable()
+      q.stop()
+      val total = spark.read.parquet(s"$dir/out").as[TokenBudgetUpdate]
+        .collect().map(_.total_tokens).max
+      assert(total == expectedFull, s"got $total, want $expectedFull")
+    }
+  }
 }
