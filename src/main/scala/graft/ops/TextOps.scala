@@ -293,9 +293,11 @@ object TextOps {
     * counts plus the token-id sum — the numbers [[packShardsTailSql]]
     * rebuilds arithmetically without ever seeing the writer.
     */
-  private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
+      fullCharset: Boolean = false): DataFrame = {
     val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
-    graft.sources.PackedShards.writeBatch(s, docs, out)
+    graft.sources.PackedShards.writeBatch(s, docs, out,
+        fullCharset = fullCharset)
       .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
         col("n_docs"),
         expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"))
@@ -995,6 +997,55 @@ object TextOps {
     Q("q_pack_shards",
       (s, dir) => packShardsAudit(s, t(s, dir, "documents")),
       Some(s"$bpeCte$packShardsTailSql")),
+
+    // The BYTE-LEVEL shipped artifact: the same pack-and-audit pass under
+    // the full-charset tokenizer over the derived mixed-content corpus
+    // (the q_bpe_encode_full fixture), so the sequences carry word
+    // subwords, digit tokens, AND <0xNN> byte-fallback ids — what a real
+    // web-text training shard holds. The oracle extends the full-charset
+    // encode replay (bpeCteFull) with the BpeVocab id arithmetic
+    // including hex-parsed byte-token ids (36 + NN), then the same
+    // integer sequence/shard math — the shipped bytes of the byte-level
+    // pipeline, hash-pinned.
+    Q("q_pack_shards_full",
+      (s, dir) => packShardsAudit(s,
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
+            lit(FullCharsetSuffix)).as("text")),
+        fullCharset = true),
+      Some {
+        val prods = graft.functions.BpeMerges.table
+          .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+        s"""$bpeCteFull,
+           tflat AS (SELECT doc_id, generate_subscripts(tk, 1) AS ti,
+                            unnest(tk) AS t
+                     FROM agg),
+           gf AS (SELECT doc_id, t,
+                         row_number() OVER (ORDER BY doc_id, ti) - 1 AS pos
+                  FROM tflat),
+           idsf AS (SELECT doc_id, pos,
+                      CASE WHEN len(t) = 6 AND t[1:3] = '<0x'
+                             THEN 36 + (strpos('0123456789ABCDEF', t[4]) - 1) * 16
+                                     + (strpos('0123456789ABCDEF', t[5]) - 1)
+                           WHEN len(t) = 1 AND t >= 'a' AND t <= 'z'
+                             THEN ascii(t) - 97
+                           WHEN len(t) = 1 AND t >= '0' AND t <= '9'
+                             THEN 26 + ascii(t) - 48
+                           ELSE 291 + list_position($prods, t) END AS tid
+                    FROM gf),
+           seqsf AS (SELECT pos // 256 AS seq,
+                            CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(tid) AS BIGINT) AS ts,
+                            CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                     FROM idsf GROUP BY 1)
+           SELECT CAST(seq // 8 AS BIGINT) AS shard,
+                  CAST(count(*) AS BIGINT) AS n_seqs,
+                  CAST(sum(n) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+                  CAST(sum(ts) AS BIGINT) AS tid_sum,
+                  CAST(sum(nd) AS BIGINT) AS n_contribs
+           FROM seqsf GROUP BY 1 ORDER BY 1"""
+      }),
 
     // PII scrubbing (the redaction pass every public-web training corpus
     // runs before anything else): emails, NANP-style phone numbers and
