@@ -132,6 +132,7 @@ object TextOps {
        seqs AS (SELECT pos // 256 AS seq,
                        CAST(count(*) AS BIGINT) AS n,
                        CAST(sum(tid) AS BIGINT) AS ts,
+                       CAST(sum(doc_id) AS BIGINT) AS sd,
                        CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
                 FROM ids GROUP BY 1)
        SELECT CAST(seq // 8 AS BIGINT) AS shard,
@@ -139,6 +140,7 @@ object TextOps {
               CAST(sum(n) AS BIGINT) AS n_tokens,
               CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
               CAST(sum(ts) AS BIGINT) AS tid_sum,
+              CAST(sum(sd) AS BIGINT) AS span_sum,
               CAST(sum(nd) AS BIGINT) AS n_contribs
        FROM seqs GROUP BY 1 ORDER BY 1"""
   }
@@ -300,12 +302,18 @@ object TextOps {
         fullCharset = fullCharset)
       .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
         col("n_docs"),
-        expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"))
+        expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"),
+        // lineage checksum over the span map: Σ doc_id·len equals the
+        // oracle's Σ doc_id over token rows, so a span that points at
+        // the wrong document or misstates its length moves it
+        expr("aggregate(doc_spans, 0L, (acc, x) -> acc + x.doc_id * x.len)")
+          .as("span_sum"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_seqs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(when(col("n_tokens") === 256L, 1L).otherwise(0L)).as("n_full"),
         sum(col("tid_sum")).as("tid_sum"),
+        sum(col("span_sum")).as("span_sum"),
         sum(col("n_docs")).as("n_contribs"))
       .orderBy(col("shard"))
   }
@@ -1036,6 +1044,7 @@ object TextOps {
            seqsf AS (SELECT pos // 256 AS seq,
                             CAST(count(*) AS BIGINT) AS n,
                             CAST(sum(tid) AS BIGINT) AS ts,
+                            CAST(sum(doc_id) AS BIGINT) AS sd,
                             CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
                      FROM idsf GROUP BY 1)
            SELECT CAST(seq // 8 AS BIGINT) AS shard,
@@ -1043,6 +1052,7 @@ object TextOps {
                   CAST(sum(n) AS BIGINT) AS n_tokens,
                   CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
                   CAST(sum(ts) AS BIGINT) AS tid_sum,
+                  CAST(sum(sd) AS BIGINT) AS span_sum,
                   CAST(sum(nd) AS BIGINT) AS n_contribs
            FROM seqsf GROUP BY 1 ORDER BY 1"""
       }),

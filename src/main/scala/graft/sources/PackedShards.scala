@@ -81,26 +81,40 @@ object PackedShards {
       .withColumn("clen",
         (least((col("seq") + 1) * budget, col("offset") + col("n_tokens"))
           - greatest(col("seq") * budget, col("offset"))).cast(IntegerType))
-      .select(col("seq"), col("offset"),
+      // start of this doc's span WITHIN the sequence — the attention/
+      // loss boundary metadata a trainer consumes alongside the ids
+      .withColumn("sstart",
+        (greatest(col("offset"), col("seq") * budget) - col("seq") * budget)
+          .cast(IntegerType))
+      .select(col("seq"), col("offset"), col("doc_id"), col("sstart"),
         slice(col("tids"), col("cfrom"), col("clen")).as("chunk"))
 
   private def assemble(grouped: org.apache.spark.sql.RelationalGroupedDataset)
       : DataFrame =
     grouped
-      .agg(collect_list(struct(col("offset"), col("chunk"))).as("cl"),
+      // offset leads the struct so array_sort orders contributions by
+      // global document position — both the token stream and the span
+      // map reassemble in that one order
+      .agg(collect_list(struct(col("offset"), col("doc_id"), col("sstart"),
+          col("chunk"))).as("cl"),
         count(lit(1)).as("n_docs"))
       .withColumn("tokens",
         expr("flatten(transform(array_sort(cl), x -> x.chunk))"))
+      .withColumn("doc_spans",
+        expr("""transform(array_sort(cl),
+                 x -> struct(x.doc_id AS doc_id, x.sstart AS start,
+                             size(x.chunk) AS len))"""))
       .drop("cl")
       .withColumn("n_tokens", size(col("tokens")).cast(LongType))
 
-  /** (seq, tokens, n_tokens, n_docs): the packed sequences of a
-    * doc-offset relation — each sequence reassembles its contributions
-    * in offset order.
+  /** (seq, tokens, doc_spans, n_tokens, n_docs): the packed sequences of
+    * a doc-offset relation — each sequence reassembles its contributions
+    * in offset order, with the per-doc (doc_id, start, len) span map.
     */
   private[graft] def packed(offs: DataFrame, budget: Long): DataFrame =
     assemble(contributions(offs, budget).groupBy(col("seq")))
-      .select(col("seq"), col("tokens"), col("n_tokens"), col("n_docs"))
+      .select(col("seq"), col("tokens"), col("doc_spans"), col("n_tokens"),
+        col("n_docs"))
 
   /** The shard-aware form writeBatch uses: repartition the CONTRIBUTION
     * rows by shard, then group by (shard, seq) — hash(shard) satisfies
@@ -117,8 +131,8 @@ object PackedShards {
         .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
         .repartition(col("shard"))
         .groupBy(col("shard"), col("seq")))
-      .select(col("shard"), col("seq"), col("tokens"), col("n_tokens"),
-        col("n_docs"))
+      .select(col("shard"), col("seq"), col("tokens"), col("doc_spans"),
+        col("n_tokens"), col("n_docs"))
 
   /** Pack `docs` (doc_id, text) into fixed-budget token-id sequences and
     * write them to `outDir` partitioned by shard. Returns the written

@@ -67,6 +67,32 @@ class StreamingPackedShardsSpec extends SparkSpec {
     // conservation + ORDER: sequences concatenate back to the exact
     // per-doc token-id streams in doc_id order
     assert(rows.flatMap(_._2).toSeq == fullStream)
+    // the doc-span map (attention/loss boundary metadata): per sequence
+    // the spans tile [0, n_tokens) contiguously, and slicing the token
+    // array by each doc's spans (across sequences, in seq order)
+    // rebuilds that doc's exact id stream
+    val spanRows = rel.select(col("seq"), col("tokens"), col("doc_spans"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getInt(1), s.getInt(2)))))
+      .sortBy(_._1)
+    spanRows.foreach { case (seq, toks, spans) =>
+      assert(spans.head._2 == 0, s"seq $seq spans start at ${spans.head._2}")
+      spans.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) =>
+          assert(s2 == s1 + l1, s"seq $seq spans not contiguous")
+        case _ => ()
+      }
+      assert(spans.map(_._3).sum == toks.size)
+    }
+    val perDoc = spanRows.flatMap { case (seq, toks, spans) =>
+      spans.map { case (d, st, ln) => (d, seq, toks.slice(st, st + ln)) }
+    }.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.sortBy(_._2).flatMap(_._3).toSeq
+    }
+    docs.foreach { case (d, text) =>
+      assert(perDoc(d) == expectedIds(text), s"doc $d span rebuild")
+    }
     // the artifact is ONE file per shard directory (the repartition-by-
     // shard discipline): a trainer streams whole files, and a writer
     // that leaks per-task files per shard would write millions of tiny
