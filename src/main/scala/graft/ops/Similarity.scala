@@ -378,6 +378,74 @@ object Similarity {
     out
   }
 
+  /** SEMDEDUP CALIBRATION SWEEP — the semantic member of the calibration
+    * triple (q_lsh_geometry for text banding, q_ivf_recall for vector
+    * probes, this for the SemDeDup cosine threshold): per threshold, how
+    * many vectors the cell-local near-dup rule would drop, plus the
+    * constant cell-local candidate volume the clustering confines the
+    * quadratic to. ONE shared pass: cluster once, score every cell-local
+    * pair once; each threshold is a filter over the same scored relation.
+    * Deterministic end-to-end (seeded k-means, index-ordered cosine) —
+    * fully SQL-oracled.
+    */
+  def semDedupSweep(s: SparkSession, embRaw: DataFrame, k: Int,
+      thresholds: Seq[Double] = Seq(0.3, 0.4, 0.5)): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val asg = kmeansAssign(s, emb, k).persist()
+    asg.count()
+    val e = withNorm(s, emb).join(asg, Seq("vec_id"))
+    val a = e.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("norm").as("a_norm"))
+    val b = e.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .select(col("b_id"), col("cosine"))
+      .persist() // every threshold filters this one scored relation
+    pairs.count()
+    val nDf = emb.agg(count(lit(1)).as("n_vectors"))
+    val cDf = pairs.agg(count(lit(1)).as("n_cand"))
+    val rows = thresholds.map { th =>
+      pairs.filter(col("cosine") >= th)
+        .agg(countDistinct(col("b_id")).as("n_dropped"))
+        .crossJoin(nDf).crossJoin(cDf)
+        .select(lit(th).as("min_cos"), col("n_vectors"), col("n_dropped"),
+          (col("n_vectors") - col("n_dropped")).as("n_kept"),
+          (col("n_dropped").cast(DoubleType) / col("n_vectors"))
+            .as("drop_rate"),
+          col("n_cand"))
+    }
+    val out = rows.reduce(_ unionAll _).orderBy(col("min_cos"))
+      .localCheckpoint()
+    pairs.unpersist()
+    asg.unpersist()
+    out
+  }
+
+  private def sqlSemDedupSweep(k: Int, thresholds: Seq[Double]): String = {
+    val perT = thresholds.zipWithIndex.map { case (th, i) =>
+      s"""r$i AS (SELECT CAST($th AS DOUBLE) AS min_cos,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_vectors,
+                 (SELECT CAST(COUNT(DISTINCT b_id) AS BIGINT) FROM prs
+                  WHERE cosine >= CAST($th AS DOUBLE)) AS n_dropped,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM prs) AS n_cand)"""
+    }.mkString(",\n")
+    val unions = thresholds.indices.map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${sqlKmeansCtes(k)},
+           prs AS (SELECT v.vec_id AS b_id,
+                          ${sqlDot("ea", "eb")} / (${sqlNorm("ea")} * ${sqlNorm("eb")}) AS cosine
+                   FROM asg a JOIN asg v ON a.cell = v.cell AND a.vec_id < v.vec_id
+                   JOIN embeddings ea ON ea.vec_id = a.vec_id
+                   JOIN embeddings eb ON eb.vec_id = v.vec_id),
+           $perT
+         SELECT min_cos, n_vectors, n_dropped,
+                n_vectors - n_dropped AS n_kept,
+                CAST(n_dropped AS DOUBLE) / n_vectors AS drop_rate,
+                n_cand
+         FROM ($unions) ORDER BY min_cos"""
+  }
+
   /** Deterministic PQ codebook: per contiguous subspace, the subvectors of
     * the first `nCent` vectors by id (the same seed convention as
     * [[refinedCentroids]]). Driver-side and bounded at nSub x nCent x
@@ -760,6 +828,13 @@ object Similarity {
 
     // SemDeDup: within-cluster cosine dedup — keep a vector unless a
     // lower-id same-cell vector matches it at cosine >= 0.4.
+    // SemDeDup threshold calibration: the drop-rate-vs-threshold table a
+    // team reads before fixing minCos for a semantic-dedup pass, from
+    // ONE clustering + ONE cell-local scoring pass (see semDedupSweep).
+    Q("q_semdedup_sweep",
+      (s, dir) => semDedupSweep(s, t(s, dir, "embeddings"), 8),
+      Some(sqlSemDedupSweep(8, Seq(0.3, 0.4, 0.5)))),
+
     Q("q_semdedup",
       (s, dir) => semDedup(s, t(s, dir, "embeddings"), 8, 0.4)
         .orderBy(col("vec_id")),
