@@ -471,9 +471,14 @@ object Similarity {
     * re-ranks through one broadcast of the (tiny) candidate list against
     * the corpus — precision of the final k is exact-cosine.
     */
-  def ivfPqTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, nCent: Int = 16,
-      rerank: Int = 4): DataFrame = {
+  /** Everything through the ADC approx scores — shared by [[ivfPqTopK]]
+    * and [[ivfPqRerankSweep]]: (e withNorm, q probe relation, approx
+    * (q_id, n_id, approx_dot)). The corpus side carries only
+    * (cell, codes); embeddings re-enter only at the exact re-rank.
+    */
+  private def pqApproxStage(s: SparkSession, embRaw: DataFrame,
+      nQueries: Int, nlist: Int, nprobe: Int, nSub: Int, nCent: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val emb = embRaw.filter(col("embedding").isNotNull)
     val cents = refinedCentroids(s, emb, nlist)
@@ -506,6 +511,14 @@ object Similarity {
       .groupBy(col("q_id"), col("n_id"))
       .agg(sum(col("pdot")).as("approx_dot"))
       .filter(col("q_id") =!= col("n_id"))
+    (e, q, approx)
+  }
+
+  def ivfPqTopK(s: SparkSession, embRaw: DataFrame, nQueries: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, nSub: Int = 8, nCent: Int = 16,
+      rerank: Int = 4): DataFrame = {
+    val (e, q, approx) =
+      pqApproxStage(s, embRaw, nQueries, nlist, nprobe, nSub, nCent)
     val wa = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_dot").desc, col("n_id"))
     val pool = approx.withColumn("arn", row_number().over(wa))
@@ -523,6 +536,58 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("bigint").as("rank"),
         col("n_id"), col("cosine"))
+  }
+
+  /** IVF-PQ RERANK-FACTOR SWEEP — the compressed-index member of the
+    * calibration family: per rerank factor r, recall@k of the ADC-pooled
+    * + exact-reranked result against the brute-force truth, plus the
+    * exact-rerank volume r pays (the only stage that touches real
+    * vectors). ONE shared pass: the ADC approx scores are computed once,
+    * the exact cosine is computed once over the WIDEST pool (each row
+    * keeps its approx rank), and every narrower factor is a filter —
+    * the q_ivf_recall sharing discipline applied to the rerank axis.
+    */
+  def ivfPqRerankSweep(s: SparkSession, embRaw: DataFrame, nQueries: Int,
+      k: Int, reranks: Seq[Int] = Seq(1, 2, 4), nlist: Int = 16,
+      nprobe: Int = 4, nSub: Int = 8, nCent: Int = 16): DataFrame = {
+    val maxR = reranks.max
+    val (e, q, approx) =
+      pqApproxStage(s, embRaw, nQueries, nlist, nprobe, nSub, nCent)
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("n_id"))
+    val poolMax = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= k * maxR)
+      .select(col("q_id"), col("n_id"), col("arn"))
+    val ex = broadcast(poolMax)
+      .join(e.select(col("vec_id").as("n_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_emb").as("a_emb"),
+        col("q_norm").as("a_norm"))), Seq("q_id"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .select(col("q_id"), col("n_id"), col("arn"), col("cosine"))
+      .persist() // every rerank factor filters this one scored pool
+    val truth = bruteForceTopK(s, embRaw.filter(col("embedding").isNotNull),
+        nQueries, k)
+      .select(col("q_id"), col("n_id")).persist()
+    val rows = reranks.map { r =>
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      val sub = ex.filter(col("arn") <= k * r)
+      val topk = sub.withColumn("rnk", row_number().over(wp))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), lit(1).as("f"))
+      truth.join(topk, Seq("q_id", "n_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("f"), lit(0))).cast(LongType).as("n_found"))
+        .crossJoin(sub.agg(count(lit(1)).as("n_rerank")))
+        .select(lit(r).as("rerank"), col("n_true"), col("n_found"),
+          (col("n_found").cast(DoubleType) / col("n_true")).as("recall"),
+          col("n_rerank"))
+    }
+    val out = rows.reduce(_ unionAll _).orderBy(col("rerank")).localCheckpoint()
+    ex.unpersist()
+    truth.unpersist()
+    out
   }
 
   // DuckDB mirror of the deterministic k-means assignment: seed = first k
@@ -626,12 +691,14 @@ object Similarity {
   // DECIMAL sum, so the approximate RANKING is engine-independent and
   // the whole pipeline oracles — IVF-PQ is deterministic end-to-end,
   // not seed-dependent.
-  private def sqlIvfPqTopK(nlist: Int, nprobe: Int, nQueries: Int, k: Int,
-      nSub: Int, nCent: Int, rerank: Int): String = {
+  // Everything through the ADC approx scores, shared by the single-factor
+  // mirror and the rerank sweep.
+  private def sqlPqApproxCtes(nlist: Int, nprobe: Int, nQueries: Int,
+      nSub: Int, nCent: Int): String = {
     val subDim = 64 / nSub
     def dc(a: String, c: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
-    s"""WITH ${sqlKmeansCtes(nlist)},
+    s"""${sqlKmeansCtes(nlist)},
            cb AS (SELECT s.s, CAST(c.vec_id AS INT) AS cid,
                          list_transform(range(1, ${subDim + 1}), i -> c.embedding[s.s*$subDim + i]) AS cv
                   FROM e c CROSS JOIN (SELECT unnest(range(0, $nSub)) AS s) s
@@ -663,7 +730,12 @@ object Similarity {
                            JOIN code cd ON cd.vec_id = sa.vec_id
                            JOIN lut l ON l.q_id = p.q_id AND l.s = cd.s AND l.cid = cd.cid
                       WHERE sa.vec_id <> p.q_id
-                      GROUP BY 1, 2),
+                      GROUP BY 1, 2)"""
+  }
+
+  private def sqlIvfPqTopK(nlist: Int, nprobe: Int, nQueries: Int, k: Int,
+      nSub: Int, nCent: Int, rerank: Int): String =
+    s"""WITH ${sqlPqApproxCtes(nlist, nprobe, nQueries, nSub, nCent)},
            pool AS (SELECT q_id, n_id FROM (
                       SELECT q_id, n_id,
                              row_number() OVER (PARTITION BY q_id
@@ -677,6 +749,43 @@ object Similarity {
            FROM pool p JOIN embeddings a ON a.vec_id = p.q_id
                        JOIN embeddings b ON b.vec_id = p.n_id)
          WHERE rank <= $k ORDER BY q_id, rank"""
+
+  private def sqlIvfPqRerank(nlist: Int, nprobe: Int, nQueries: Int, k: Int,
+      nSub: Int, nCent: Int, reranks: Seq[Int]): String = {
+    val maxR = reranks.max
+    val perR = reranks.map { r =>
+      s"""k$r AS (SELECT q_id, n_id FROM (
+               SELECT q_id, n_id,
+                      row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS rnk
+               FROM ex WHERE arn <= ${k * r}) WHERE rnk <= $k),
+          r$r AS (SELECT CAST($r AS INT) AS rerank,
+                   CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+                   CAST((SELECT COUNT(*) FROM truth t JOIN k$r x
+                         ON t.q_id = x.q_id AND t.n_id = x.n_id) AS BIGINT) AS n_found,
+                   CAST((SELECT COUNT(*) FROM ex WHERE arn <= ${k * r}) AS BIGINT) AS n_rerank)"""
+    }.mkString(",\n")
+    val unions = reranks.map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"""WITH ${sqlPqApproxCtes(nlist, nprobe, nQueries, nSub, nCent)},
+           poolm AS (SELECT q_id, n_id, rn AS arn FROM (
+                       SELECT q_id, n_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY ad DESC, n_id) AS rn
+                       FROM approx) WHERE rn <= ${k * maxR}),
+           ex AS (SELECT p.q_id, p.n_id, p.arn,
+                         ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine
+                  FROM poolm p JOIN embeddings a ON a.vec_id = p.q_id
+                               JOIN embeddings b ON b.vec_id = p.n_id),
+           truth AS (SELECT q_id, n_id FROM (
+                       SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) DESC, b.vec_id) AS rnk
+                       FROM e a JOIN e b ON b.vec_id <> a.vec_id
+                       WHERE a.vec_id < $nQueries) WHERE rnk <= $k),
+           $perR
+         SELECT rerank, n_true, n_found,
+                CAST(n_found AS DOUBLE) / n_true AS recall, n_rerank
+         FROM ($unions) ORDER BY rerank"""
   }
 
   // DuckDB mirror of the double-promoted, index-ordered fold.
@@ -888,6 +997,15 @@ object Similarity {
     // Deterministic end-to-end (seeded codebook, decimal-exact partial
     // dots), so it admits a full SQL mirror — oracled since round 7;
     // SimilaritySpec additionally measures recall vs the brute force.
+    // IVF-PQ rerank calibration: recall@5 vs the exact-rerank volume
+    // each factor pays — the compressed-index member of the calibration
+    // family (see ivfPqRerankSweep).
+    Q("q_ivfpq_rerank",
+      (s, dir) => ivfPqRerankSweep(s, t(s, dir, "embeddings"),
+        nQueries = 20, k = 5),
+      Some(sqlIvfPqRerank(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
+        nSub = 8, nCent = 16, reranks = Seq(1, 2, 4)))),
+
     Q("q_ivfpq_topk",
       (s, dir) => ivfPqTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
         .orderBy(col("q_id"), col("rank")),
