@@ -71,4 +71,27 @@ object CurationIngestJob {
   /** Read the curated lake back (batch side). */
   def lake(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
+
+  /** The FULL streaming pipeline in one job: quality gate → exact dedup
+    * → packed training shards — incoming raw documents leave as
+    * fixed-budget token-id sequences, across micro-batch boundaries,
+    * exactly once (the StreamingPackedShards ledger + dynamic-overwrite
+    * discipline). This is the streaming twin of q_pipeline_pack's batch
+    * composition; CurationIngestJobSpec pins stream == batch (curate the
+    * same corpus in batch, pack with PackedShards.writeBatch, compare
+    * sequences) under micro-batch slicings.
+    */
+  def startPacked(docs: Dataset[IncomingDoc], storeDir: String,
+      outDir: String, checkpointDir: String, minTokens: Long = 3L,
+      budget: Long = graft.sources.PackedShards.DefaultBudget)
+      : StreamingQuery =
+    curate(docs, minTokens).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: Dataset[CuratedDoc], id: Long) =>
+          StreamingPackedShards.packBatch(batch.sparkSession, batch.toDF(),
+            id, storeDir, outDir, budget)
+          ()
+      }
+      .start()
 }

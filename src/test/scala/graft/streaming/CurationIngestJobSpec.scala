@@ -70,6 +70,46 @@ class CurationIngestJobSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("curate -> pack: the streamed full pipeline equals the batch composition") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      IncomingDoc(1, keepText, "s0"),
+      IncomingDoc(2, dropText, "s0"),                    // gate-dropped
+      IncomingDoc(3, "tiny doc", "s1"),                  // under min tokens
+      IncomingDoc(4, keepText, "s1"),                    // dup of 1
+      IncomingDoc(5, keepText + " extended run", "s1"),
+      IncomingDoc(6, keepText + " another body entirely", "s0"),
+      IncomingDoc(7, keepText + " third body of text", "s1"))
+    // batch composition: same gate + first-occurrence dedup, then the
+    // batch shard writer — the q_pipeline_pack shape on this corpus
+    val curatedBatch = expected(docs).toSeq.sortBy(_._1)
+      .toDF("doc_id", "text")
+    val bdir = Files.createTempDirectory("curation_pack_b").toString
+    graft.sources.PackedShards.writeBatch(spark, curatedBatch,
+      s"$bdir/out", budget = 16L)
+    val want = spark.read.parquet(s"$bdir/out")
+      .select(col("seq"), col("tokens"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+
+    for ((slicing, tag) <- Seq(
+        Seq(docs) -> "one batch",
+        Seq(docs.take(4), docs.drop(4)) -> "two batches")) {
+      val dir = Files.createTempDirectory("curation_pack_s").toString
+      withRocksDBStateStore {
+        val in = MemoryStream[IncomingDoc]
+        val q = CurationIngestJob.startPacked(in.toDS(), s"$dir/store",
+          s"$dir/out", s"$dir/ckpt", budget = 16L)
+        try slicing.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      StreamingPackedShards.flush(spark, s"$dir/store", s"$dir/out")
+      val got = spark.read.parquet(s"$dir/out")
+        .select(col("seq"), col("tokens"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq.sortBy(_._1)
+      assert(got == want, s"slicing $tag: $got vs $want")
+    }
+  }
+
   test("lake content is invariant to micro-batch slicing") {
     val docs = Seq(
       IncomingDoc(1, keepText, "s0"),
