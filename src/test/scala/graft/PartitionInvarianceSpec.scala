@@ -29,7 +29,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (sf0.001 forms no co-occurrence edges)
     "q_nb_train" -> sf0001, "q_nb_score" -> sf0001, "q_nb_eval" -> sf0001,
     "q_lsh_recall" -> sf0001, "q_lsh_geometry" -> sf0001,
-    "q_label_prop" -> sf001)
+    "q_label_prop" -> sf001,
+    // round-10: the pack audit's two-phase offsets + span/id checksums
+    // (a partition-order drift would re-seat sequence boundaries), the
+    // curated end-to-end composition, the calibration sweeps' counts over
+    // persisted scored relations, and the trained-merge rounds on the
+    // bounded histogram
+    "q_pack_shards" -> sf0001, "q_pipeline_pack" -> sf0001,
+    "q_ivf_recall" -> sf0001, "q_semdedup_sweep" -> sf0001,
+    "q_ivfpq_rerank" -> sf0001, "q_bpe_train_full" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
