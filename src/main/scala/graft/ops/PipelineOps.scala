@@ -282,6 +282,51 @@ object PipelineOps {
                     < least(1.0, (0.5 * tn * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / n)
               ORDER BY source, doc_id""")),
 
+    // TOKEN-WEIGHTED temperature mixing — the budget-accurate form of
+    // q_temperature_mix: mixture weights and acceptance rates are
+    // computed on SUBWORD TOKEN totals (what the trainer consumes, the
+    // q_bpe_encode rationale), not document counts, so a source of few
+    // huge documents is down-weighted the way its actual token share
+    // demands. Same T=2 temperature (sqrt), same integer-quantized
+    // weights, same deterministic md5-fraction draw per doc; the rate
+    // targets a 0.5x total-token budget distributed by tempered token
+    // share. The oracle replays the BPE counts (bpeCte) + identical
+    // arithmetic.
+    Q("q_temperature_mix_tokens",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(graft.functions.BpeEncodeTokens.bpeTokens(col("text")))
+              .cast(LongType).as("n_tok"))
+        val stats = docs.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("t"))
+          .withColumn("w", floor(sqrt(col("t")) * lit(1e6)).cast(LongType))
+        val tots = stats.agg(sum(col("w")).as("tw"), sum(col("t")).as("tt"))
+        docs.join(broadcast(stats), Seq("source"))
+          .crossJoin(broadcast(tots))
+          .withColumn("rate", least(lit(1.0),
+            (lit(0.5) * col("tt") * (col("w").cast(DoubleType) / col("tw").cast(DoubleType))) / col("t")))
+          .filter(
+            conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+              .cast(LongType).cast(DoubleType) / lit(4294967296.0) < col("rate"))
+          .select(col("source"), col("doc_id"), col("n_tok"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""${TextOps.bpeCte},
+              cnt AS (SELECT doc_id, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tok
+                      FROM fin GROUP BY doc_id),
+              d AS (SELECT dd.source, dd.doc_id, coalesce(c.n_tok, 0) AS n_tok
+                    FROM documents dd LEFT JOIN cnt c USING (doc_id)),
+              stats AS (SELECT source, SUM(n_tok) AS t,
+                               CAST(floor(sqrt(SUM(n_tok)) * 1e6) AS BIGINT) AS w
+                        FROM d GROUP BY 1),
+              tot AS (SELECT SUM(w) AS tw, SUM(t) AS tt FROM stats)
+              SELECT d.source, d.doc_id, d.n_tok
+              FROM d JOIN stats USING (source), tot
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+                    < least(1.0, (0.5 * tt * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / t)
+              ORDER BY source, doc_id""")),
+
     // Deterministic WEIGHTED sampling without replacement (Efraimidis-
     // Spirakis A-ES): per source, keep the top-20 docs by the key
     // u^(1/w) — equivalently ln(u)/w, monotone — where u is the doc's
