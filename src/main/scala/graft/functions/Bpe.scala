@@ -440,6 +440,52 @@ object BpeEncodeIds {
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeIds(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
         codecId, fullCharset))
+
+  /** Ids under an arbitrary (e.g. just-learned) merge table — the
+    * train → pack seam: the learned table rides the serialized
+    * expression, and its [[BpeVocab]] assigns merge rank r → 292 + r.
+    */
+  def bpeIdsWith(c: Column, table: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeIdsWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        table))
+}
+
+/** [[BpeEncodeIds]] with the merge table carried in the expression
+  * itself (the [[BpeEncodeTokensWith]] convention for ids).
+  */
+case class BpeEncodeIdsWith(child: Expression, table: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val codec = new BpeCodec(table.toIndexedSeq)
+  @transient private lazy val vocab = new BpeVocab(codec.table)
+
+  def computeRow(s: UTF8String): ArrayData = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    codec.encodeDocCounted(s.toString, toks)
+    val out = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = vocab.id(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("bpeIdsWith", this,
+        classOf[BpeEncodeIdsWith].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIdsWith =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_encode_ids_with"
 }
 
 /** Encode with an ARBITRARY merge table carried in the expression itself

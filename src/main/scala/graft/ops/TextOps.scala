@@ -296,10 +296,11 @@ object TextOps {
     * rebuilds arithmetically without ever seeing the writer.
     */
   private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
-      fullCharset: Boolean = false): DataFrame = {
+      fullCharset: Boolean = false,
+      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
     graft.sources.PackedShards.writeBatch(s, docs, out,
-        fullCharset = fullCharset)
+        fullCharset = fullCharset, idsExpr = idsExpr)
       .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
         col("n_docs"),
         expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"),
@@ -385,7 +386,12 @@ object TextOps {
     * end-to-end in one SQL statement, the composition the Spark side
     * performs with BpeTrainer + BpeEncodeTokensWith.
     */
-  private def bpeTrainEncodeOracle: String = {
+  /** The unrolled train-then-encode CTE prefix (through `fin`, the
+    * per-(doc, word) tokens under the LEARNED table) plus the learned-
+    * merge union — shared by q_bpe_train_encode and the train → pack
+    * composition (q_pack_shards_trained).
+    */
+  private def bpeTrainEncodeCtes(pred: String = "TRUE"): (String, String) = {
     val iters = (0 until NumTrainMerges).map { i =>
       s"""p$i AS (
             SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
@@ -402,18 +408,18 @@ object TextOps {
     }.mkString(",\n")
     val mlUnion = (0 until NumTrainMerges).map(i =>
       s"SELECT $i AS rank, a, b FROM b$i").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE t0 AS (
+    (s"""WITH RECURSIVE t0 AS (
           SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-              FROM documents) GROUP BY word)),
+              FROM documents WHERE $pred) GROUP BY word)),
         $iters,
         mlist AS (SELECT list(a || chr(1) || b ORDER BY rank) AS ml
                   FROM ($mlUnion)),
         w0 AS (SELECT doc_id,
                       generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-               FROM documents),
+               FROM documents WHERE $pred),
         enc(doc_id, wid, iter, toks) AS (
           SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
           UNION ALL
@@ -432,7 +438,12 @@ object TextOps {
         ),
         fin AS (SELECT doc_id, wid, toks FROM (
                   SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
-                  FROM enc) WHERE rn = 1),
+                  FROM enc) WHERE rn = 1)""", mlUnion)
+  }
+
+  private def bpeTrainEncodeOracle: String = {
+    val (ctes, _) = bpeTrainEncodeCtes()
+    s"""$ctes,
         agg AS (SELECT doc_id,
                        CAST(count(*) AS BIGINT) AS n_words,
                        CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS n_tokens_learned,
@@ -444,6 +455,46 @@ object TextOps {
                array_to_string((string_split(coalesce(a.full, ''), ' '))[:8], ' ') AS first_tokens
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id"""
+  }
+
+  /** Oracle of the TRAIN → PACK composition: the learned-table encode
+    * prefix, ids via the learned products (rank r → 292 + r, the
+    * BpeVocab rule), then the standard pack-audit arithmetic.
+    */
+  private def packShardsTrainedOracle: String = {
+    // the 1-in-5 corpus slice keeps the learned-table recursive encode
+    // (the oracle's dominant cost: ~4 min corpus-wide at sf0.01)
+    // gate-priced — the exact-regime-anchor convention; the Spark side
+    // runs the identical slice, and the full-corpus composition is the
+    // same code with the filter removed
+    val (ctes, mlUnion) = bpeTrainEncodeCtes(pred = "doc_id % 5 = 0")
+    s"""$ctes,
+       prods AS (SELECT list(a || b ORDER BY rank) AS pl FROM ($mlUnion)),
+       flat AS (SELECT doc_id, wid, generate_subscripts(toks, 1) AS ti,
+                       unnest(toks) AS t
+                FROM fin),
+       g AS (SELECT doc_id, t,
+                    row_number() OVER (ORDER BY doc_id, wid, ti) - 1 AS pos
+             FROM flat),
+       ids AS (SELECT doc_id, pos,
+                      CASE WHEN len(t) = 1 THEN ascii(t) - 97
+                           ELSE 291 + list_position(p.pl, t)
+                      END AS tid
+               FROM g CROSS JOIN prods p),
+       seqs AS (SELECT pos // 256 AS seq,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(tid) AS BIGINT) AS ts,
+                       CAST(sum(doc_id) AS BIGINT) AS sd,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM ids GROUP BY 1)
+       SELECT CAST(seq // 8 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+              CAST(sum(ts) AS BIGINT) AS tid_sum,
+              CAST(sum(sd) AS BIGINT) AS span_sum,
+              CAST(sum(nd) AS BIGINT) AS n_contribs
+       FROM seqs GROUP BY 1 ORDER BY 1"""
   }
 
   val queries: Seq[Q] = Seq(
@@ -1056,6 +1107,33 @@ object TextOps {
                   CAST(sum(nd) AS BIGINT) AS n_contribs
            FROM seqsf GROUP BY 1 ORDER BY 1"""
       }),
+
+    // TRAIN → PACK: learn the merge table from the corpus (the bounded
+    // q_bpe_train histogram + driver rounds), then ship shards priced in
+    // the LEARNED vocabulary — the actual production flow, where the
+    // tokenizer is a product of the corpus rather than a committed
+    // fixture. The learned table rides the serialized BpeEncodeIdsWith
+    // expression to executors (its BpeVocab assigns rank r -> 292 + r);
+    // the oracle chains the unrolled training rounds, the learned-table
+    // recursive encode, the learned-products id map, and the pack
+    // arithmetic into ONE SQL statement — training, tokenization, and
+    // the shipped artifact hash-pinned end-to-end.
+    Q("q_pack_shards_trained",
+      (s, dir) => {
+        // 1-in-5 corpus slice on BOTH sides: the oracle's learned-table
+        // recursive encode is its dominant cost, so this row is an
+        // exact-regime-priced anchor (the q_dedup_minhash convention);
+        // the full-corpus composition is the identical code minus the
+        // filter
+        val docs5 = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        val hist = bpeWordHistogram(docs5)
+        val learned = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
+          .map(m => (m._2, m._3))
+        packShardsAudit(s, docs5,
+          idsExpr = Some(graft.functions.BpeEncodeIds
+            .bpeIdsWith(col("text"), learned)))
+      },
+      Some(packShardsTrainedOracle)),
 
     // PII scrubbing (the redaction pass every public-web training corpus
     // runs before anything else): emails, NANP-style phone numbers and

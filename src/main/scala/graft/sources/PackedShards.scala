@@ -142,10 +142,11 @@ object PackedShards {
   def writeBatch(spark: SparkSession, docs: DataFrame, outDir: String,
       budget: Long = DefaultBudget,
       seqsPerShard: Long = DefaultSeqsPerShard,
-      codecId: String = "fixture", fullCharset: Boolean = false): DataFrame = {
+      codecId: String = "fixture", fullCharset: Boolean = false,
+      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(budget > 0 && seqsPerShard > 0)
-    val offs = withOffsets(docs,
-      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
+    val offs = withOffsets(docs, idsExpr.getOrElse(
+      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)))
     // packedSharded co-locates every shard's rows on its ONE shuffle, so
     // the partitioned write emits exactly one file per shard directory —
     // a contiguous, whole-file unit the trainer streams. (The first cut
