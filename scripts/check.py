@@ -8,7 +8,7 @@ oracle_sql.json entry in DuckDB over the same parquet tables and compares
 with the Spark result parquet: row count, column names, and exact values
 (sorted by all columns). Prints per-query PASS/FAIL.
 """
-import json, subprocess, sys, os
+import json, subprocess, sys, os, time
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/verify_out"
@@ -64,6 +64,9 @@ for name in declared:
             print(f"{name:28s} FAIL decimal-typed output cols (driver hash diverges): {dec}")
             fails += 1
             continue
+        t0 = time.time()  # oracle-cost budget: a single slow DuckDB oracle
+        # can blow the driver's whole correctness run (round 10:
+        # q_pack_shards_trained at ~30 min emptied CORRECTNESS_r10.json)
         ora = con.sql(oracle[name])
         scols, ocols = spark_rel.columns, ora.columns
         if sorted(scols) != sorted(ocols):
@@ -80,6 +83,8 @@ for name in declared:
         cols = ", ".join(f'"{c}"' for c in sorted(scols))
         sdf = con.sql(f"SELECT {cols} FROM spark_rel ORDER BY ALL").fetchall()
         odf = con.sql(f"SELECT {cols} FROM ora ORDER BY ALL").fetchall()
+        osec = time.time() - t0
+        slow = "  ORACLE-SLOW" if osec > 30 else ""
         if len(sdf) != len(odf):
             print(f"{name:28s} FAIL rows: spark={len(sdf)} oracle={len(odf)}")
             fails += 1
@@ -88,7 +93,7 @@ for name in declared:
             print(f"{name:28s} FAIL values, first diffs: {bad}")
             fails += 1
         else:
-            print(f"{name:28s} PASS rows={len(sdf)}")
+            print(f"{name:28s} PASS rows={len(sdf)} oracle={osec:.1f}s{slow}")
     except Exception as e:
         print(f"{name:28s} FAIL oracle error: {e}")
         fails += 1

@@ -226,8 +226,9 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     * byte fallback is exactly the UTF-8 encoding of the text. Returns
     * the op count (byte tokens cost 1 op each), same contract as
     * [[encodeDocCounted]]. BpeSpec pins: losslessness (tokens rebuild
-    * the FULL input up to ASCII case), agreement with [[encodeDoc]] on
-    * pure `[a-z ]` text, and linear op count.
+    * the full input up to ASCII case AND the removed ASCII whitespace —
+    * whitespace emits no token, so it is not re-derivable), agreement
+    * with [[encodeDoc]] on pure `[a-z ]` text, and linear op count.
     */
   def encodeDocFull(text: String,
       out: scala.collection.mutable.ArrayBuffer[String]): Long = {
@@ -330,7 +331,20 @@ final class BpeVocab(val table: IndexedSeq[(String, String)])
     val m = new java.util.HashMap[String, Integer](table.size * 2)
     var i = 0
     while (i < table.size) {
-      m.put(table(i)._1 + table(i)._2, Integer.valueOf(MergeIdBase + i))
+      // Distinct products are REQUIRED, not assumed: a degenerate learned
+      // table could contain two merges with the same product string
+      // (e.g. (a,bc) and (ab,c) both yield "abc"), which would make this
+      // map non-injective (and the id it assigns dependent on put order —
+      // last-wins here vs the DuckDB oracles' first-position rule) AND
+      // break the sequential==greedy encode equivalence the trained
+      // oracles rest on. Every committed table has distinct products;
+      // a learned one that doesn't must fail loudly, not drift.
+      val prev = m.put(table(i)._1 + table(i)._2,
+        Integer.valueOf(MergeIdBase + i))
+      require(prev == null,
+        s"duplicate merge product '${table(i)._1 + table(i)._2}' at ranks " +
+          s"${prev.intValue() - MergeIdBase} and $i: BpeVocab ids require " +
+          "distinct products")
       i += 1
     }
     m

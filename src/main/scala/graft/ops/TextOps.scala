@@ -353,14 +353,19 @@ object TextOps {
   private def bpeTrainOracle(
       wordsSql: String = "regexp_extract_all(lower(text), '[a-z]+')")
       : String = {
+    // AS MATERIALIZED on every chain CTE: DuckDB inlines CTEs by default,
+    // and each t$i is referenced TWICE (p$i and t${i+1}), so an inlined
+    // 12-round chain re-evaluates t0 up to 2^12 times — measured ~124 s
+    // at sf0.01 for a histogram of a few hundred words. Materialized,
+    // each round runs once.
     val iters = (0 until NumTrainMerges).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
             SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
               SELECT cnt, unnest(list_transform(range(1, len(toks)),
                 x -> {'a': toks[x], 'b': toks[x+1]})) AS pr
               FROM t$i) GROUP BY 1, 2),
-          b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-          t${i + 1} AS (
+          b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          t${i + 1} AS MATERIALIZED (
             SELECT list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND x[1] = m.mb
                                THEN list_append(acc[:len(acc)-1], m.ma || m.mb)
@@ -370,7 +375,7 @@ object TextOps {
     val unions = (0 until NumTrainMerges).map { i =>
       s"SELECT CAST($i AS INT) AS rank, a, b, CAST(c AS BIGINT) AS pair_count FROM b$i"
     }.mkString("\nUNION ALL\n")
-    s"""WITH t0 AS (
+    s"""WITH t0 AS MATERIALIZED (
           SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
               SELECT unnest($wordsSql) AS word
@@ -390,17 +395,39 @@ object TextOps {
     * per-(doc, word) tokens under the LEARNED table) plus the learned-
     * merge union — shared by q_bpe_train_encode and the train → pack
     * composition (q_pack_shards_trained).
+    *
+    * The encode half is a JOIN, not a recursive CTE: the training chain's
+    * final relation t{N} already holds every distinct word's tokenization
+    * after applying merges 0..N-1 in rank order, and for a table LEARNED
+    * by BPE training with distinct products, sequential rank-order
+    * application equals the encoder's greedy lowest-rank-first loop —
+    * a new adjacency created by applying merge k always involves
+    * product(k), so it can only match a merge j whose operand is
+    * product(k); a learned table forms operands strictly before the
+    * merges that consume them, so (with distinct products, which
+    * BpeVocab asserts) j > k always, and no earlier-rank opportunity is
+    * ever created after its round has run. So fin = w0 ⋈ t{N} on word,
+    * and the oracle never re-encodes per document. (The first cut ran a
+    * per-document recursive-CTE greedy encode against the learned list;
+    * DuckDB priced q_pack_shards_trained's instance of it at ~25-30 min
+    * single-threaded at sf0.01 — ~10× the Spark wall-time of the entire
+    * 254-query surface, which is what emptied the driver's round-10
+    * correctness artifact. The join form prices the same semantics in
+    * milliseconds.)
     */
   private def bpeTrainEncodeCtes(pred: String = "TRUE"): (String, String) = {
+    // AS MATERIALIZED throughout, same reason as bpeTrainOracle: inlined,
+    // the doubly-referenced chain re-evaluates exponentially in rounds.
     val iters = (0 until NumTrainMerges).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
             SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
               SELECT cnt, unnest(list_transform(range(1, len(toks)),
                 x -> {'a': toks[x], 'b': toks[x+1]})) AS pr
               FROM t$i) GROUP BY 1, 2),
-          b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-          t${i + 1} AS (
-            SELECT list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+          b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          t${i + 1} AS MATERIALIZED (
+            SELECT word,
+              list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND x[1] = m.mb
                                THEN list_append(acc[:len(acc)-1], m.ma || m.mb)
                                ELSE list_append(acc, x[1]) END) AS toks, cnt
@@ -408,37 +435,18 @@ object TextOps {
     }.mkString(",\n")
     val mlUnion = (0 until NumTrainMerges).map(i =>
       s"SELECT $i AS rank, a, b FROM b$i").mkString(" UNION ALL ")
-    (s"""WITH RECURSIVE t0 AS (
-          SELECT regexp_extract_all(word, '.') AS toks, cnt FROM (
+    (s"""WITH t0 AS MATERIALIZED (
+          SELECT word, regexp_extract_all(word, '.') AS toks, cnt FROM (
             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
               FROM documents WHERE $pred) GROUP BY word)),
         $iters,
-        mlist AS (SELECT list(a || chr(1) || b ORDER BY rank) AS ml
-                  FROM ($mlUnion)),
         w0 AS (SELECT doc_id,
                       generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid,
                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
                FROM documents WHERE $pred),
-        enc(doc_id, wid, iter, toks) AS (
-          SELECT doc_id, wid, 0, regexp_extract_all(word, '.') FROM w0
-          UNION ALL
-          SELECT doc_id, wid, iter + 1,
-            list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
-              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
-                               THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
-                               ELSE list_append(acc, x[1]) END)
-          FROM (SELECT doc_id, wid, iter, toks,
-                  string_split(ml[list_min(list_filter(
-                     list_transform(range(1, len(toks)),
-                       i -> list_position(ml, toks[i] || chr(1) || toks[i+1])),
-                     r -> r > 0))], chr(1)) AS sp
-                FROM enc CROSS JOIN mlist)
-          WHERE sp IS NOT NULL
-        ),
-        fin AS (SELECT doc_id, wid, toks FROM (
-                  SELECT *, row_number() OVER (PARTITION BY doc_id, wid ORDER BY iter DESC) rn
-                  FROM enc) WHERE rn = 1)""", mlUnion)
+        fin AS (SELECT w0.doc_id, w0.wid, t.toks
+                FROM w0 JOIN t$NumTrainMerges t USING (word))""", mlUnion)
   }
 
   private def bpeTrainEncodeOracle: String = {
@@ -462,11 +470,12 @@ object TextOps {
     * BpeVocab rule), then the standard pack-audit arithmetic.
     */
   private def packShardsTrainedOracle: String = {
-    // the 1-in-5 corpus slice keeps the learned-table recursive encode
-    // (the oracle's dominant cost: ~4 min corpus-wide at sf0.01)
-    // gate-priced — the exact-regime-anchor convention; the Spark side
-    // runs the identical slice, and the full-corpus composition is the
-    // same code with the filter removed
+    // 1-in-5 corpus slice on both sides (the exact-regime-anchor
+    // convention; the full-corpus composition is the same code with the
+    // filter removed). With the join-form encode in bpeTrainEncodeCtes
+    // the oracle now runs in seconds — the recursive form it replaced
+    // cost ~25-30 min in DuckDB and blew the driver's round-10
+    // correctness budget.
     val (ctes, mlUnion) = bpeTrainEncodeCtes(pred = "doc_id % 5 = 0")
     s"""$ctes,
        prods AS (SELECT list(a || b ORDER BY rank) AS pl FROM ($mlUnion)),
@@ -1115,16 +1124,16 @@ object TextOps {
     // fixture. The learned table rides the serialized BpeEncodeIdsWith
     // expression to executors (its BpeVocab assigns rank r -> 292 + r);
     // the oracle chains the unrolled training rounds, the learned-table
-    // recursive encode, the learned-products id map, and the pack
-    // arithmetic into ONE SQL statement — training, tokenization, and
-    // the shipped artifact hash-pinned end-to-end.
+    // encode (a word-level join against the training chain's final
+    // relation — see bpeTrainEncodeCtes for why that equals the greedy
+    // encoder), the learned-products id map, and the pack arithmetic
+    // into ONE SQL statement — training, tokenization, and the shipped
+    // artifact hash-pinned end-to-end.
     Q("q_pack_shards_trained",
       (s, dir) => {
-        // 1-in-5 corpus slice on BOTH sides: the oracle's learned-table
-        // recursive encode is its dominant cost, so this row is an
-        // exact-regime-priced anchor (the q_dedup_minhash convention);
-        // the full-corpus composition is the identical code minus the
-        // filter
+        // 1-in-5 corpus slice on BOTH sides — the exact-regime-anchor
+        // convention (q_dedup_minhash); the full-corpus composition is
+        // the identical code minus the filter
         val docs5 = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         val hist = bpeWordHistogram(docs5)
         val learned = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
