@@ -113,6 +113,26 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     val n = word.length
     if (n == 0) return 0L
     if (n == 1) { out += word; return 1L }
+    val init = new Array[String](n)
+    var i = 0
+    while (i < n) { init(i) = String.valueOf(word.charAt(i)); i += 1 }
+    encodeUnit(init, out)
+  }
+
+  /** The same heap merge loop over an ARBITRARY initial token array —
+    * the unit seam byte-level training needs: a `[a-z0-9]+` run starts
+    * from single chars ([[encodeWord]]), a non-word code point starts
+    * from its `<0xNN>` UTF-8 byte tokens ([[encodeDocFull]]), and a
+    * LEARNED table may carry merges over either alphabet. Committed
+    * tables hold no byte pairs, so running the loop over byte units is
+    * an exact no-op for them (pinned by the existing full-charset gate
+    * rows staying green).
+    */
+  def encodeUnit(init: Array[String],
+      out: scala.collection.mutable.ArrayBuffer[String]): Long = {
+    val n = init.length
+    if (n == 0) return 0L
+    if (n == 1) { out += init(0); return 1L }
     var ops = 0L
     val toks = new Array[String](n)
     val next = new Array[Int](n)
@@ -120,7 +140,7 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     val alive = new Array[Boolean](n)
     var i = 0
     while (i < n) {
-      toks(i) = String.valueOf(word.charAt(i))
+      toks(i) = init(i)
       next(i) = if (i + 1 < n) i + 1 else -1
       prev(i) = i - 1
       alive(i) = true
@@ -224,7 +244,8 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     *
     * Walks by code point (surrogate pairs encode as one unit), so the
     * byte fallback is exactly the UTF-8 encoding of the text. Returns
-    * the op count (byte tokens cost 1 op each), same contract as
+    * the op count (each code point's byte unit runs the merge loop, so
+    * its cost is the unit's heap-loop op count), same contract as
     * [[encodeDocCounted]]. BpeSpec pins: losslessness (tokens rebuild
     * the full input up to ASCII case AND the removed ASCII whitespace —
     * whitespace emits no token, so it is not re-derivable), agreement
@@ -248,12 +269,17 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
           val cp = text.codePointAt(i)
           val bytes = new String(Character.toChars(cp))
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // each non-word code point is ONE merge unit over its byte
+          // tokens: learned tables may carry <0xNN>-pair merges (byte-
+          // level training); committed tables have none, so this is an
+          // exact no-op for them
+          val unit = new Array[String](bytes.length)
           var b = 0
           while (b < bytes.length) {
-            out += f"<0x${bytes(b) & 0xff}%02X>"
+            unit(b) = f"<0x${bytes(b) & 0xff}%02X>"
             b += 1
           }
-          ops += bytes.length
+          ops += encodeUnit(unit, out)
           i += Character.charCount(cp)
         }
       }
@@ -459,16 +485,18 @@ object BpeEncodeIds {
     * train → pack seam: the learned table rides the serialized
     * expression, and its [[BpeVocab]] assigns merge rank r → 292 + r.
     */
-  def bpeIdsWith(c: Column, table: Seq[(String, String)]): Column =
+  def bpeIdsWith(c: Column, table: Seq[(String, String)],
+      fullCharset: Boolean = false): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeIdsWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
-        table))
+        table, fullCharset))
 }
 
 /** [[BpeEncodeIds]] with the merge table carried in the expression
   * itself (the [[BpeEncodeTokensWith]] convention for ids).
   */
-case class BpeEncodeIdsWith(child: Expression, table: Seq[(String, String)])
+case class BpeEncodeIdsWith(child: Expression, table: Seq[(String, String)],
+    fullCharset: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -479,7 +507,8 @@ case class BpeEncodeIdsWith(child: Expression, table: Seq[(String, String)])
 
   def computeRow(s: UTF8String): ArrayData = {
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    codec.encodeDocCounted(s.toString, toks)
+    if (fullCharset) codec.encodeDocFull(s.toString, toks)
+    else codec.encodeDocCounted(s.toString, toks)
     val out = new Array[Int](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = vocab.id(toks(i)); i += 1 }
@@ -509,7 +538,8 @@ case class BpeEncodeIdsWith(child: Expression, table: Seq[(String, String)])
   * [[BpeCodecs]] id + broadcast instead). Same static-call codegen and
   * heap encoder as [[BpeEncodeTokens]].
   */
-case class BpeEncodeTokensWith(child: Expression, table: Seq[(String, String)])
+case class BpeEncodeTokensWith(child: Expression, table: Seq[(String, String)],
+    fullCharset: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -518,7 +548,8 @@ case class BpeEncodeTokensWith(child: Expression, table: Seq[(String, String)])
   @transient private lazy val codec = new BpeCodec(table.toIndexedSeq)
 
   def computeRow(s: UTF8String): ArrayData =
-    BpeEncodeTokens.compute(codec, s)
+    if (fullCharset) BpeEncodeTokens.computeFull(codec, s)
+    else BpeEncodeTokens.compute(codec, s)
 
   override protected def nullSafeEval(input: Any): Any =
     computeRow(input.asInstanceOf[UTF8String])
@@ -559,9 +590,11 @@ object BpeEncodeTokens {
       BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
 
   /** Tokens under an arbitrary (e.g. just-learned) merge table. */
-  def bpeTokensWith(c: Column, table: Seq[(String, String)]): Column =
+  def bpeTokensWith(c: Column, table: Seq[(String, String)],
+      fullCharset: Boolean = false): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
-      BpeEncodeTokensWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c), table))
+      BpeEncodeTokensWith(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        table, fullCharset))
 
   /** Full-charset tokens (byte-fallback pre-tokenization, fixture
     * table) — the budget-accurate tokenizer for real web text.
@@ -660,14 +693,30 @@ object BpeTrainer {
   /** First `numMerges` merges learned from a (word, count) histogram:
     * (rank, a, b, pair_count) with pair_count the weighted adjacent-pair
     * frequency at the time the merge was chosen. Stops early if no
-    * adjacent pair remains (tiny corpora).
+    * adjacent pair remains (tiny corpora). Words start from single
+    * chars; [[trainUnits]] is the general form over arbitrary initial
+    * token arrays (the byte-level path).
     */
   def train(hist: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, String, Long)] =
+    trainUnits(hist.iterator.map { case (w, c) =>
+      (w.toCharArray.map(String.valueOf): IndexedSeq[String], c)
+    }.toSeq, numMerges)
+
+  /** [[train]] over a histogram of UNITS given as their initial token
+    * arrays — the byte-level trainer: a `[a-z0-9]+` run enters as single
+    * chars, a non-word code point as its `<0xNN>` byte tokens, so
+    * learned merges can contain digit and byte tokens (the GPT-2 /
+    * tiktoken byte-level convention the encode side already speaks).
+    * Asserts the learned products are DISTINCT: the BpeVocab id map and
+    * the oracle equivalence (sequential rank-order application == greedy
+    * encode) both require it, and a degenerate corpus that learns two
+    * merges with one product must fail loudly rather than drift.
+    */
+  def trainUnits(hist: Seq[(IndexedSeq[String], Long)], numMerges: Int)
       : Seq[(Int, String, String, Long)] = {
     var words: Array[(Array[String], Long)] =
-      hist.iterator.map { case (w, c) =>
-        (w.toCharArray.map(String.valueOf), c)
-      }.toArray
+      hist.iterator.map { case (u, c) => (u.toArray, c) }.toArray
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -699,6 +748,11 @@ object BpeTrainer {
         r += 1
       }
     }
-    out.result()
+    val learned = out.result()
+    val products = learned.map(m => m._2 + m._3)
+    require(products.distinct.size == products.size,
+      s"learned merge table has duplicate products: " +
+        products.diff(products.distinct).distinct.mkString(", "))
+    learned
   }
 }

@@ -33,7 +33,9 @@ object TextOps {
   def tokenShards(docs: DataFrame, budget: Long = 4096L,
       docsPerChunk: Long = 1024L,
       nTokens: org.apache.spark.sql.Column =
-        size(split(col("text"), " ")).cast(LongType)): DataFrame = {
+        size(split(col("text"), " ")).cast(LongType),
+      chunksPerSuper: Long = graft.sources.PackedShards.ChunksPerSuper)
+      : DataFrame = {
     // persisted: both the chunk totals and the join probe side read it,
     // and cross-subtree plans re-execute (no CSE) — without this the
     // text-splitting scan runs twice
@@ -41,12 +43,12 @@ object TextOps {
       .select(col("doc_id"), nTokens.as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / docsPerChunk))
       .persist()
-    val wChunks = Window.orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunkOffsets = sized.groupBy(col("chunk"))
-      .agg(sum(col("n_tokens")).as("cs"))
-      .withColumn("chunk_off", coalesce(sum(col("cs")).over(wChunks), lit(0L)))
-      .select(col("chunk"), col("chunk_off"))
+    // two-level chunk-offset spine (PackedShards.chunkOffsetSpine): the
+    // single-level global window here was a serial stage over ~10^8 rows
+    // at the 10^11-doc design point
+    val chunkOffsets = graft.sources.PackedShards.chunkOffsetSpine(
+      sized.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("cs")),
+      baseOffset = 0L, chunksPerSuper = chunksPerSuper)
     val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val out = sized.join(broadcast(chunkOffsets), Seq("chunk"))
@@ -272,6 +274,54 @@ object TextOps {
 
   /** Merges learned by q_bpe_train (and unrolled by its oracle). */
   private val NumTrainMerges = 12
+
+  /** Merges learned by the FULL-CHARSET trainer (q_bpe_train_full /
+    * q_bpe_train_encode_full): deep enough that the fixture corpus
+    * learns merges past the frequent letter pairs into the digit and
+    * byte-token alphabet (BpeSpec pins that at least one learned merge
+    * contains a non-letter token on the gate fixture) — the property
+    * round-10's letters-only trainer could never exhibit.
+    */
+  private val NumTrainMergesFull = 48
+
+  /** The full-charset UNIT segmentation both trainer sides share —
+    * exactly BpeCodec.encodeDocFull's pre-tokenization as a regex:
+    * maximal `[a-z0-9]+` runs, or ONE non-whitespace other code point
+    * (ASCII space/tab/LF/CR excluded; the corpus and fixture are BMP, so
+    * Java's code-unit and RE2's code-point semantics agree). Units are
+    * the merge boundaries: training and encode both operate per unit.
+    */
+  private val UnitRe = "[a-z0-9]+|[^a-z0-9 \\t\\n\\r]"
+
+  /** Driver-side initial tokens of one unit — the trainUnits input: a
+    * word run starts from single chars, anything else is one code
+    * point's `<0xNN>` UTF-8 byte tokens (the encodeDocFull convention).
+    */
+  private def unitTokens(u: String): IndexedSeq[String] =
+    if (u.forall(ch => (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')))
+      u.map(String.valueOf)
+    else
+      u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"<0x${b & 0xff}%02X>").toIndexedSeq
+
+  /** The ASCII-folded derived corpus both full-charset trainer engines
+    * read, as Spark column / DuckDB SQL — the q_bpe_encode_full fixture
+    * with the suffix planted TWICE: at ×1 the suffix's digit/byte pair
+    * counts (~1 per doc) sit below the corpus's ~2-per-doc letter-pair
+    * band for 48+ rounds and the trainer never exhibits a non-letter
+    * merge; at ×2 they land at rank 12-17 (measured: (1,0), (4,2),
+    * (10,0), and the é/ï/em-dash UTF-8 byte pairs), which is the
+    * property this fixture exists to pin.
+    */
+  private def foldedDerivedCol: org.apache.spark.sql.Column =
+    translate(
+      concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
+        lit(FullCharsetSuffix), lit(FullCharsetSuffix)),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+  private def foldedDerivedSql: String =
+    s"""translate(text || ' #' || doc_id || '$FullCharsetSuffix$FullCharsetSuffix',
+       'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"""
 
   /** Bounds on the training word histogram (q_bpe_train /
     * q_bpe_train_encode): distinct `[a-z]+` forms on real web text run
@@ -504,6 +554,87 @@ object TextOps {
               CAST(sum(sd) AS BIGINT) AS span_sum,
               CAST(sum(nd) AS BIGINT) AS n_contribs
        FROM seqs GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Unrolled BYTE-LEVEL training rounds (q_bpe_train_full /
+    * q_bpe_train_encode_full): t0 is the full-charset UNIT histogram of
+    * the ASCII-folded derived corpus — a `[a-z0-9]+` run splits to
+    * chars, any other code point to its `<0xNN>` UTF-8 byte tokens
+    * (hex(encode(u)) IS the byte fallback) — so the learned merges range
+    * over letters, digits, AND byte tokens. The chain carries the unit
+    * string `u` so the encode oracle is a seg ⋈ t{N} join (the
+    * bpeTrainEncodeCtes equivalence argument, per unit). All
+    * MATERIALIZED: inlined, the doubly-referenced 48-round chain would
+    * re-evaluate exponentially.
+    */
+  private def bpeTrainUnitsCtes: String = {
+    val iters = (0 until NumTrainMergesFull).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT pr.a AS a, pr.b AS b, SUM(cnt) AS c FROM (
+              SELECT cnt, unnest(list_transform(range(1, len(toks)),
+                x -> {'a': toks[x], 'b': toks[x+1]})) AS pr
+              FROM t$i) GROUP BY 1, 2),
+          b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+          t${i + 1} AS MATERIALIZED (
+            SELECT u,
+              list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+              (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.ma AND x[1] = m.mb
+                               THEN list_append(acc[:len(acc)-1], m.ma || m.mb)
+                               ELSE list_append(acc, x[1]) END) AS toks, cnt
+            FROM t$i CROSS JOIN (SELECT a AS ma, b AS mb FROM b$i) m)"""
+    }.mkString(",\n")
+    s"""WITH corp AS MATERIALIZED (
+          SELECT doc_id, $foldedDerivedSql AS t FROM documents),
+        t0 AS MATERIALIZED (
+          SELECT u,
+            CASE WHEN regexp_matches(u, '^[a-z0-9]+$$')
+                 THEN regexp_extract_all(u, '.')
+                 ELSE list_transform(range(1, octet_length(encode(u)) + 1),
+                        i -> '<0x' || substr(hex(encode(u)), 2*i - 1, 2) || '>')
+            END AS toks, cnt FROM (
+            SELECT u, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_extract_all(t, '$UnitRe')) AS u FROM corp)
+            GROUP BY u)),
+        $iters"""
+  }
+
+  private def bpeTrainFullOracle: String = {
+    val unions = (0 until NumTrainMergesFull).map { i =>
+      s"SELECT CAST($i AS INT) AS rank, a, b, CAST(c AS BIGINT) AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""$bpeTrainUnitsCtes
+        SELECT * FROM ($unions) ORDER BY rank"""
+  }
+
+  private def bpeTrainEncodeFullOracle: String =
+    s"""$bpeTrainUnitsCtes,
+        seg AS (SELECT doc_id,
+                  generate_subscripts(regexp_extract_all(t, '$UnitRe'), 1) AS sid,
+                  unnest(regexp_extract_all(t, '$UnitRe')) AS u
+                FROM corp),
+        fin AS (SELECT seg.doc_id, seg.sid, tk.toks
+                FROM seg JOIN t$NumTrainMergesFull tk USING (u)),
+        agg AS (SELECT doc_id, flatten(list(toks ORDER BY sid)) AS tk
+                FROM fin GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(a.tk) AS BIGINT) AS n_tokens_learned,
+               array_to_string(a.tk[:8], ' ') AS first_tokens
+        FROM documents d JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+
+  /** The Spark half the two full-charset trainer queries share: the
+    * bounded unit histogram (one distributed aggregation over the folded
+    * derived corpus) mapped to initial-token arrays, then the driver
+    * rounds over units.
+    */
+  private def trainFullMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = {
+    val corpus = t(s, dir, "documents")
+      .select(col("doc_id"), foldedDerivedCol.as("text"))
+    val hist = bpeWordHistogram(corpus,
+      wordsExpr = expr(s"regexp_extract_all(text, '$UnitRe', 0)"))
+    graft.functions.BpeTrainer.trainUnits(
+      hist.map { case (u, c) => (unitTokens(u), c) }, NumTrainMergesFull)
   }
 
   val queries: Seq[Q] = Seq(
@@ -1305,34 +1436,50 @@ object TextOps {
       },
       Some(bpeTrainOracle())),
 
-    // Full-charset TRAINING — the byte-level sibling of q_bpe_train,
-    // learning merges from the [a-z0-9]+ word class over the ASCII-
-    // folded derived corpus (the q_bpe_encode_full fixture: digits and
-    // mixed case actually reach the histogram; byte-fallback tokens
-    // never merge under this convention, so they never enter it). Same
-    // bounded histogram (floor + top-N INSIDE the aggregation), same
-    // driver rounds, same unrolled-CTE oracle with the word extraction
-    // swapped — Spark's merges and DuckDB's must agree merge-for-merge.
+    // BYTE-LEVEL TRAINING — the full-charset sibling of q_bpe_train,
+    // learning merges over the SAME alphabet the full-charset encoder
+    // emits: the unit histogram of the ASCII-folded derived corpus
+    // ([a-z0-9]+ runs as chars, every other code point as its <0xNN>
+    // UTF-8 byte tokens), so punctuation, digits, and non-Latin bytes
+    // CAN become merges — the round-10 letters-only trainer could never
+    // learn them, so a learned table on real web text under-compressed
+    // exactly the content the full charset admitted. 48 rounds: deep
+    // enough that the fixture's digit ("42", "100", doc ids) and
+    // multi-byte (ï é —) pairs enter after the frequent letter pairs
+    // (BpeSpec pins ≥1 non-letter merge). Same bounded histogram (floor
+    // + top-N INSIDE the aggregation), same driver rounds over units,
+    // unrolled-CTE oracle with the unit decomposition in SQL.
     Q("q_bpe_train_full",
       (s, dir) => {
-        val corpus = t(s, dir, "documents")
-          .select(col("doc_id"),
-            concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
-              lit(FullCharsetSuffix)).as("text"))
-        val hist = bpeWordHistogram(corpus,
-          wordsExpr = expr(
-            "regexp_extract_all(translate(text, " +
-              "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')" +
-              ", '[a-z0-9]+', 0)"))
-        val merges = graft.functions.BpeTrainer.train(hist, NumTrainMerges)
         import s.implicits._
-        merges.toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
+        trainFullMerges(s, dir)
+          .toDF("rank", "a", "b", "pair_count").orderBy(col("rank"))
       },
-      Some(bpeTrainOracle(wordsSql =
-        "regexp_extract_all(translate(text || ' #' || doc_id || '" +
-          FullCharsetSuffix + "', " +
-          "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), " +
-          "'[a-z0-9]+')"))),
+      Some(bpeTrainFullOracle)),
+
+    // Byte-level TRAIN → ENCODE composition: price the derived corpus in
+    // the just-learned byte-level vocabulary — the full-charset twin of
+    // q_bpe_train_encode, proving the learned digit/byte merges actually
+    // fire at encode time (n_tokens_learned < the untrained full encode
+    // wherever a learned merge applies). The learned table rides the
+    // serialized BpeEncodeTokensWith(fullCharset) expression; the oracle
+    // joins the segment stream against the training chain's final
+    // relation and reassembles per document by segment position.
+    Q("q_bpe_train_encode_full",
+      (s, dir) => {
+        val learned = trainFullMerges(s, dir).map(m => (m._2, m._3))
+        t(s, dir, "documents")
+          .select(col("doc_id"), foldedDerivedCol.as("tf"))
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens
+              .bpeTokensWith(col("tf"), learned, fullCharset = true)
+              .as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens_learned"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(bpeTrainEncodeFullOracle)),
 
     // Train → encode COMPOSITION: learn the merge table from the corpus
     // (one histogram pass + driver rounds, as q_bpe_train), then

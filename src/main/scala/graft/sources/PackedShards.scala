@@ -34,27 +34,59 @@ object PackedShards {
   val DefaultBudget = 256L
   val DefaultSeqsPerShard = 8L
   private val DocsPerChunk = 1024L
+  private[graft] val ChunksPerSuper = 1024L
+
+  /** (chunk, chunk_off): exclusive prefix sum over per-chunk token
+    * totals (`chunk`, `cs`), computed in TWO window levels so no single
+    * task ever scans the whole chunk spine: per-superchunk totals get
+    * the (single-task, but ≤ corpus/(docsPerChunk·chunksPerSuper) rows)
+    * global prefix sum, then chunks prefix-sum WITHIN their superchunk,
+    * partitioned and parallel. Level arithmetic at the design point:
+    * 10^11 docs / 1024 docs-per-chunk = ~10^8 chunk rows — a serial
+    * window over those was the round-10 scale finding — / 1024
+    * chunks-per-super = ~10^5 superchunk rows for the one serial stage,
+    * and every within-super partition is ≤ 1024 rows. (For a planned
+    * 100 TB batch pack, also raise docsPerChunk to ~10^6 so the
+    * chunk-offset relation itself stays broadcastable.)
+    */
+  private[graft] def chunkOffsetSpine(chunkTotals: DataFrame,
+      baseOffset: Long, chunksPerSuper: Long): DataFrame = {
+    val withSuper = chunkTotals
+      .withColumn("sc", expr(s"chunk div ${chunksPerSuper}L"))
+    val wSuper = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOffsets = withSuper.groupBy(col("sc"))
+      .agg(sum(col("cs")).as("ss"))
+      .withColumn("sc_off", coalesce(sum(col("ss")).over(wSuper), lit(0L)))
+      .select(col("sc"), col("sc_off"))
+    val wIn = Window.partitionBy(col("sc")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withSuper.join(broadcast(superOffsets), Seq("sc"))
+      .withColumn("chunk_off",
+        col("sc_off") + coalesce(sum(col("cs")).over(wIn), lit(0L))
+          + baseOffset)
+      .select(col("chunk"), col("chunk_off"))
+  }
 
   /** (doc_id, tids, n_tokens, offset): every non-empty document with its
     * token-id array and global starting token offset (doc_id order),
-    * starting at `baseOffset`. The two-phase tokenShards prefix sum.
+    * starting at `baseOffset`. The two-phase tokenShards prefix sum,
+    * with the chunk-offset spine itself two-level ([[chunkOffsetSpine]]).
     */
   private[graft] def withOffsets(docs: DataFrame,
       idsCol: org.apache.spark.sql.Column,
-      baseOffset: Long = 0L): DataFrame = {
+      baseOffset: Long = 0L,
+      docsPerChunk: Long = DocsPerChunk,
+      chunksPerSuper: Long = ChunksPerSuper): DataFrame = {
     val sized = docs
       .select(col("doc_id"), idsCol.as("tids"))
       .withColumn("n_tokens", size(col("tids")).cast(LongType))
       .filter(col("n_tokens") > 0)
-      .withColumn("chunk", floor(col("doc_id") / DocsPerChunk))
+      .withColumn("chunk", floor(col("doc_id") / docsPerChunk))
       .persist() // chunk totals and the probe side both read it
-    val wChunks = Window.orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunkOffsets = sized.groupBy(col("chunk"))
-      .agg(sum(col("n_tokens")).as("cs"))
-      .withColumn("chunk_off",
-        coalesce(sum(col("cs")).over(wChunks), lit(0L)) + baseOffset)
-      .select(col("chunk"), col("chunk_off"))
+    val chunkOffsets = chunkOffsetSpine(
+      sized.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("cs")),
+      baseOffset, chunksPerSuper)
     val wIn = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val out = sized.join(broadcast(chunkOffsets), Seq("chunk"))
@@ -143,10 +175,13 @@ object PackedShards {
       budget: Long = DefaultBudget,
       seqsPerShard: Long = DefaultSeqsPerShard,
       codecId: String = "fixture", fullCharset: Boolean = false,
-      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      idsExpr: Option[org.apache.spark.sql.Column] = None,
+      docsPerChunk: Long = DocsPerChunk,
+      chunksPerSuper: Long = ChunksPerSuper): DataFrame = {
     require(budget > 0 && seqsPerShard > 0)
     val offs = withOffsets(docs, idsExpr.getOrElse(
-      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)))
+      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)),
+      docsPerChunk = docsPerChunk, chunksPerSuper = chunksPerSuper)
     // packedSharded co-locates every shard's rows on its ONE shuffle, so
     // the partitioned write emits exactly one file per shard directory —
     // a contiguous, whole-file unit the trainer streams. (The first cut

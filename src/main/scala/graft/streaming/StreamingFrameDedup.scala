@@ -54,7 +54,13 @@ object StreamingFrameDedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(storePath)
     val store: DataFrame =
-      if (storeExists) spark.read.parquet(storeDir).select(col("frame_md5"))
+      // strictly-earlier batches only, same reason as PerceptualDedupCore:
+      // a replayed batch must not anti-join against its own prior rows or
+      // the recovery write-out is empty and the batch's frames are lost
+      if (storeExists)
+        spark.read.parquet(storeDir)
+          .filter(col("__batch_id") < batchId)
+          .select(col("frame_md5"))
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("frame_md5", StringType))))

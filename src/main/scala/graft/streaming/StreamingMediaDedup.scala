@@ -56,7 +56,13 @@ private[streaming] object PerceptualDedupCore {
       .exists(storePath)
     val store: DataFrame =
       if (storeExists)
+        // STRICTLY-EARLIER batches only (the StreamingPackedShards ledger
+        // discipline): a replayed batch id must not see the rows its own
+        // previous attempt wrote, or recovery finds every item "already
+        // ingested", admits nothing, and the no-op dynamic overwrite
+        // leaves outDir permanently missing the batch's media.
         spark.read.parquet(storeDir)
+          .filter(col("__batch_id") < batchId)
           .select(col("band"), col("key"), col("media_id").as("old_id"),
             col("phash").as("old_hash"))
       else

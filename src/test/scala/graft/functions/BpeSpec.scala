@@ -263,6 +263,68 @@ object BpeSpec extends Properties("Bpe") {
     BpeTrainer.capHistogram(hist, 2L, 2) == Seq("cc" -> 5L, "aa" -> 2L)
   }
 
+  property("learned tables: sequential rank-order application == greedy encode") =
+    // THE equivalence the join-form DuckDB oracles rest on
+    // (TextOps.bpeTrainEncodeCtes / bpeTrainUnitsCtes encode via a join
+    // against the training chain's final relation, i.e. sequential
+    // application, while Spark encodes greedily): for any table a
+    // successful train() emits — distinct products, operands formed
+    // before use — the two coincide on EVERY word, not just histogram
+    // words. A degenerate duplicate-product table fails train() loudly
+    // instead (the designed behavior), so the equivalence precondition
+    // always holds for learned tables.
+    forAll(histGen, Gen.listOf(word)) { (hist, probes) =>
+      try {
+        val merges = BpeTrainer.train(hist, 8)
+        val codec = new BpeCodec(merges.map(m => (m._2, m._3)).toIndexedSeq)
+        (hist.map(_._1) ++ probes).forall { w =>
+          var toks = w.toCharArray.map(String.valueOf)
+          merges.foreach(m => toks = BpeTrainer.applyMerge(toks, m._2, m._3))
+          val out = ArrayBuffer.empty[String]
+          codec.encodeWord(w, out)
+          out.toSeq == toks.toSeq
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          e.getMessage.contains("duplicate merge product")
+      }
+    }
+
+  property("encodeUnit over chars == encodeWord") =
+    forAll(word) { w =>
+      val a = ArrayBuffer.empty[String]; val b = ArrayBuffer.empty[String]
+      BpeMerges.default.encodeWord(w, a)
+      BpeMerges.default.encodeUnit(w.toCharArray.map(String.valueOf), b)
+      a == b
+    }
+
+  property("byte-level training: digit and byte-token merges learn and fire at encode") = {
+    // the q_bpe_train_full seam in miniature: a unit histogram where the
+    // full-charset fixture content ("42", "100", é/ï/em-dash byte units)
+    // outweighs the letter tail must learn non-letter merges, and
+    // encodeDocFull under the learned table must FUSE those tokens
+    def unitToks(u: String): IndexedSeq[String] =
+      if (u.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')))
+        u.map(String.valueOf)
+      else u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"<0x${b & 0xff}%02X>").toIndexedSeq
+    val hist: Seq[(IndexedSeq[String], Long)] = Seq(
+      ("42", 50L), ("100", 50L), ("é", 50L), ("—", 50L),
+      ("qty", 30L), ("the", 8L), ("table", 5L)
+    ).map { case (u, c) => (unitToks(u), c) }
+    val merges = BpeTrainer.trainUnits(hist, 8)
+    val products = merges.map(m => m._2 + m._3)
+    val nonLetter = products.filterNot(_.forall(c => c >= 'a' && c <= 'z'))
+    val codec = new BpeCodec(merges.map(m => (m._2, m._3)).toIndexedSeq)
+    val out = ArrayBuffer.empty[String]
+    codec.encodeDocFull("Qty:42, 100% — é", out)
+    // digit runs fused to single tokens; the em-dash's 3 bytes and é's 2
+    // bytes fused (they rank above the letter tail at these weights)
+    nonLetter.nonEmpty &&
+      out.contains("42") && out.contains("100") &&
+      out.contains("<0xE2><0x80><0x94>") && out.contains("<0xC3><0xA9>")
+  }
+
   property("trainer: encode with the learned table replays training (fixed corpus)") = {
     // On a deterministic English-ish histogram, encoding a training word
     // with the learned table reproduces the trainer's final tokenization

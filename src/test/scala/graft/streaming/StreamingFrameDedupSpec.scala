@@ -69,5 +69,25 @@ class StreamingFrameDedupSpec extends SparkSpec {
       .select("fkey", "frame_md5").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(after == before)
+
+    // CRASH RECOVERY — the scenario the store's `__batch_id < batchId`
+    // read filter exists for, and the non-vacuous form of the replay pin:
+    // a batch that died AFTER its store write but BEFORE its out write
+    // must, on replay, re-admit its frames rather than find them "already
+    // ingested" in its own prior store rows (which would make the
+    // recovery write-out empty and lose the batch's frames permanently).
+    def delRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delRec)); f.delete(); ()
+    }
+    delRec(new java.io.File(s"$dir/out/__batch_id=1"))
+    assert(spark.read.parquet(s"$dir/out")
+      .filter(col("__batch_id") === 1).isEmpty) // the crash took the out write
+    StreamingFrameDedup.dedupBatch(spark, batches(1).toDF("media_id", "kind", "bytes"),
+      1L, s"$dir/store", s"$dir/out")
+    val recovered = spark.read.parquet(s"$dir/out")
+      .select("fkey", "frame_md5").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(recovered == before,
+      s"crash replay lost frames: ${before.diff(recovered)}")
   }
 }

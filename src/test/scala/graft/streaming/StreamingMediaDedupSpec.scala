@@ -78,4 +78,45 @@ class StreamingMediaDedupSpec extends SparkSpec {
     assert(!storeTypes.contains("binary") && !storeTypes.contains("string"),
       s"store schema leaked payload types: $storeTypes")
   }
+
+  test("crash between store write and out write recovers on replay") {
+    // The PerceptualDedupCore failure mode the `__batch_id < batchId`
+    // store filter exists for: batch 1 dies after writing its band rows
+    // to the store but before writing admitted media to out. The replay
+    // must re-admit batch 1's fresh image — with an unfiltered store
+    // read it would collide with its OWN prior rows, admit nothing, and
+    // the empty dynamic overwrite would leave the image lost for good.
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediadedup_c").toString
+    def batchDf(rows: (Long, String, Array[Byte])*) =
+      rows.toDF("media_id", "kind", "bytes")
+    StreamingMediaDedup.dedupBatch(spark,
+      batchDf((1L, "image", enc(img(64, 48, seed = 5), "png"))),
+      0L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    StreamingMediaDedup.dedupBatch(spark,
+      batchDf((2L, "image", enc(checker(64, 48), "png"))),
+      1L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    def delRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delRec)); f.delete(); ()
+    }
+    delRec(new java.io.File(s"$dir/out/__batch_id=1")) // the simulated crash
+    StreamingMediaDedup.dedupBatch(spark,
+      batchDf((2L, "image", enc(checker(64, 48), "png"))),
+      1L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"replay after crash lost media: $kept")
+    // and the replayed batch still DEDUPES against genuinely earlier
+    // batches: a re-encode of batch 0's image stays dropped on replay
+    StreamingMediaDedup.dedupBatch(spark,
+      batchDf((3L, "image", enc(img(64, 48, seed = 5), "bmp"))),
+      2L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    delRec(new java.io.File(s"$dir/out/__batch_id=2"))
+    StreamingMediaDedup.dedupBatch(spark,
+      batchDf((3L, "image", enc(img(64, 48, seed = 5), "bmp"))),
+      2L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    val kept2 = spark.read.parquet(s"$dir/out")
+      .filter(col("__batch_id") === 2).count()
+    assert(kept2 == 0L, "replayed batch admitted a known re-encode")
+  }
 }

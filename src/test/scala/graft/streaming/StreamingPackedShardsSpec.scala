@@ -107,6 +107,24 @@ class StreamingPackedShardsSpec extends SparkSpec {
     }
   }
 
+  test("offsets invariant across docsPerChunk / chunksPerSuper (two-level spine)") {
+    // the spine parameters are pure parallelism knobs: any (docsPerChunk,
+    // chunksPerSuper) must yield the identical global offsets — dpc=1
+    // puts every doc in its own chunk and cps=2 forces MULTIPLE
+    // superchunks, so the second prefix-sum level is genuinely exercised
+    val idsCol = graft.functions.BpeEncodeIds.bpeIds(col("text"), "fixture",
+      fullCharset = false)
+    def offs(dpc: Long, cps: Long): Set[(Long, Long)] =
+      PackedShards.withOffsets(docs.toDF("doc_id", "text"), idsCol,
+          docsPerChunk = dpc, chunksPerSuper = cps)
+        .select(col("doc_id"), col("offset")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = offs(1024L, 1024L) // one chunk, one super — the trivial spine
+    assert(base.nonEmpty)
+    for ((dpc, cps) <- Seq((1L, 2L), (1L, 3L), (2L, 2L), (3L, 1L)))
+      assert(offs(dpc, cps) == base, s"dpc=$dpc cps=$cps diverged")
+  }
+
   test("streaming: any slicing == batch, including the flushed tail") {
     val batchOut = java.nio.file.Files.createTempDirectory("graft_pack_b").toString
     PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
