@@ -663,6 +663,113 @@ object Multimodal {
     graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
   }
 
+  /** Clip-granularity perceptual VIDEO fingerprint (see
+    * perceptualHashVideoBatched).
+    */
+  final case class VideoPerceptualHash(
+      media_id: Long,
+      n_frames: Int,
+      chash: Long) // 64-bit order-aware clip hash
+
+  /** CLIP-granularity perceptual video fingerprint — what the exact
+    * frame pass (q_frame_dedup / StreamingFrameDedup) structurally
+    * misses: a RE-ENCODED or RESCALED clip has different bytes in every
+    * frame, so no frame fingerprint matches, yet its per-frame aHashes
+    * are near-identical. The signature is the per-frame spatial aHash
+    * sequence collapsed into one order-aware 64-bit word: the clip's
+    * timeline is split into 64 equal windows, and bit w copies bit w of
+    * the aHash of the frame at position `w·n_frames div 64` — so
+    *  - re-encode/rescale: each frame's aHash is stable (the image-hash
+    *    invariance), so chash moves by at most the few flipped bits;
+    *  - frame-rate resample: windows are FRACTIONS of the frame count,
+    *    so a 2:1 temporal decimation samples the same relative frames;
+    *  - reordering or splicing: windows sample different frames' bits —
+    *    the hash moves far (order-awareness, which a bag-of-frame-hashes
+    *    signature cannot give);
+    *  - one clip (n_frames = 1) degenerates exactly to its image aHash.
+    * Decode is the ImageIO multi-frame loop of decodeFramesBatched
+    * (GIF-style containers in this environment; a production build swaps
+    * in a real demuxer behind the same seam); truncated tails keep the
+    * decoded prefix, undecodable payloads skip (R2). Only (id, 8-byte
+    * hash) rows leave the scan partition.
+    */
+  def perceptualHashVideoBatched(media: DataFrame, batchSize: Int = 64,
+      batchInit: () => Unit = () => ()): Dataset[VideoPerceptualHash] = {
+    implicit val enc = Encoders.product[VideoPerceptualHash]
+    media.select("media_id", "bytes").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batchInit()
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          if (iis != null) try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val n =
+                  try reader.getNumImages(true)
+                  catch { case scala.util.control.NonFatal(_) => 0 }
+                var i = 0
+                var ok = true
+                while (i < n && ok) {
+                  val img =
+                    try reader.read(i)
+                    catch { case scala.util.control.NonFatal(_) => null }
+                  if (img == null) ok = false // truncated tail: keep prefix
+                  else {
+                    val g8 = grayGrid(img, 8, 8)
+                    var sum = 0L
+                    var j = 0
+                    while (j < 64) { sum += g8(j); j += 1 }
+                    var ah = 0L
+                    j = 0
+                    while (j < 64) {
+                      if (64L * g8(j) > sum) ah |= (1L << j)
+                      j += 1
+                    }
+                    hashes += ah
+                  }
+                  i += 1
+                }
+              } finally reader.dispose()
+            }
+          } catch { case scala.util.control.NonFatal(_) => () } // skip row (R2)
+          finally iis.close()
+          val k = hashes.length
+          if (k == 0) None
+          else {
+            var chash = 0L
+            var w = 0
+            while (w < 64) {
+              val f = ((w.toLong * k) / 64).toInt
+              if ((hashes(f) & (1L << w)) != 0) chash |= (1L << w)
+              w += 1
+            }
+            Some(VideoPerceptualHash(id, k, chash))
+          }
+        }
+      }
+    }
+  }
+
+  /** Clip-granularity perceptual video NEAR-dup pairs — the video member
+    * of the near-dup triple, riding the same 8-band Hamming machinery as
+    * the image and audio members: re-encoded/rescaled/frame-rate-
+    * resampled copies of an ingested clip land within `maxHamming` of
+    * its chash; different material and re-ORDERED cuts of the same
+    * frames do not (spec-pinned on real animated GIFs).
+    */
+  def clipNearDupPerceptual(media: DataFrame, maxHamming: Int = 7): DataFrame = {
+    val fp = perceptualHashVideoBatched(media.filter(col("kind") === "video"))
+      .toDF().select(col("media_id").as("id"), col("chash").as("h"))
+    graft.ops.TextDedup.hammingBandedPairs(fp, maxHamming, bands = 8)
+  }
+
   /** The stub-raster aHash band keys of q_media_neardup as ONE codegen
     * pass (static-call pattern): pixel i = code point of the char at
     * position i*L div 64 (mod 256), bit i = 64*p_i > sum, keys = four
@@ -1029,6 +1136,133 @@ object Multimodal {
                        list_transform(range(0, 4), bb ->
                          list_sum(list_transform(range(0, 16), j -> b[bb * 16 + j + 1] * (1 << j)))) AS k
                 FROM bits),
+              banded AS (
+                SELECT vid, k, bb AS band, k[bb + 1] AS key
+                FROM (SELECT vid, k, unnest(range(0, 4)) AS bb FROM bandk)),
+              guard AS (
+                SELECT band, key FROM banded GROUP BY band, key HAVING COUNT(*) <= 64),
+              pruned AS (SELECT banded.* FROM banded JOIN guard USING (band, key)),
+              pairs AS (
+                SELECT DISTINCT a.vid AS a_id, b.vid AS b_id, a.k AS ka, b.k AS kb
+                FROM pruned a JOIN pruned b
+                  ON a.band = b.band AND a.key = b.key AND a.vid < b.vid)
+              SELECT a_id, b_id,
+                     CAST(bit_count(xor(CAST(ka[1] AS BIGINT), CAST(kb[1] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[2] AS BIGINT), CAST(kb[2] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[3] AS BIGINT), CAST(kb[3] AS BIGINT)))
+                        + bit_count(xor(CAST(ka[4] AS BIGINT), CAST(kb[4] AS BIGINT))) AS BIGINT) AS hamming
+              FROM pairs
+              WHERE bit_count(xor(CAST(ka[1] AS BIGINT), CAST(kb[1] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[2] AS BIGINT), CAST(kb[2] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[3] AS BIGINT), CAST(kb[3] AS BIGINT)))
+                  + bit_count(xor(CAST(ka[4] AS BIGINT), CAST(kb[4] AS BIGINT))) <= 3
+              ORDER BY a_id, b_id""")),
+
+    // CLIP-granularity perceptual video near-dup — the oracle-able
+    // STUB-RASTER form of clipNearDupPerceptual (the real-codec sibling
+    // is spec-pinned on animated GIFs in MultimodalSpec): each video
+    // payload pads to a multiple of 4 and "decodes" to 4 equal-length
+    // stub frames (character quarters), each frame stub-rasters to its
+    // 64 aHash bits (the q_media_neardup arithmetic), and the ORDER-
+    // AWARE clip signature takes bit slice [16b, 16b+16) from frame b —
+    // the time-window sampling of perceptualHashVideoBatched at k=4. The
+    // fixture plants, per video: a byte-identical re-encode (+1, Hamming
+    // 0), a one-char perturbation touching only frame 0 (+2, small
+    // Hamming), and a frame-REVERSED cut (+3) — the same frames in a
+    // different order, which a bag-of-frames signature would collapse
+    // but the order-aware clip hash must NOT (its band keys sample
+    // different frames). 4x16-bit banding + skew guard + verify at
+    // Hamming <= 3, arithmetic end to end on both engines.
+    Q("q_clip_neardup",
+      (s, dir) => {
+        import org.apache.spark.sql.graft.GraftSqlShims
+        val vids = mediaTable(s, dir).filter(col("kind") === "video")
+          .select(col("media_id"), col("bytes").cast(StringType).as("txt"))
+          .withColumn("L", length(col("txt"))).filter(col("L") > 0)
+          .withColumn("q", expr("(L + 3) div 4"))
+          .withColumn("p", expr("rpad(txt, cast(4 * q as int), 'z')"))
+        def quarter(i: Int) =
+          expr(s"substring(p, cast($i * q + 1 as int), cast(q as int))")
+        val variants = vids.select(explode(array(
+            struct((col("media_id") * 4).as("vid"), col("p").as("ct")),
+            struct((col("media_id") * 4 + 1).as("vid"), col("p").as("ct")),
+            struct((col("media_id") * 4 + 2).as("vid"),
+              concat(lit("q"), expr("substring(p, 2)")).as("ct")),
+            struct((col("media_id") * 4 + 3).as("vid"),
+              concat(quarter(3), quarter(2), quarter(1), quarter(0))
+                .as("ct")))).as("v"))
+          .select(col("v.vid").as("vid"), col("v.ct").as("ct"))
+          .withColumn("q", expr("length(ct) div 4"))
+        def frameKeys(fi: Int) = GraftSqlShims.column(StubAHashKeys(
+          GraftSqlShims.expression(
+            expr(s"substring(ct, cast($fi * q + 1 as int), cast(q as int))"))))
+        val keyed = variants.select(col("vid"),
+          array(element_at(frameKeys(0), 1), element_at(frameKeys(1), 2),
+            element_at(frameKeys(2), 3), element_at(frameKeys(3), 4)).as("k"))
+        val banded = keyed.select(col("vid"), col("k"),
+          explode(expr(
+            "transform(sequence(0, 3), bb -> struct(bb AS band, element_at(k, bb + 1) AS key))")).as("bb"))
+          .select(col("vid"), col("k"), col("bb.band"), col("bb.key"))
+        val small = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= graft.ops.TextDedup.MaxBucketSize)
+          .select(col("band"), col("key"))
+        val pruned = banded.join(broadcast(small), Seq("band", "key"))
+        pruned.as("x").join(pruned.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.vid") < col("y.vid"))
+          .select(col("x.vid").as("a_id"), col("y.vid").as("b_id"),
+            col("x.k").as("ka"), col("y.k").as("kb"))
+          .distinct()
+          .withColumn("hamming", expr(
+            """cast(bit_count(element_at(ka, 1) ^ element_at(kb, 1))
+                  + bit_count(element_at(ka, 2) ^ element_at(kb, 2))
+                  + bit_count(element_at(ka, 3) ^ element_at(kb, 3))
+                  + bit_count(element_at(ka, 4) ^ element_at(kb, 4)) as bigint)"""))
+          .filter(col("hamming") <= 3)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH vid0 AS (
+                SELECT doc_id AS media_id, text, len(text) AS L
+                FROM documents WHERE doc_id % 3 = 2 AND len(text) > 0),
+              base AS (
+                SELECT media_id, (L + 3) // 4 AS q,
+                       rpad(text, CAST(((L + 3) // 4) * 4 AS INTEGER), 'z') AS p
+                FROM vid0),
+              var AS (
+                SELECT media_id * 4 AS vid, p AS ct, q FROM base
+                UNION ALL
+                SELECT media_id * 4 + 1, p, q FROM base
+                UNION ALL
+                SELECT media_id * 4 + 2, 'q' || substring(p, 2), q FROM base
+                UNION ALL
+                SELECT media_id * 4 + 3,
+                       substring(p, CAST(3 * q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, CAST(2 * q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, CAST(q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, 1, CAST(q AS INTEGER)), q
+                FROM base),
+              fr AS (
+                SELECT vid, fi,
+                       substring(ct, CAST(fi * q + 1 AS INTEGER), CAST(q AS INTEGER)) AS ft
+                FROM (SELECT vid, ct, q, unnest(range(0, 4)) AS fi FROM var)),
+              pix AS (
+                SELECT vid, fi,
+                       list_transform(range(0, 64),
+                         i -> ascii(substring(ft, CAST(i * len(ft) // 64 AS INTEGER) + 1, 1)) % 256) AS p
+                FROM fr),
+              bits AS (
+                SELECT vid, fi,
+                       list_transform(range(0, 64),
+                         i -> CASE WHEN 64 * p[i + 1] > list_sum(p) THEN 1 ELSE 0 END) AS b
+                FROM pix),
+              bandk AS (
+                SELECT vid, list(key ORDER BY fi) AS k FROM (
+                  SELECT vid, fi,
+                         list_sum(list_transform(range(0, 16),
+                           j -> b[fi * 16 + j + 1] * (1 << j))) AS key
+                  FROM bits) GROUP BY vid),
               banded AS (
                 SELECT vid, k, bb AS band, k[bb + 1] AS key
                 FROM (SELECT vid, k, unnest(range(0, 4)) AS bb FROM bandk)),

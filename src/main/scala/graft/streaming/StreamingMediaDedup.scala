@@ -173,3 +173,30 @@ object StreamingAudioDedup {
     PerceptualDedupCore.start(media, storeDir, outDir, checkpoint,
       maxHamming, "audio", hasher)
 }
+
+/** Streaming CLIP-granularity perceptual video dedup — the fourth member
+  * of the ingest-dedup family: where StreamingFrameDedup drops exact
+  * repeated FRAMES, this drops whole re-encoded/rescaled/frame-rate-
+  * resampled CLIPS via the order-aware 64-bit clip hash
+  * (multimodal.Multimodal.perceptualHashVideoBatched), same banded store
+  * and replay discipline as the image/audio members. Run it before the
+  * frame pass: a crawl's re-encoded clip collapses here in one row
+  * instead of surviving to contribute n_frames fresh-looking frames.
+  */
+object StreamingClipDedup {
+
+  private def hasher(videos: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.perceptualHashVideoBatched(videos)
+      .toDF().select(col("media_id"), col("chash"))
+
+  def dedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String, maxHamming: Int): DataFrame =
+    PerceptualDedupCore.dedupBatch(spark, batch, batchId, storeDir, outDir,
+      maxHamming, "video", hasher)
+
+  def start(media: DataFrame, storeDir: String, outDir: String,
+      checkpoint: String, maxHamming: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    PerceptualDedupCore.start(media, storeDir, outDir, checkpoint,
+      maxHamming, "video", hasher)
+}

@@ -282,6 +282,63 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).pixel_crc != frames(1).pixel_crc)
   }
 
+  /** Frame with one dark quadrant (0=NW, 1=NE, 2=SW, 3=SE) — crisp
+    * bright/dark structure, so the 8x8 aHash survives rescale and GIF
+    * palette quantization bit-for-bit-ish, and each quadrant position
+    * gives a clearly distinct hash (the clip tests need ordered,
+    * distinguishable frames).
+    */
+  private def quadrantImage(w: Int, h: Int, quadrant: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val inDark = (quadrant match {
+        case 0 => x < w / 2 && y < h / 2
+        case 1 => x >= w / 2 && y < h / 2
+        case 2 => x < w / 2 && y >= h / 2
+        case _ => x >= w / 2 && y >= h / 2
+      })
+      img.setRGB(x, y, if (inDark) 0x101010 else 0xf0f0f0)
+    }
+    img
+  }
+
+  test("clip near-dup: rescaled clip collapses; reordered and different clips survive") {
+    import spark.implicits._
+    val frames = Seq(0, 1, 2, 3).map(q => quadrantImage(64, 48, q))
+    val clipA = animatedGif(frames)
+    val rescaledA = animatedGif(frames.map(f => rescale(f, 50, 38)))
+    val reorderedA = animatedGif(frames.reverse) // same frames, reversed time
+    val clipB = animatedGif(Seq(3, 1, 0, 2).map(q => quadrantImage(64, 48, q))
+      .map(f => rescale(f, 64, 48))) // different material (different order + phase)
+    val media = Seq(
+      (1L, "video", clipA),
+      (2L, "video", rescaledA),
+      (3L, "video", reorderedA),
+      (10L, "video", clipB),
+      (50L, "audio", Array[Byte](1, 2, 3))) // other kind: ignored
+      .toDF("media_id", "kind", "bytes")
+    val pairs = Multimodal.clipNearDupPerceptual(media)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"rescaled clip must collapse with its original, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"frame-REORDERED clip must NOT match (order-awareness), got $pairs")
+    assert(!pairs.exists(p => p._1 == 10L || p._2 == 10L),
+      s"different-material clip must survive, got $pairs")
+    // degenerate single-frame clip == its image aHash (the k=1 window map)
+    val one = animatedGif(Seq(quadrantImage(64, 48, 0)))
+    val ch = Multimodal.perceptualHashVideoBatched(
+      Seq((7L, "video", one)).toDF("media_id", "kind", "bytes"))
+      .collect().head
+    val ih = Multimodal.perceptualHashImagesBatched(
+      Seq((7L, "image", one)).toDF("media_id", "kind", "bytes"))
+      .collect().head
+    assert(ch.n_frames == 1 && ch.chash == ih.ahash,
+      "single-frame clip hash must equal the image aHash")
+  }
+
   test("GIF frame decoder: per-batch init runs once per batch") {
     import spark.implicits._
     val gif = animatedGif(Seq(solidImage(4, 4, 0x112233)))

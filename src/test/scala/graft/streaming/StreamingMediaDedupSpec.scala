@@ -79,6 +79,59 @@ class StreamingMediaDedupSpec extends SparkSpec {
       s"store schema leaked payload types: $storeTypes")
   }
 
+  private def quadrantImage(w: Int, h: Int, quadrant: Int) = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dark = quadrant match {
+        case 0 => x < w / 2 && y < h / 2
+        case 1 => x >= w / 2 && y < h / 2
+        case 2 => x < w / 2 && y >= h / 2
+        case _ => x >= w / 2 && y >= h / 2
+      }
+      im.setRGB(x, y, if (dark) 0x101010 else 0xf0f0f0)
+    }
+    im
+  }
+
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("streaming clip dedup: rescaled clip drops at ingest, reordered and fresh admit") {
+    val frames = Seq(0, 1, 2, 3).map(q => quadrantImage(64, 48, q))
+    val dir = java.nio.file.Files.createTempDirectory("graft_clipdedup").toString
+    // batch 0: the original clip
+    StreamingClipDedup.dedupBatch(spark,
+      Seq((1L, "video", animatedGif(frames)))
+        .toDF("media_id", "kind", "bytes"),
+      0L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    // batch 1: a rescaled re-encode (store hit — dropped), the same
+    // frames REVERSED (order-aware hash — admitted), and a passthrough
+    // other kind
+    StreamingClipDedup.dedupBatch(spark,
+      Seq(
+        (2L, "video", animatedGif(frames.map(f =>
+          rescaled(f, 50, 38)))),
+        (3L, "video", animatedGif(frames.reverse)),
+        (50L, "audio", Array[Byte](1, 2, 3)))
+        .toDF("media_id", "kind", "bytes"),
+      1L, s"$dir/store", s"$dir/out", maxHamming = 7)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 50L), s"got $kept")
+  }
+
   test("crash between store write and out write recovers on replay") {
     // The PerceptualDedupCore failure mode the `__batch_id < batchId`
     // store filter exists for: batch 1 dies after writing its band rows
