@@ -193,4 +193,89 @@ object PackedShards {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     spark.read.parquet(outDir)
   }
+
+  /** RESUMABLE batch pack — the operational form of [[writeBatch]] for
+    * the 100 TB design point, where "overwrite-all, restart from zero"
+    * is not deployable: a pack that dies at 90% must resume at the last
+    * complete unit of work. The RollupMaintenance `__batch_id`
+    * applied-marker discipline, applied to SHARD RANGES:
+    *
+    *  1. The offset relation (doc_id, tids, n_tokens, offset) is staged
+    *     ONCE to `outDir/_offsets` (underscore-prefixed: invisible to
+    *     the shard partition discovery), in doc_id ≈ offset order, with
+    *     a `_offsets/_DONE` marker committed after the write. A crash
+    *     mid-staging just re-stages — withOffsets is deterministic.
+    *  2. Shards group into ranges of `shardsPerRange`; each range's
+    *     documents are read back from the staged offsets with an
+    *     OFFSET-INTERVAL filter, which parquet min/max row-group stats
+    *     prune to ~the range's own rows (offsets are monotone in the
+    *     staged order) — so resuming N-of-M ranges costs O(N/M of the
+    *     corpus), not M extra full scans.
+    *  3. A range writes its shard partitions (dynamic partition
+    *     overwrite), THEN its `_ranges/r<id>.done` marker. Crash between
+    *     the two → the range rewrites on resume, byte-identical
+    *     (deterministic input → deterministic artifact); marker present
+    *     → the range is skipped untouched.
+    *
+    * The resume contract is the standard one: all attempts run against
+    * the SAME input relation (a changed corpus is a new pack in a new
+    * outDir). `onRangeWritten` fires after each range's data write and
+    * before its marker — the spec's kill-injection and skip-audit seam.
+    */
+  def writeBatchResumable(spark: SparkSession, docs: DataFrame,
+      outDir: String,
+      budget: Long = DefaultBudget,
+      seqsPerShard: Long = DefaultSeqsPerShard,
+      shardsPerRange: Long = 64L,
+      codecId: String = "fixture", fullCharset: Boolean = false,
+      idsExpr: Option[org.apache.spark.sql.Column] = None,
+      onRangeWritten: Long => Unit = _ => ()): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0 && shardsPerRange > 0)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    def touch(p: String): Unit =
+      fs.create(new org.apache.hadoop.fs.Path(p), true).close()
+
+    val offsetsDir = s"$outDir/_offsets"
+    if (!exists(s"$offsetsDir/_DONE")) {
+      withOffsets(docs, idsExpr.getOrElse(
+        graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)))
+        // sortWithinPartitions keeps offset monotone per file so row-group
+        // min/max stats carry the pruning; doc_id order already ≈ offset
+        // order, this just pins it
+        .sortWithinPartitions(col("offset"))
+        .write.mode("overwrite").parquet(offsetsDir)
+      touch(s"$offsetsDir/_DONE")
+    }
+    val offs = spark.read.parquet(offsetsDir)
+    val totalRow = offs.agg(max(col("offset") + col("n_tokens"))).collect()(0)
+    require(!totalRow.isNullAt(0),
+      "writeBatchResumable: input has no non-empty documents")
+    val totalTokens = totalRow.getLong(0)
+    val tokensPerRange = budget * seqsPerShard * shardsPerRange
+    val nRanges = (totalTokens + tokensPerRange - 1) / tokensPerRange
+    var r = 0L
+    while (r < nRanges) {
+      if (!exists(s"$outDir/_ranges/r$r.done")) {
+        val lo = r * tokensPerRange
+        val hi = (r + 1) * tokensPerRange
+        // docs whose token interval intersects the range's — the
+        // stats-prunable filter; the seq-range filter below then drops
+        // the overlap sequences that belong to the neighbor ranges
+        val slice = offs.filter(col("offset") + col("n_tokens") > lo &&
+          col("offset") < hi)
+        packedSharded(slice, budget, seqsPerShard)
+          .filter(col("shard") >= r * shardsPerRange &&
+            col("shard") < (r + 1) * shardsPerRange)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").parquet(outDir)
+        onRangeWritten(r)
+        touch(s"$outDir/_ranges/r$r.done")
+      }
+      r += 1
+    }
+    spark.read.parquet(outDir)
+  }
 }

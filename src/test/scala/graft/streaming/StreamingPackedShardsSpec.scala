@@ -125,6 +125,49 @@ class StreamingPackedShardsSpec extends SparkSpec {
       assert(offs(dpc, cps) == base, s"dpc=$dpc cps=$cps diverged")
   }
 
+  test("resumable batch pack: killed mid-run, resumes at the next range, byte-identical") {
+    // one-shot reference artifact
+    val refDir = java.nio.file.Files.createTempDirectory("graft_pack_ref").toString
+    PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
+      s"$refDir/out", budget = 8L, seqsPerShard = 1)
+    def content(path: String): Set[(Long, Long, Seq[Int])] =
+      spark.read.parquet(path)
+        .select(col("shard").cast("long"), col("seq"), col("tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val ref = content(s"$refDir/out")
+    // 33 corpus tokens at budget 8 / 1 seq per shard / 1 shard per range
+    // gives 5 ranges, so the kill lands strictly inside the run
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_res").toString
+    val boom = intercept[RuntimeException] {
+      PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+        s"$dir/out", budget = 8L, seqsPerShard = 1, shardsPerRange = 1,
+        onRangeWritten = r => if (r >= 1) throw new RuntimeException("kill"))
+    }
+    assert(boom.getMessage == "kill")
+    // the kill fired AFTER range 1's data write but BEFORE its marker:
+    // range 0 is committed, range 1 is data-without-marker (the crash
+    // window), later ranges absent
+    assert(new java.io.File(s"$dir/out/_ranges/r0.done").exists())
+    assert(!new java.io.File(s"$dir/out/_ranges/r1.done").exists())
+    assert(content(s"$dir/out").subsetOf(ref) && content(s"$dir/out") != ref)
+    // resume: completed ranges must be SKIPPED (range 0 never rewritten),
+    // the crashed and missing ones written; artifact == one-shot
+    val rewritten = scala.collection.mutable.ArrayBuffer.empty[Long]
+    PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", budget = 8L, seqsPerShard = 1, shardsPerRange = 1,
+      onRangeWritten = r => { rewritten += r; () })
+    assert(!rewritten.contains(0L), s"resume rewrote completed range 0: $rewritten")
+    assert(rewritten.contains(1L), "resume must rewrite the crash-window range")
+    assert(content(s"$dir/out") == ref,
+      "resumed artifact differs from the one-shot write")
+    // idempotent once complete: a third run writes nothing
+    val again = scala.collection.mutable.ArrayBuffer.empty[Long]
+    PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", budget = 8L, seqsPerShard = 1, shardsPerRange = 1,
+      onRangeWritten = r => { again += r; () })
+    assert(again.isEmpty && content(s"$dir/out") == ref)
+  }
+
   test("streaming: any slicing == batch, including the flushed tail") {
     val batchOut = java.nio.file.Files.createTempDirectory("graft_pack_b").toString
     PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
