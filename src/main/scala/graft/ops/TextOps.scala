@@ -347,10 +347,19 @@ object TextOps {
     */
   private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
       fullCharset: Boolean = false,
-      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      idsExpr: Option[org.apache.spark.sql.Column] = None,
+      resumable: Boolean = false): DataFrame = {
     val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
-    graft.sources.PackedShards.writeBatch(s, docs, out,
-        fullCharset = fullCharset, idsExpr = idsExpr)
+    (if (resumable)
+      // the RESUMABLE writer with ranges sized to CYCLE the manifest
+      // path at gate SF (2 ranges at sf0.01, ~12 at sf0.1) without
+      // paying per-range job overhead 90× (the first cut at 4
+      // shards/range cost 34 s at sf0.1 — a production range is hours
+      // of work, so the fixed cost amortizes there, not at toy SF)
+      graft.sources.PackedShards.writeBatchResumable(s, docs, out,
+        shardsPerRange = 32L, fullCharset = fullCharset, idsExpr = idsExpr)
+    else graft.sources.PackedShards.writeBatch(s, docs, out,
+        fullCharset = fullCharset, idsExpr = idsExpr))
       .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),
         col("n_docs"),
         expr("aggregate(tokens, 0L, (acc, x) -> acc + x)").as("tid_sum"),
@@ -1195,6 +1204,18 @@ object TextOps {
     // of the streaming form are spec-pinned (PackedShardsSpec).
     Q("q_pack_shards",
       (s, dir) => packShardsAudit(s, t(s, dir, "documents")),
+      Some(s"$bpeCte$packShardsTailSql")),
+
+    // The RESUMABLE writer on the gate: the range-committed pack
+    // (PackedShards.writeBatchResumable at 4 shards per range — ~10
+    // ranges at gate SF, so the manifest/commit path genuinely cycles)
+    // must ship a byte-identical artifact to the one-shot writer, so it
+    // shares q_pack_shards' reader-side audit AND its oracle verbatim.
+    // The kill/resume semantics themselves are spec-pinned
+    // (StreamingPackedShardsSpec); this row pins the shipped bytes.
+    Q("q_pack_shards_resumable",
+      (s, dir) => packShardsAudit(s, t(s, dir, "documents"),
+        resumable = true),
       Some(s"$bpeCte$packShardsTailSql")),
 
     // The BYTE-LEVEL shipped artifact: the same pack-and-audit pass under

@@ -37,7 +37,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // bounded histogram
     "q_pack_shards" -> sf0001, "q_pipeline_pack" -> sf0001,
     "q_ivf_recall" -> sf0001, "q_semdedup_sweep" -> sf0001,
-    "q_ivfpq_rerank" -> sf0001, "q_bpe_train_full" -> sf0001)
+    "q_ivfpq_rerank" -> sf0001, "q_bpe_train_full" -> sf0001,
+    // round-11: byte-level unit training rounds over the bounded unit
+    // histogram (+ the learned-table encode composition), the trained
+    // pack composition, and the clip-hash banded pairs (a partition
+    // drift in the greedy banding would re-seat pairs)
+    "q_bpe_train_encode_full" -> sf0001, "q_pack_shards_trained" -> sf0001,
+    "q_clip_neardup" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
