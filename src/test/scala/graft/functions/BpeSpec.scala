@@ -248,6 +248,18 @@ object BpeSpec extends Properties("Bpe") {
       BpeTrainer.train(hist.reverse, 6) == BpeTrainer.train(hist, 6)
     }
 
+  property("trainUnits: invariant to histogram order (the distributed-agg contract)") =
+    forAll(histGen) { hist =>
+      val units = hist.map { case (w, c) =>
+        (w.toCharArray.map(String.valueOf): IndexedSeq[String], c)
+      }
+      try BpeTrainer.trainUnits(units.reverse, 6) == BpeTrainer.trainUnits(units, 6)
+      catch {
+        case e: IllegalArgumentException =>
+          e.getMessage.contains("duplicate merge product")
+      }
+    }
+
   property("trainer: capped histogram == full when nothing is cut") =
     forAll(histGen) { hist =>
       // the driver-safety bound (TextOps.bpeWordHistogram pushes the same
