@@ -117,7 +117,15 @@ object TextOps {
     * a [[bpeCteOver]] replay, BpeVocab ids, then integer sequence/shard
     * arithmetic — appended after a bpeCteOver(...) prefix.
     */
-  private[ops] def packShardsTailSql: String = {
+  private[ops] def packShardsTailSql: String = packShardsTailSqlOrdered()
+
+  /** `orderSql` is the global document order the pack lays tokens out
+    * in — `doc_id` for the plain writer, `md5('seed:' || doc_id),
+    * doc_id` for the shuffled one; within a document it is always
+    * (wid, ti).
+    */
+  private[ops] def packShardsTailSqlOrdered(
+      orderSql: String = "doc_id"): String = {
     val prods = graft.functions.BpeMerges.table
       .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
     s""",
@@ -125,7 +133,7 @@ object TextOps {
                        unnest(toks) AS t
                 FROM fin),
        g AS (SELECT doc_id, t,
-                    row_number() OVER (ORDER BY doc_id, wid, ti) - 1 AS pos
+                    row_number() OVER (ORDER BY $orderSql, wid, ti) - 1 AS pos
              FROM flat),
        ids AS (SELECT doc_id, pos,
                       CASE WHEN len(t) = 1 THEN ascii(t) - 97
@@ -348,9 +356,13 @@ object TextOps {
   private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
       fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,
-      resumable: Boolean = false): DataFrame = {
+      resumable: Boolean = false,
+      shuffleSeed: Option[String] = None): DataFrame = {
     val out = graft.sources.Scratch.tempDir("graft_pack_shards") + "/shards"
-    (if (resumable)
+    (if (shuffleSeed.isDefined)
+      graft.sources.PackedShards.writeBatchShuffled(s, docs, out,
+        shuffleSeed.get, fullCharset = fullCharset, idsExpr = idsExpr)
+    else if (resumable)
       // the RESUMABLE writer with ranges sized to CYCLE the manifest
       // path at gate SF (2 ranges at sf0.01, ~12 at sf0.1) without
       // paying per-range job overhead 90× (the first cut at 4
@@ -1217,6 +1229,21 @@ object TextOps {
       (s, dir) => packShardsAudit(s, t(s, dir, "documents"),
         resumable = true),
       Some(s"$bpeCte$packShardsTailSql")),
+
+    // SHUFFLED pack — training-order randomization as a SORT KEY, not a
+    // job: documents lay out in md5('epoch1:' || doc_id) order (the
+    // epochShuffle convention, so the data-loader sharding and the pack
+    // layout agree on one permutation — spec-pinned), sequences cut in
+    // that order, same one-shuffle writer. The oracle is the plain pack
+    // audit with ONE changed ORDER BY — the whole feature is the order.
+    // Per-shard sums differ completely from q_pack_shards (the
+    // permutation re-seats every boundary), so the hash match pins the
+    // exact shuffled layout, not just conservation.
+    Q("q_pack_shards_shuffled",
+      (s, dir) => packShardsAudit(s, t(s, dir, "documents"),
+        shuffleSeed = Some("epoch1")),
+      Some(s"$bpeCte${packShardsTailSqlOrdered(
+        "md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id")}")),
 
     // The BYTE-LEVEL shipped artifact: the same pack-and-audit pass under
     // the full-charset tokenizer over the derived mixed-content corpus

@@ -98,6 +98,64 @@ object PackedShards {
     out
   }
 
+  /** [[withOffsets]] in a DETERMINISTIC SHUFFLED order — the layout a
+    * pre-training corpus needs: training sequences are fixed at pack
+    * time, so document-order randomization must happen BEFORE packing,
+    * and at 100 TB "shuffle the corpus" must not be a job — it's just a
+    * different SORT KEY. The order is the ops.PipelineOps.epochShuffle
+    * convention exactly (md5 of `seed:doc_id`; chunk = the first two hex
+    * chars, a prefix of the full-hash order, so chunk-offset + in-chunk
+    * position is the global shuffled position — spec-pinned consistent
+    * with epochShuffle's shuffle_pos, meaning the data-loader sharding
+    * and the packed layout agree on one permutation). A new seed is a
+    * fresh epoch's layout with zero state.
+    */
+  private[graft] def shuffledOffsets(docs: DataFrame,
+      idsCol: org.apache.spark.sql.Column, seed: String,
+      chunksPerSuper: Long = ChunksPerSuper): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), idsCol.as("tids"))
+      .withColumn("n_tokens", size(col("tids")).cast(LongType))
+      .filter(col("n_tokens") > 0)
+      .withColumn("h",
+        md5(concat(lit(seed + ":"), col("doc_id").cast(StringType))))
+      .withColumn("chunk",
+        expr("conv(substring(h, 1, 2), 16, 10)").cast(LongType))
+      .persist()
+    val chunkOffsets = chunkOffsetSpine(
+      sized.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("cs")),
+      baseOffset = 0L, chunksPerSuper)
+    val wIn = Window.partitionBy(col("chunk"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val out = sized.join(broadcast(chunkOffsets), Seq("chunk"))
+      .withColumn("offset",
+        col("chunk_off") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("tids"), col("n_tokens"), col("offset"))
+      .localCheckpoint()
+    sized.unpersist()
+    out
+  }
+
+  /** [[writeBatch]] in the deterministic shuffled order of
+    * [[shuffledOffsets]] — same artifact shape, same one-shuffle plan,
+    * documents permuted by md5(seed:doc_id).
+    */
+  def writeBatchShuffled(spark: SparkSession, docs: DataFrame,
+      outDir: String, seed: String,
+      budget: Long = DefaultBudget,
+      seqsPerShard: Long = DefaultSeqsPerShard,
+      codecId: String = "fixture", fullCharset: Boolean = false,
+      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(budget > 0 && seqsPerShard > 0)
+    val offs = shuffledOffsets(docs, idsExpr.getOrElse(
+      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)),
+      seed)
+    packedSharded(offs, budget, seqsPerShard)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** (seq, offset, chunk): each document's contribution rows — the slice
     * of its id array falling in each of its (usually 1-2) overlapping
     * sequences.

@@ -125,6 +125,46 @@ class StreamingPackedShardsSpec extends SparkSpec {
       assert(offs(dpc, cps) == base, s"dpc=$dpc cps=$cps diverged")
   }
 
+  test("shuffled pack: layout == epochShuffle's permutation; nothing lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_shuf").toString
+    val rel = PackedShards.writeBatchShuffled(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", seed = "epoch1", budget = Budget, seqsPerShard = 4)
+    val rows = rel.select(col("seq"), col("tokens"), col("doc_spans"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(s => (s.getLong(0), s.getInt(1), s.getInt(2)))))
+      .sortBy(_._1)
+    // the permutation loses nothing: per-doc span rebuild == exact stream
+    val perDoc = rows.flatMap { case (seq, toks, spans) =>
+      spans.map { case (d, st, ln) => (d, seq, toks.slice(st, st + ln)) }
+    }.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.sortBy(_._2).flatMap(_._3).toSeq
+    }
+    docs.foreach { case (d, text) =>
+      assert(perDoc(d) == expectedIds(text), s"doc $d span rebuild")
+    }
+    // token stream order: concatenation == per-doc streams in the
+    // SHUFFLED doc order (first global position per doc)
+    val firstPos = rows.flatMap { case (seq, _, spans) =>
+      spans.map { case (d, st, _) => (d, seq * Budget + st) }
+    }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
+    val packOrder = firstPos.toSeq.sortBy(_._2).map(_._1)
+    val byId = docs.toMap
+    assert(rows.flatMap(_._2).toSeq ==
+      packOrder.flatMap(d => expectedIds(byId(d))),
+      "sequences must concatenate to the shuffled-order stream")
+    // the layout IS epochShuffle's permutation (one convention for the
+    // loader sharding and the pack), and differs from doc_id order
+    val shufOrder = graft.ops.PipelineOps
+      .epochShuffle(docs.toDF("doc_id", "text"), "epoch1", nShards = 4)
+      .orderBy(col("shuffle_pos"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(packOrder == shufOrder,
+      s"pack layout $packOrder != epochShuffle order $shufOrder")
+    assert(packOrder != docs.map(_._1).sorted.toSeq,
+      "seed epoch1 must actually permute this corpus")
+  }
+
   test("resumable batch pack: killed mid-run, resumes at the next range, byte-identical") {
     // one-shot reference artifact
     val refDir = java.nio.file.Files.createTempDirectory("graft_pack_ref").toString
