@@ -627,6 +627,58 @@ object TextOps {
         SELECT * FROM ($unions) ORDER BY rank"""
   }
 
+  /** Oracle of the BYTE-LEVEL train → pack composition
+    * (q_pack_shards_trained_full): the units training chain, the
+    * seg ⋈ t{N} learned encode, then BpeVocab id arithmetic extended
+    * with the learned-products map (rank r → 292 + r; letters/digits/
+    * byte tokens keep their base ids — a learned product is ≥2 tokens
+    * concatenated, so it can never collide with the 6-char `<0xNN>`
+    * shape), then the standard pack arithmetic over positions ordered
+    * by (doc, segment, token).
+    */
+  private def packShardsTrainedFullOracle: String = {
+    val mlUnion = (0 until NumTrainMergesFull).map(i =>
+      s"SELECT $i AS rank, a, b FROM b$i").mkString(" UNION ALL ")
+    s"""$bpeTrainUnitsCtes,
+       prods AS (SELECT list(a || b ORDER BY rank) AS pl FROM ($mlUnion)),
+       seg AS (SELECT doc_id,
+                 generate_subscripts(regexp_extract_all(t, '$UnitRe'), 1) AS sid,
+                 unnest(regexp_extract_all(t, '$UnitRe')) AS u
+               FROM corp),
+       fin AS (SELECT seg.doc_id, seg.sid, tk.toks
+               FROM seg JOIN t$NumTrainMergesFull tk USING (u)),
+       flat AS (SELECT doc_id, sid, generate_subscripts(toks, 1) AS ti,
+                       unnest(toks) AS tok
+                FROM fin),
+       g AS (SELECT doc_id, tok,
+                    row_number() OVER (ORDER BY doc_id, sid, ti) - 1 AS pos
+             FROM flat),
+       ids AS (SELECT doc_id, pos,
+                 CASE WHEN len(tok) = 1 AND tok >= 'a' AND tok <= 'z'
+                        THEN ascii(tok) - 97
+                      WHEN len(tok) = 1 AND tok >= '0' AND tok <= '9'
+                        THEN 26 + ascii(tok) - 48
+                      WHEN len(tok) = 6 AND tok[1:3] = '<0x'
+                        THEN 36 + (strpos('0123456789ABCDEF', tok[4]) - 1) * 16
+                                + (strpos('0123456789ABCDEF', tok[5]) - 1)
+                      ELSE 291 + list_position(p.pl, tok) END AS tid
+               FROM g CROSS JOIN prods p),
+       seqs AS (SELECT pos // 256 AS seq,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(tid) AS BIGINT) AS ts,
+                       CAST(sum(doc_id) AS BIGINT) AS sd,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM ids GROUP BY 1)
+       SELECT CAST(seq // 8 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+              CAST(sum(ts) AS BIGINT) AS tid_sum,
+              CAST(sum(sd) AS BIGINT) AS span_sum,
+              CAST(sum(nd) AS BIGINT) AS n_contribs
+       FROM seqs GROUP BY 1 ORDER BY 1"""
+  }
+
   private def bpeTrainEncodeFullOracle: String =
     s"""$bpeTrainUnitsCtes,
         seg AS (SELECT doc_id,
@@ -1322,6 +1374,25 @@ object TextOps {
             .bpeIdsWith(col("text"), learned)))
       },
       Some(packShardsTrainedOracle)),
+
+    // The BYTE-LEVEL train → pack composition — the full production
+    // matrix closed in one hash: learn the merge table over full-charset
+    // UNITS (q_bpe_train_full's trainer, digit + byte-token merges
+    // included), encode the derived corpus with the LEARNED table under
+    // the byte-fallback convention, pack into shards, read the artifact
+    // back. The shipped ids mix base ids (letters/digits/<0xNN>) with
+    // learned-product ids (292 + rank), so the hash pins the learned
+    // byte-level tokenizer all the way into the training-shard bytes.
+    Q("q_pack_shards_trained_full",
+      (s, dir) => {
+        val learned = trainFullMerges(s, dir).map(m => (m._2, m._3))
+        packShardsAudit(s,
+          t(s, dir, "documents")
+            .select(col("doc_id"), foldedDerivedCol.as("text")),
+          idsExpr = Some(graft.functions.BpeEncodeIds
+            .bpeIdsWith(col("text"), learned, fullCharset = true)))
+      },
+      Some(packShardsTrainedFullOracle)),
 
     // PII scrubbing (the redaction pass every public-web training corpus
     // runs before anything else): emails, NANP-style phone numbers and
