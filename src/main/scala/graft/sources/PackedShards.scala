@@ -287,7 +287,8 @@ object PackedShards {
       shardsPerRange: Long = 64L,
       codecId: String = "fixture", fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,
-      onRangeWritten: Long => Unit = _ => ()): DataFrame = {
+      onRangeWritten: Long => Unit = _ => (),
+      shuffleSeed: Option[String] = None): DataFrame = {
     require(budget > 0 && seqsPerShard > 0 && shardsPerRange > 0)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -297,11 +298,16 @@ object PackedShards {
 
     val offsetsDir = s"$outDir/_offsets"
     if (!exists(s"$offsetsDir/_DONE")) {
-      withOffsets(docs, idsExpr.getOrElse(
-        graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)))
+      val ids = idsExpr.getOrElse(
+        graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
+      // with a shuffleSeed, the staged offsets carry the shuffled layout
+      // (shuffledOffsets) — a restartable 100 TB SHUFFLED pack; offsets
+      // remain contiguous per hash-bucket chunk, so the interval filter's
+      // row-group pruning still holds
+      (if (shuffleSeed.isDefined) shuffledOffsets(docs, ids, shuffleSeed.get)
+       else withOffsets(docs, ids))
         // sortWithinPartitions keeps offset monotone per file so row-group
-        // min/max stats carry the pruning; doc_id order already ≈ offset
-        // order, this just pins it
+        // min/max stats carry the pruning
         .sortWithinPartitions(col("offset"))
         .write.mode("overwrite").parquet(offsetsDir)
       touch(s"$offsetsDir/_DONE")

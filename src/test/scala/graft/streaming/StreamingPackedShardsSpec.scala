@@ -165,6 +165,29 @@ class StreamingPackedShardsSpec extends SparkSpec {
       "seed epoch1 must actually permute this corpus")
   }
 
+  test("resumable SHUFFLED pack: kill + resume == one-shot shuffled artifact") {
+    def content(path: String): Set[(Long, Long, Seq[Int])] =
+      spark.read.parquet(path)
+        .select(col("shard").cast("long"), col("seq"), col("tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val refDir = java.nio.file.Files.createTempDirectory("graft_pack_shufref").toString
+    PackedShards.writeBatchShuffled(spark, docs.toDF("doc_id", "text"),
+      s"$refDir/out", seed = "epoch1", budget = 8L, seqsPerShard = 1)
+    val ref = content(s"$refDir/out")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_shufres").toString
+    intercept[RuntimeException] {
+      PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+        s"$dir/out", budget = 8L, seqsPerShard = 1, shardsPerRange = 1,
+        shuffleSeed = Some("epoch1"),
+        onRangeWritten = r => if (r >= 1) throw new RuntimeException("kill"))
+    }
+    PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", budget = 8L, seqsPerShard = 1, shardsPerRange = 1,
+      shuffleSeed = Some("epoch1"))
+    assert(content(s"$dir/out") == ref,
+      "resumed shuffled artifact differs from the one-shot shuffled write")
+  }
+
   test("resumable batch pack: killed mid-run, resumes at the next range, byte-identical") {
     // one-shot reference artifact
     val refDir = java.nio.file.Files.createTempDirectory("graft_pack_ref").toString
