@@ -885,8 +885,10 @@ object Similarity {
     Q("q_ivf_recall",
       (s, dir) => ivfRecallSweep(s, t(s, dir, "embeddings"),
         nQueries = 20, k = 5),
-      Some(sqlIvfRecall(nlist = 16, nQueries = 20, k = 5,
-        probes = Seq(1, 2, 4, 8)))),
+      // matCtes: the shared scoring pass feeds one leg per probe depth;
+      // inlined, DuckDB re-ran it per leg (measured 10.0 -> 0.6 s)
+      Some(matCtes(sqlIvfRecall(nlist = 16, nQueries = 20, k = 5,
+        probes = Seq(1, 2, 4, 8))))),
 
     Q("q_sim_topk_ivf",
       (s, dir) => ivfTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)
@@ -1003,8 +1005,9 @@ object Similarity {
     Q("q_ivfpq_rerank",
       (s, dir) => ivfPqRerankSweep(s, t(s, dir, "embeddings"),
         nQueries = 20, k = 5),
-      Some(sqlIvfPqRerank(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
-        nSub = 8, nCent = 16, reranks = Seq(1, 2, 4)))),
+      // matCtes: one leg per rerank factor (measured 9.0 -> 1.6 s)
+      Some(matCtes(sqlIvfPqRerank(nlist = 16, nprobe = 4, nQueries = 20, k = 5,
+        nSub = 8, nCent = 16, reranks = Seq(1, 2, 4))))),
 
     Q("q_ivfpq_topk",
       (s, dir) => ivfPqTopK(s, t(s, dir, "embeddings"), nQueries = 20, k = 5)

@@ -874,7 +874,8 @@ object TextDedup {
     Q("q_dedup_ngram",
       (s, dir) => ngramJaccardPairs(t(s, dir, "documents"), 0.6)
         .orderBy(col("a_id"), col("b_id")),
-      Some(ngramOracleSql)),
+      // matCtes: the shingle pass re-ran per self-join side inlined
+      Some(matCtes(ngramOracleSql))),
 
     // Directed containment (asymmetric near-dup): each (contained,
     // container) direction gated independently on the SAME per-pair
@@ -998,7 +999,8 @@ object TextDedup {
     Q("q_dedup_ngram_prefix",
       (s, dir) => ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6)
         .orderBy(col("a_id"), col("b_id")),
-      Some(ngramOracleSql)),
+      // matCtes: the shingle pass re-ran per self-join side inlined
+      Some(matCtes(ngramOracleSql))),
 
     // D1's monotone high-watermark dedup as a batch window: keep a row iff
     // its id exceeds the max id among earlier rows of the same key
@@ -1372,7 +1374,8 @@ object TextDedup {
       (s, dir) => minhashPairs(t(s, dir, "documents"), 0.6,
           bands = 1, rows = 0, maxBucket = Int.MaxValue)
         .orderBy(col("a_id"), col("b_id")),
-      Some(ngramOracleSql)),
+      // matCtes: the shingle pass re-ran per self-join side inlined
+      Some(matCtes(ngramOracleSql))),
 
     // STORED-signature near-dedup (sources.SignatureStore — the dedup
     // sibling of the text/vector index stores): the corpus shingles and
@@ -1393,7 +1396,7 @@ object TextDedup {
           .nearDupMatches(s, idx, probes, 0.6, bands = 1, rows = 0)
           .orderBy(col("probe_id"), col("match_id"))
       },
-      Some("""WITH d AS (
+      Some(matCtes("""WITH d AS (
                 SELECT doc_id,
                        CASE WHEN len(string_split(text, ' ')) >= 3
                             THEN list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -1408,7 +1411,7 @@ object TextDedup {
                 FROM pr a JOIN d b ON a.doc_id <> b.doc_id)
               SELECT probe_id, match_id, CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
               FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= 0.6
-              ORDER BY probe_id, match_id""")),
+              ORDER BY probe_id, match_id"""))),
 
     // Probe match over the INCREMENTALLY MAINTAINED signature store
     // (sources.IncrementalSignatureStore): the corpus shingles+signs in
@@ -1576,7 +1579,7 @@ object TextDedup {
         sh.unpersist()
         out
       },
-      Some("""WITH basedocs AS (
+      Some(matCtes("""WITH basedocs AS (
                 SELECT doc_id AS base, text FROM documents
                 WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3),
               vars AS (
@@ -1634,7 +1637,7 @@ object TextDedup {
                      COUNT(*) AS n_true,
                      CAST(SUM(found) AS BIGINT) AS n_found,
                      CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall
-              FROM j GROUP BY 1 ORDER BY 1""")),
+              FROM j GROUP BY 1 ORDER BY 1"""))),
 
     // GEOMETRY SWEEP of the recall measurement — the actual calibration
     // table a dedup team reads before fixing (bands x rows) for a 100 TB
@@ -1687,7 +1690,7 @@ object TextDedup {
         truth.unpersist(); sh.unpersist()
         out
       },
-      Some("""WITH basedocs AS (
+      Some(matCtes("""WITH basedocs AS (
                 SELECT doc_id AS base, text FROM documents
                 WHERE doc_id % 4 = 0 AND len(string_split(text, ' ')) >= 3),
               vars AS (
@@ -1777,7 +1780,7 @@ object TextDedup {
                      CAST(SUM(found) AS DOUBLE) / COUNT(*) AS recall,
                      CAST(MAX(n_cand) AS BIGINT) AS n_cand
               FROM g GROUP BY 1, 2, 3
-              ORDER BY n_bands DESC, j_bucket"""))
+              ORDER BY n_bands DESC, j_bucket""")))
   )
 
   /** Shared calibration fixture of the LSH-recall family: the synthesized

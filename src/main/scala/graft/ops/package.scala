@@ -33,4 +33,17 @@ package object ops {
 
   def table(name: String)(implicit spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** Add `AS MATERIALIZED` to every CTE of an oracle SQL. DuckDB inlines
+    * CTEs per reference, so an oracle whose shared pass feeds several
+    * downstream legs (a sweep's depth filters, a dedup's pair self-join)
+    * re-runs that pass once PER LEG — measured 2-17× on the affected
+    * oracles (q_ivf_recall 10.0 → 0.6 s). Applied selectively to oracles
+    * where the rewrite was verified result-identical; the regex targets
+    * the `name AS (` definition form only (aliases are `(...) AS name`,
+    * windows are `OVER (`), and recursive members — where the hint
+    * cannot parse — do not appear in the queries this wraps.
+    */
+  def matCtes(sql: String): String =
+    sql.replaceAll("\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 }
