@@ -42,9 +42,15 @@ private[streaming] object PerceptualDedupCore {
     * `hashed` maps the kind-filtered batch to (media_id, phash) — the
     * only seam that differs between modalities.
     */
+  /** `writeOut = false` runs the pass as a pure gate: the band store is
+    * still written (the dedup state must persist), but the admitted
+    * payloads are only RETURNED, not written — the seam MediaIngestJob
+    * uses to chain the modality passes and write payloads exactly once
+    * at the end of the chain.
+    */
   def dedupBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       storeDir: String, outDir: String, maxHamming: Int, kind: String,
-      hashed: DataFrame => DataFrame): DataFrame = {
+      hashed: DataFrame => DataFrame, writeOut: Boolean = true): DataFrame = {
     require(maxHamming < BANDS,
       s"banding is lossless only for maxHamming < $BANDS, got $maxHamming")
     val fp = hashed(batch.filter(col("kind") === kind))
@@ -103,9 +109,11 @@ private[streaming] object PerceptualDedupCore {
       .unionByName(batch.filter(col("kind") =!= kind))
       .select(col("media_id"), col("kind"), col("bytes"),
         lit(batchId).as("__batch_id"))
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id").parquet(outDir)
+    if (writeOut) {
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(outDir)
+    }
     kept
   }
 
