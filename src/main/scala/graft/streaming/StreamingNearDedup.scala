@@ -79,7 +79,13 @@ object StreamingNearDedup {
       .exists(storePath)
     val store: DataFrame =
       if (storeExists)
+        // STRICTLY-EARLIER batches only (the PerceptualDedupCore /
+        // StreamingPackedShards discipline): a batch replayed after its
+        // store write but before its out write must not collide with its
+        // OWN prior rows, or the recovery admits nothing and the out
+        // partition is lost for good.
         spark.read.parquet(storeDir)
+          .filter(col("__batch_id") < batchId)
           .select(col("band"), col("bh"), col("doc_id").as("old_id"),
             col("sig").as("old_sig"))
       else // first batch: no store yet

@@ -82,4 +82,30 @@ class StreamingNearDedupSpec extends SparkSpec {
       Seq((10L, nearDup)).toDF("doc_id", "text"), 1L, store, out, 0.6)
     assert(kept2.count() == 0, "near-dup must still match the replayed store")
   }
+
+  test("crash between store write and out write recovers on replay") {
+    // The `__batch_id < batchId` store-read filter's scenario (the same
+    // class the frame and perceptual stores fixed): batch 1 dies after
+    // writing its band rows but before its out write. On replay it must
+    // not collide with its OWN prior rows — an unfiltered read would
+    // admit nothing and the fresh doc would be lost from out for good.
+    val (store, out, _) = dirs()
+    StreamingNearDedup.dedupBatch(spark,
+      Seq((1L, base)).toDF("doc_id", "text"), 0L, store, out, 0.6)
+    StreamingNearDedup.dedupBatch(spark,
+      Seq((2L, other)).toDF("doc_id", "text"), 1L, store, out, 0.6)
+    def delRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(delRec)); f.delete(); ()
+    }
+    delRec(new java.io.File(s"$out/__batch_id=1")) // the simulated crash
+    StreamingNearDedup.dedupBatch(spark,
+      Seq((2L, other)).toDF("doc_id", "text"), 1L, store, out, 0.6)
+    val kept = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"crash replay lost docs: $kept")
+    // the replayed batch still dedups against genuinely earlier batches
+    val kept2 = StreamingNearDedup.dedupBatch(spark,
+      Seq((10L, nearDup)).toDF("doc_id", "text"), 2L, store, out, 0.6)
+    assert(kept2.count() == 0)
+  }
 }
