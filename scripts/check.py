@@ -64,9 +64,6 @@ for name in declared:
             print(f"{name:28s} FAIL decimal-typed output cols (driver hash diverges): {dec}")
             fails += 1
             continue
-        t0 = time.time()  # oracle-cost budget: a single slow DuckDB oracle
-        # can blow the driver's whole correctness run (round 10:
-        # q_pack_shards_trained at ~30 min emptied CORRECTNESS_r10.json)
         ora = con.sql(oracle[name])
         scols, ocols = spark_rel.columns, ora.columns
         if sorted(scols) != sorted(ocols):
@@ -82,6 +79,13 @@ for name in declared:
             continue
         cols = ", ".join(f'"{c}"' for c in sorted(scols))
         sdf = con.sql(f"SELECT {cols} FROM spark_rel ORDER BY ALL").fetchall()
+        # oracle-cost budget: a single slow DuckDB oracle can blow the
+        # driver's whole correctness run (round 10: q_pack_shards_trained
+        # at ~30 min emptied CORRECTNESS_r10.json). Timed over the odf
+        # fetch ONLY — the spark_rel fetch above is the Spark result's
+        # size, not the oracle's cost, and folding it in made ORACLE-SLOW
+        # point at the wrong side for large-result queries.
+        t0 = time.time()
         odf = con.sql(f"SELECT {cols} FROM ora ORDER BY ALL").fetchall()
         osec = time.time() - t0
         slow = "  ORACLE-SLOW" if osec > 30 else ""

@@ -274,9 +274,14 @@ object Multimodal {
               try {
                 // seekForwardOnly = false: frame-indexed random access
                 reader.setInput(iis, false, true)
+                // an unreadable frame COUNT (getNumImages scans the whole
+                // stream, so a truncated container can fail right here)
+                // must not skip the clip: fall back to reading frames
+                // until the first failure, which keeps the decoded prefix
+                // exactly as the doc promises
                 val n =
                   try reader.getNumImages(true)
-                  catch { case scala.util.control.NonFatal(_) => 0 }
+                  catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
                 var i = 0
                 var ok = true
                 while (i < n && ok) {
@@ -711,9 +716,12 @@ object Multimodal {
               val reader = readers.next()
               try {
                 reader.setInput(iis, false, true)
+                // unreadable frame count → read until first failure so a
+                // truncated container still keeps its decoded prefix (see
+                // decodeFramesBatched — same R2 granularity)
                 val n =
                   try reader.getNumImages(true)
-                  catch { case scala.util.control.NonFatal(_) => 0 }
+                  catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
                 var i = 0
                 var ok = true
                 while (i < n && ok) {

@@ -1271,7 +1271,7 @@ object TextOps {
       Some(s"$bpeCte$packShardsTailSql")),
 
     // The RESUMABLE writer on the gate: the range-committed pack
-    // (PackedShards.writeBatchResumable at 4 shards per range — ~10
+    // (PackedShards.writeBatchResumable at 32 shards per range — ~2
     // ranges at gate SF, so the manifest/commit path genuinely cycles)
     // must ship a byte-identical artifact to the one-shot writer, so it
     // shares q_pack_shards' reader-side audit AND its oracle verbatim.

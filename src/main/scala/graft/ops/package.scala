@@ -41,9 +41,18 @@ package object ops {
     * oracles (q_ivf_recall 10.0 → 0.6 s). Applied selectively to oracles
     * where the rewrite was verified result-identical; the regex targets
     * the `name AS (` definition form only (aliases are `(...) AS name`,
-    * windows are `OVER (`), and recursive members — where the hint
-    * cannot parse — do not appear in the queries this wraps.
+    * inline windows are `OVER (`). Two constructs the regex WOULD
+    * corrupt are guarded against instead of assumed absent: a named
+    * `WINDOW win AS (...)` clause (used elsewhere in this repo) and a
+    * `WITH RECURSIVE` member — neither can carry the MATERIALIZED hint,
+    * so a future oracle passing one through here must fail loudly at
+    * query-declaration time, not ship a broken oracle.
     */
-  def matCtes(sql: String): String =
+  def matCtes(sql: String): String = {
+    require(!sql.contains("WINDOW"),
+      "matCtes would rewrite a named WINDOW clause into invalid SQL")
+    require(!sql.contains("RECURSIVE"),
+      "matCtes cannot hint a recursive CTE member")
     sql.replaceAll("\\b(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+  }
 }
