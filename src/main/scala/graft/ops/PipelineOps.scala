@@ -105,17 +105,27 @@ object PipelineOps {
     * position, and its (shard, pos_in_shard) assignment for an
     * `nShards`-way data loader. The global rank is computed in the
     * two-phase shape that survives 100 TB (same pattern as tokenShards):
-    * docs rank WITHIN their 256 hash buckets (the md5's first two hex
-    * chars — consistent with the full-hash order, so bucket-offset +
-    * in-bucket rank equals the global rank), bucket sizes are one tiny
-    * aggregate whose prefix sum broadcasts back — no single-partition
-    * scan of the corpus ever happens. A different seed reshuffles every
-    * epoch with zero state.
+    * docs rank WITHIN their 16^hexPrefix hash buckets (the md5's first
+    * `hexPrefix` hex chars — a PREFIX of the full-hash string order, so
+    * bucket-offset + in-bucket rank equals the global rank for ANY
+    * width; the knob is pure parallelism, spec-pinned invariant), bucket
+    * sizes are one tiny aggregate whose prefix sum broadcasts back — no
+    * single-partition scan of the corpus ever happens. Width arithmetic
+    * at the 10^11-doc design point: the per-bucket window sort is the
+    * only per-task cost, ~corpus/16^w rows per task — 4e8 at w=2 (the
+    * serial-stage class the spine work eliminated) vs ~1.5e6 at the
+    * default w=4; the bucket-count prefix sum is one 16^w-row window
+    * task, trivial through w=6 (16.7M longs). A different seed
+    * reshuffles every epoch with zero state.
     */
-  def epochShuffle(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+  def epochShuffle(docs: DataFrame, seed: String, nShards: Int,
+      hexPrefix: Int = 4): DataFrame = {
+    require(hexPrefix >= 1 && hexPrefix <= 6,
+      s"hexPrefix must be 1..6 (16^w buckets; the bucket-count prefix " +
+        s"sum is a single window task): got $hexPrefix")
     val h = md5(concat(lit(seed + ":"), col("doc_id").cast(StringType)))
     val keyed = docs.select(col("doc_id"), h.as("h"))
-      .withColumn("bucket", substring(col("h"), 1, 2))
+      .withColumn("bucket", substring(col("h"), 1, hexPrefix))
       .persist() // read by both the bucket counts and the rank side
     val wB = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)

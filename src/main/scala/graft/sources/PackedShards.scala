@@ -103,16 +103,26 @@ object PackedShards {
     * time, so document-order randomization must happen BEFORE packing,
     * and at 100 TB "shuffle the corpus" must not be a job — it's just a
     * different SORT KEY. The order is the ops.PipelineOps.epochShuffle
-    * convention exactly (md5 of `seed:doc_id`; chunk = the first two hex
-    * chars, a prefix of the full-hash order, so chunk-offset + in-chunk
-    * position is the global shuffled position — spec-pinned consistent
-    * with epochShuffle's shuffle_pos, meaning the data-loader sharding
-    * and the packed layout agree on one permutation). A new seed is a
-    * fresh epoch's layout with zero state.
+    * convention exactly (md5 of `seed:doc_id`; chunk = the first
+    * `hexPrefix` hex chars, a prefix of the full-hash order, so
+    * chunk-offset + in-chunk position is the global shuffled position
+    * for ANY width — spec-pinned consistent with epochShuffle's
+    * shuffle_pos AND invariant across widths, meaning the data-loader
+    * sharding and the packed layout agree on one permutation and the
+    * knob is pure parallelism). The in-chunk prefix-sum window (which
+    * carries the full tids arrays) holds ~corpus/16^w rows per task:
+    * the default w=4 (65,536 chunks) keeps that to ~1.5e6 rows at the
+    * 10^11-doc design point, where w=2 would re-create a 4e8-row serial
+    * stage; the chunk spine stays two-level (chunksPerSuper) so the
+    * wider chunk relation never prefix-sums in one task either. A new
+    * seed is a fresh epoch's layout with zero state.
     */
   private[graft] def shuffledOffsets(docs: DataFrame,
       idsCol: org.apache.spark.sql.Column, seed: String,
-      chunksPerSuper: Long = ChunksPerSuper): DataFrame = {
+      chunksPerSuper: Long = ChunksPerSuper,
+      hexPrefix: Int = 4): DataFrame = {
+    require(hexPrefix >= 1 && hexPrefix <= 6,
+      s"hexPrefix must be 1..6, got $hexPrefix")
     val sized = docs
       .select(col("doc_id"), idsCol.as("tids"))
       .withColumn("n_tokens", size(col("tids")).cast(LongType))
@@ -120,7 +130,7 @@ object PackedShards {
       .withColumn("h",
         md5(concat(lit(seed + ":"), col("doc_id").cast(StringType))))
       .withColumn("chunk",
-        expr("conv(substring(h, 1, 2), 16, 10)").cast(LongType))
+        expr(s"conv(substring(h, 1, $hexPrefix), 16, 10)").cast(LongType))
       .persist()
     val chunkOffsets = chunkOffsetSpine(
       sized.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("cs")),
@@ -278,7 +288,23 @@ object PackedShards {
     * The resume contract is the standard one: all attempts run against
     * the SAME input relation (a changed corpus is a new pack in a new
     * outDir). `onRangeWritten` fires after each range's data write and
-    * before its marker — the spec's kill-injection and skip-audit seam.
+    * before its marker — the spec's kill-injection and skip-audit seam
+    * (it runs on the submitting range's worker thread when ranges run
+    * concurrently).
+    *
+    * Range GEOMETRY at scale: the commit unit should be sized from
+    * data, not guessed — pass `targetRangeTokens` (e.g. ~2.5e10 tokens
+    * ≈ 100 GB of int32 ids, a few minutes of cluster work lost on the
+    * worst crash) and `shardsPerRange` is derived as
+    * ceil(targetRangeTokens / (budget·seqsPerShard)). A 100 TB corpus
+    * (~2.5e13 tokens) then packs as ~1,000 ranges. At that range count
+    * a strictly serial driver loop wastes the cluster between small
+    * jobs, so `maxConcurrentRanges` submits independent ranges from a
+    * bounded pool: ranges write DISJOINT `shard=` partitions (each
+    * write job stages under its own `.spark-staging-<uuid>`), markers
+    * stay per-range, and a failure in any range fails the call after
+    * the pool drains — every completed range keeps its marker, so the
+    * resume semantics are unchanged (spec-pinned byte-identical).
     */
   def writeBatchResumable(spark: SparkSession, docs: DataFrame,
       outDir: String,
@@ -288,8 +314,12 @@ object PackedShards {
       codecId: String = "fixture", fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,
       onRangeWritten: Long => Unit = _ => (),
-      shuffleSeed: Option[String] = None): DataFrame = {
+      shuffleSeed: Option[String] = None,
+      targetRangeTokens: Option[Long] = None,
+      maxConcurrentRanges: Int = 1): DataFrame = {
     require(budget > 0 && seqsPerShard > 0 && shardsPerRange > 0)
+    require(maxConcurrentRanges >= 1,
+      s"maxConcurrentRanges must be >= 1, got $maxConcurrentRanges")
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
@@ -317,28 +347,55 @@ object PackedShards {
     require(!totalRow.isNullAt(0),
       "writeBatchResumable: input has no non-empty documents")
     val totalTokens = totalRow.getLong(0)
-    val tokensPerRange = budget * seqsPerShard * shardsPerRange
+    val tokensPerShard = budget * seqsPerShard
+    val rangeShards = targetRangeTokens match {
+      case Some(t) =>
+        require(t > 0, s"targetRangeTokens must be > 0, got $t")
+        math.max(1L, (t + tokensPerShard - 1) / tokensPerShard)
+      case None => shardsPerRange
+    }
+    val tokensPerRange = tokensPerShard * rangeShards
     val nRanges = (totalTokens + tokensPerRange - 1) / tokensPerRange
-    var r = 0L
-    while (r < nRanges) {
-      if (!exists(s"$outDir/_ranges/r$r.done")) {
-        val lo = r * tokensPerRange
-        val hi = (r + 1) * tokensPerRange
-        // docs whose token interval intersects the range's — the
-        // stats-prunable filter; the seq-range filter below then drops
-        // the overlap sequences that belong to the neighbor ranges
-        val slice = offs.filter(col("offset") + col("n_tokens") > lo &&
-          col("offset") < hi)
-        packedSharded(slice, budget, seqsPerShard)
-          .filter(col("shard") >= r * shardsPerRange &&
-            col("shard") < (r + 1) * shardsPerRange)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard").parquet(outDir)
-        onRangeWritten(r)
-        touch(s"$outDir/_ranges/r$r.done")
-      }
-      r += 1
+    def writeRange(r: Long): Unit = {
+      val lo = r * tokensPerRange
+      val hi = (r + 1) * tokensPerRange
+      // docs whose token interval intersects the range's — the
+      // stats-prunable filter; the seq-range filter below then drops
+      // the overlap sequences that belong to the neighbor ranges
+      val slice = offs.filter(col("offset") + col("n_tokens") > lo &&
+        col("offset") < hi)
+      packedSharded(slice, budget, seqsPerShard)
+        .filter(col("shard") >= r * rangeShards &&
+          col("shard") < (r + 1) * rangeShards)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(outDir)
+      onRangeWritten(r)
+      touch(s"$outDir/_ranges/r$r.done")
+    }
+    val todo = (0L until nRanges).filterNot(r => exists(s"$outDir/_ranges/r$r.done"))
+    if (maxConcurrentRanges == 1 || todo.size <= 1) todo.foreach(writeRange)
+    else {
+      // independent ranges: disjoint shard partitions, per-job staging
+      // dirs — safe to run concurrently; failures propagate after all
+      // submitted ranges settle so completed ranges keep their markers
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(maxConcurrentRanges, todo.size))
+      try {
+        val futs = todo.map { r =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = writeRange(r)
+          })
+        }
+        val errs = futs.flatMap { f =>
+          try { f.get(); None }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              Some(e.getCause)
+          }
+        }
+        errs.headOption.foreach(throw _)
+      } finally pool.shutdownNow()
     }
     spark.read.parquet(outDir)
   }

@@ -102,6 +102,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
   }
 
+  test("epochShuffle: positions invariant across md5 hex-prefix widths") {
+    // the bucket width is a pure parallelism knob: any md5 prefix is a
+    // prefix of the full-hash order, so bucket-offset + in-bucket rank
+    // must equal the SAME global rank at every width (w=1 → 16 fat
+    // buckets, w=4 → 65,536 — the 100 TB default where no task ever
+    // window-sorts more than ~corpus/65k rows)
+    def pos(w: Int): Set[(Long, Long)] =
+      PipelineOps.epochShuffle(docs, "epoch1", 8, hexPrefix = w)
+        .select(col("doc_id"), col("shuffle_pos")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pos(1)
+    assert(base.nonEmpty)
+    for (w <- Seq(2, 3, 4))
+      assert(pos(w) == base, s"hexPrefix=$w diverged from w=1")
+  }
+
   test("cdcDedup is insertion-robust where fixed segments are not") {
     import spark.implicits._
     // doc 1 = doc 0 with one word inserted near the front. Fixed-width

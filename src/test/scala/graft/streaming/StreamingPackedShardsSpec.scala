@@ -165,6 +165,66 @@ class StreamingPackedShardsSpec extends SparkSpec {
       "seed epoch1 must actually permute this corpus")
   }
 
+  test("shuffledOffsets: layout invariant across md5 hex-prefix widths") {
+    // chunk width is pure parallelism (same contract as the spine knobs
+    // above): any md5 prefix preserves the global (h, doc_id) order, so
+    // every width must place every doc at the identical global offset
+    val idsCol = graft.functions.BpeEncodeIds.bpeIds(col("text"), "fixture",
+      fullCharset = false)
+    def lay(w: Int): Set[(Long, Long)] =
+      PackedShards.shuffledOffsets(docs.toDF("doc_id", "text"), idsCol,
+          "epoch1", hexPrefix = w)
+        .select(col("doc_id"), col("offset")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = lay(1)
+    assert(base.nonEmpty)
+    for (w <- Seq(2, 3, 4))
+      assert(lay(w) == base, s"hexPrefix=$w diverged from w=1")
+  }
+
+  test("resumable pack: targetRangeTokens sizes ranges; concurrent == serial") {
+    def content(path: String): Set[(Long, Long, Seq[Int])] =
+      spark.read.parquet(path)
+        .select(col("shard").cast("long"), col("seq"), col("tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+    val refDir = java.nio.file.Files.createTempDirectory("graft_pack_cref").toString
+    PackedShards.writeBatch(spark, docs.toDF("doc_id", "text"),
+      s"$refDir/out", budget = 8L, seqsPerShard = 1)
+    val ref = content(s"$refDir/out")
+    // targetRangeTokens=8 at 8 tokens/shard derives 1 shard per range →
+    // 5 ranges over the 33-token corpus; 4 submit concurrently (disjoint
+    // shard partitions, per-range markers)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_conc").toString
+    val written = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+      s"$dir/out", budget = 8L, seqsPerShard = 1,
+      targetRangeTokens = Some(8L), maxConcurrentRanges = 4,
+      onRangeWritten = r => { written.add(r); () })
+    import scala.jdk.CollectionConverters._
+    assert(written.asScala.toSet == (0L until 5L).toSet,
+      s"expected 5 derived ranges, wrote ${written.asScala.toSet}")
+    (0 until 5).foreach { r =>
+      assert(new java.io.File(s"$dir/out/_ranges/r$r.done").exists(),
+        s"range $r marker missing after concurrent run")
+    }
+    assert(content(s"$dir/out") == ref,
+      "concurrent resumable artifact differs from the one-shot write")
+    // a failed range under concurrency keeps completed markers and resumes
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pack_conc2").toString
+    intercept[RuntimeException] {
+      PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+        s"$dir2/out", budget = 8L, seqsPerShard = 1,
+        targetRangeTokens = Some(8L), maxConcurrentRanges = 2,
+        onRangeWritten = r => if (r == 3L) throw new RuntimeException("kill"))
+    }
+    assert(!new java.io.File(s"$dir2/out/_ranges/r3.done").exists())
+    PackedShards.writeBatchResumable(spark, docs.toDF("doc_id", "text"),
+      s"$dir2/out", budget = 8L, seqsPerShard = 1,
+      targetRangeTokens = Some(8L), maxConcurrentRanges = 2)
+    assert(content(s"$dir2/out") == ref,
+      "resumed concurrent artifact differs from the one-shot write")
+  }
+
   test("resumable SHUFFLED pack: kill + resume == one-shot shuffled artifact") {
     def content(path: String): Set[(Long, Long, Seq[Int])] =
       spark.read.parquet(path)
