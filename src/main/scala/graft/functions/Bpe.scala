@@ -287,6 +287,111 @@ final class BpeCodec(val table: IndexedSeq[(String, String)])
     if (sb.length > 0) ops += encodeWord(sb.toString, out)
     ops
   }
+
+  /** ROUND-TRIP (byte-exact) pre-tokenization — the fidelity every
+    * production tokenizer has (GPT-2/tiktoken/SentencePiece all
+    * round-trip) and [[encodeDocFull]] deliberately traded away: no
+    * case folding, no whitespace dropping — EVERY byte of the input is
+    * carried by exactly one token, so
+    * `BpeCodec.decodeTokens(encode(s)) == s` byte-for-byte
+    * (ScalaCheck-pinned over full Unicode incl. whitespace runs).
+    * Packed shards built in this mode are lossless: detokenization,
+    * exact-substring decontamination audits against packed data, and
+    * loss-masking keyed on rendered text all become possible.
+    *
+    * Unit segmentation (one left-to-right pass, the regex
+    * ` ?[a-z0-9]+|[^a-z0-9]` with leftmost-first alternation — shared
+    * with the DuckDB oracle):
+    *
+    *  1. A single space immediately followed by a `[a-z0-9]+` run glues
+    *     to it as one merge unit whose first token is `<0x20>` — the
+    *     GPT-2 `Ġ` space-prefix convention with the byte token as the
+    *     printable rendering (GPT-2's `Ġ` IS byte 0x20 under its
+    *     byte-to-unicode table), so a learned table can merge
+    *     space+word exactly as production BPE does. Of a whitespace
+    *     RUN, only the last space before a word glues; the rest stand
+    *     alone (GPT-2's pre-tokenizer does the same).
+    *  2. A `[a-z0-9]+` run not preceded by a glued space is a unit of
+    *     single-char tokens — the same alphabet committed tables merge
+    *     over, so existing merges fire unchanged on lowercase text.
+    *  3. EVERY other code point — uppercase (case is DATA here, not
+    *     folded), whitespace not glued by rule 1, punctuation,
+    *     non-Latin — is one unit of `<0xNN>` UTF-8 byte tokens.
+    *
+    * The output alphabet is a subset of [[encodeDocFull]]'s
+    * ({[a-z0-9] chars} ∪ {byte tokens} ∪ {merge products}), so
+    * [[BpeVocab]] ids, the packed-shard writer, and the token-budget
+    * ops all take this mode with zero schema change. Same op-count
+    * contract as [[encodeDocCounted]].
+    */
+  def encodeDocExact(text: String,
+      out: scala.collection.mutable.ArrayBuffer[String]): Long = {
+    var ops = 0L
+    var i = 0
+    val n = text.length
+    def alnum(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    while (i < n) {
+      val c = text.charAt(i)
+      val glue = c == ' ' && i + 1 < n && alnum(text.charAt(i + 1))
+      if (glue || alnum(c)) {
+        val start = if (glue) i + 1 else i
+        var j = start
+        while (j < n && alnum(text.charAt(j))) j += 1
+        val len = (j - start) + (if (glue) 1 else 0)
+        val unit = new Array[String](len)
+        var k = 0
+        if (glue) { unit(0) = "<0x20>"; k = 1 }
+        var p = start
+        while (p < j) { unit(k) = String.valueOf(text.charAt(p)); k += 1; p += 1 }
+        ops += encodeUnit(unit, out)
+        i = j
+      } else {
+        val cp = text.codePointAt(i)
+        val bytes = new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val unit = new Array[String](bytes.length)
+        var b = 0
+        while (b < bytes.length) {
+          unit(b) = f"<0x${bytes(b) & 0xff}%02X>"
+          b += 1
+        }
+        ops += encodeUnit(unit, out)
+        i += Character.charCount(cp)
+      }
+    }
+    ops
+  }
+}
+
+object BpeCodec {
+
+  /** Detokenize: rebuild the exact input bytes of a token stream. Token
+    * strings are concatenations of two atom kinds — `<0xNN>` byte
+    * tokens and literal `[a-z0-9]` chars (their own ASCII byte) — and
+    * the grammar is prefix-unambiguous ('<' only ever occurs as the
+    * head of a byte token: a literal '<' in input text encodes as
+    * `<0x3C>`), so one left-to-right scan decodes any token from any
+    * mode. For [[BpeCodec.encodeDocExact]] streams the result equals
+    * the original text byte-for-byte (the round-trip property); for the
+    * lossy modes it rebuilds what they kept.
+    */
+  def decodeTokens(toks: scala.collection.Seq[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    toks.foreach { t =>
+      var i = 0
+      val m = t.length
+      while (i < m) {
+        val c = t.charAt(i)
+        if (c == '<' && i + 5 < m && t.charAt(i + 1) == '0' &&
+            t.charAt(i + 2) == 'x' && t.charAt(i + 5) == '>') {
+          bos.write(Integer.parseInt(t.substring(i + 3, i + 5), 16))
+          i += 6
+        } else { bos.write(c.toInt); i += 1 }
+      }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 object BpeMerges {
@@ -390,6 +495,21 @@ final class BpeVocab(val table: IndexedSeq[(String, String)])
       throw new IllegalArgumentException(s"token outside vocabulary: $tok")
     r.intValue()
   }
+
+  /** Inverse of [[id]] — total on [0, 292 + table.size): the id map is
+    * injective (distinct products REQUIRED above), so `token(id(t)) == t`
+    * for every token the encoder can emit. With it a packed shard built
+    * in the exact mode detokenizes: ids → tokens → BpeCodec.decodeTokens
+    * rebuilds the original corpus bytes (spec-pinned end-to-end).
+    */
+  def token(id: Int): String = {
+    if (id >= 0 && id < 26) return ('a' + id).toChar.toString
+    if (id >= 26 && id < 36) return ('0' + (id - 26)).toChar.toString
+    if (id >= 36 && id < MergeIdBase) return f"<0x${id - 36}%02X>"
+    val r = id - MergeIdBase
+    if (r >= 0 && r < table.size) return table(r)._1 + table(r)._2
+    throw new IllegalArgumentException(s"id outside vocabulary: $id")
+  }
 }
 
 /** Codec registry for BpeEncodeTokens: the expression serializes only the
@@ -409,7 +529,10 @@ object BpeCodecs {
   * (stays inside whole-stage codegen like the rest of functions/).
   */
 case class BpeEncodeTokens(child: Expression, codecId: String = "fixture",
-    fullCharset: Boolean = false) extends UnaryExpression {
+    fullCharset: Boolean = false, exact: Boolean = false)
+    extends UnaryExpression {
+  require(!(fullCharset && exact),
+    "fullCharset and exact are distinct pre-tokenization modes")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -417,7 +540,8 @@ case class BpeEncodeTokens(child: Expression, codecId: String = "fixture",
   @transient private lazy val codec = BpeCodecs.byId(codecId)
 
   def computeRow(s: UTF8String): ArrayData =
-    if (fullCharset) BpeEncodeTokens.computeFull(codec, s)
+    if (exact) BpeEncodeTokens.computeExact(codec, s)
+    else if (fullCharset) BpeEncodeTokens.computeFull(codec, s)
     else BpeEncodeTokens.compute(codec, s)
 
   override protected def nullSafeEval(input: Any): Any =
@@ -441,7 +565,10 @@ case class BpeEncodeTokens(child: Expression, codecId: String = "fixture",
   * hash lookup per token on top of the merge loop.
   */
 case class BpeEncodeIds(child: Expression, codecId: String = "fixture",
-    fullCharset: Boolean = false) extends UnaryExpression {
+    fullCharset: Boolean = false, exact: Boolean = false)
+    extends UnaryExpression {
+  require(!(fullCharset && exact),
+    "fullCharset and exact are distinct pre-tokenization modes")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -451,7 +578,8 @@ case class BpeEncodeIds(child: Expression, codecId: String = "fixture",
 
   def computeRow(s: UTF8String): ArrayData = {
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
-    if (fullCharset) codec.encodeDocFull(s.toString, toks)
+    if (exact) codec.encodeDocExact(s.toString, toks)
+    else if (fullCharset) codec.encodeDocFull(s.toString, toks)
     else codec.encodeDocCounted(s.toString, toks)
     val out = new Array[Int](toks.length)
     var i = 0
@@ -480,6 +608,17 @@ object BpeEncodeIds {
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeIds(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
         codecId, fullCharset))
+
+  /** Ids in the ROUND-TRIP mode ([[BpeCodec.encodeDocExact]]): packed
+    * shards built with this column are byte-lossless — decode the id
+    * stream back through the vocab and [[BpeCodec.decodeTokens]]
+    * rebuilds the exact input (`<0x20>`-glued words mean id 68 opens
+    * every space-prefixed word, the GPT-2 `Ġ` in this id scheme).
+    */
+  def bpeIdsExact(c: Column, codecId: String = "fixture"): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeIds(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        codecId, fullCharset = false, exact = true))
 
   /** Ids under an arbitrary (e.g. just-learned) merge table — the
     * train → pack seam: the learned table rides the serialized
@@ -584,6 +723,15 @@ object BpeEncodeTokens {
     new GenericArrayData(out)
   }
 
+  def computeExact(codec: BpeCodec, s: UTF8String): ArrayData = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    codec.encodeDocExact(s.toString, toks)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Column wrapper (same shims path as TextFunctions). */
   def bpeTokens(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
@@ -609,6 +757,53 @@ object BpeEncodeTokens {
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
         codecId = "gen4096"))
+
+  /** ROUND-TRIP tokens ([[BpeCodec.encodeDocExact]]): byte-lossless —
+    * [[bpeDecode]] of this column rebuilds the input byte-for-byte.
+    */
+  def bpeTokensExact(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeEncodeTokens(org.apache.spark.sql.graft.GraftSqlShims.expression(c),
+        fullCharset = false, exact = true))
+
+  /** Detokenize a token array ([[BpeCodec.decodeTokens]]). */
+  def bpeDecode(c: Column): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeDecodeText(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+}
+
+/** string from array<string> of BPE tokens — [[BpeCodec.decodeTokens]]
+  * as a codegen'd expression (static-call pattern): the read half of the
+  * round-trip property, and the detokenization seam a loss-masking or
+  * decontamination audit runs over packed data.
+  */
+case class BpeDecodeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  def computeRow(a: ArrayData): UTF8String = {
+    val n = a.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = a.getUTF8String(i).toString; i += 1 }
+    UTF8String.fromString(BpeCodec.decodeTokens(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("bpeDec", this, classOf[BpeDecodeText].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeText =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_decode_text"
 }
 
 /** BPE merge-table TRAINING (Sennrich et al. 2016, the other half of the

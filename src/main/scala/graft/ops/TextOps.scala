@@ -280,6 +280,88 @@ object TextOps {
                 FROM fin WHERE isf = 0 GROUP BY doc_id)"""
   }
 
+  /** The deterministic ROUND-TRIP test suffix (q_bpe_encode_roundtrip):
+    * exercises everything the exact mode must carry byte-for-byte that
+    * the lossy modes drop — preserved CASE ("Qty", "A B"), a tab, a
+    * newline, a double space (only the LAST space of a run glues to the
+    * following word), an apostrophe (SQL-literal escaping), a literal
+    * '<' (the byte-token head char — pins the decode grammar's
+    * disambiguation), and multi-byte UTF-8. One string shared verbatim
+    * by the Spark column and the DuckDB oracle (via [[sqlStr]]).
+    */
+  private val RoundTripSuffix = " Qty:42,\tnaïve's  café —\n100%! <A B>"
+
+  /** A Scala string as a DuckDB E'...' escape-string literal. */
+  private def sqlStr(s: String): String =
+    "E'" + s.flatMap {
+      case '\'' => "''"
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    } + "'"
+
+  /** DuckDB mirror of the ROUND-TRIP BPE encode (q_bpe_encode_roundtrip
+    * — BpeCodec.encodeDocExact): NO case folding, NO whitespace
+    * dropping. Segmentation is one regex pass with leftmost-first
+    * alternation (` ?[a-z0-9]+|[^a-z0-9]`, RE2 on both engines): a
+    * single space glues to a following alnum run as one unit whose
+    * initial token list is '<0x20>' prepended to the run's chars (the
+    * GPT-2 Ġ space-prefix convention, byte-token rendering); every
+    * other code point — uppercase, ungummed whitespace, punctuation,
+    * non-Latin — explodes to its `<0xNN>` UTF-8 byte tokens. Word units
+    * run the same recursive merge CTE as bpeCte ('<0x20>' never merges
+    * under the fixture table, exactly as in Scala where the committed
+    * tables hold no byte pairs).
+    */
+  private def bpeCteExact: String = {
+    val ml = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
+    s"""WITH RECURSIVE
+       corp AS (SELECT doc_id,
+                  text || ' #' || doc_id || ${sqlStr(RoundTripSuffix)} AS t
+                FROM documents),
+       seg AS (SELECT doc_id,
+                 generate_subscripts(regexp_extract_all(t, ' ?[a-z0-9]+|[^a-z0-9]'), 1) AS sid,
+                 unnest(regexp_extract_all(t, ' ?[a-z0-9]+|[^a-z0-9]')) AS s
+               FROM corp),
+       w0 AS (SELECT doc_id, sid,
+                CASE WHEN s LIKE ' %' THEN substr(s, 2) ELSE s END AS word,
+                (s LIKE ' %') AS glue
+              FROM seg WHERE regexp_matches(s, '^ ?[a-z0-9]+$$')),
+       bpe(doc_id, sid, iter, toks) AS (
+         SELECT doc_id, sid, 0,
+           CASE WHEN glue THEN list_prepend('<0x20>', regexp_extract_all(word, '.'))
+                ELSE regexp_extract_all(word, '.') END
+         FROM w0
+         UNION ALL
+         SELECT doc_id, sid, iter + 1,
+           list_reduce(list_prepend([]::VARCHAR[], list_transform(toks, t -> [t])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = sp[1] AND x[1] = sp[2]
+                              THEN list_append(acc[:len(acc)-1], sp[1] || sp[2])
+                              ELSE list_append(acc, x[1]) END)
+         FROM (SELECT doc_id, sid, iter, toks,
+                 string_split($ml[list_min(list_filter(
+                    list_transform(range(1, len(toks)),
+                      i -> list_position($ml, toks[i] || chr(1) || toks[i+1])),
+                    r -> r > 0))], chr(1)) AS sp
+               FROM bpe)
+         WHERE sp IS NOT NULL
+       ),
+       fin AS (SELECT doc_id, sid, toks FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id, sid ORDER BY iter DESC) rn
+                 FROM bpe) WHERE rn = 1),
+       fb AS (SELECT doc_id, sid,
+                list_transform(range(1, octet_length(encode(s)) + 1),
+                  i -> '<0x' || substr(hex(encode(s)), 2*i - 1, 2) || '>') AS toks
+              FROM seg WHERE NOT regexp_matches(s, '^ ?[a-z0-9]+$$')),
+       strm AS (SELECT doc_id, sid, toks FROM fin
+                UNION ALL SELECT doc_id, sid, toks FROM fb),
+       agg AS (SELECT doc_id, flatten(list(toks ORDER BY sid)) AS tk
+               FROM strm GROUP BY doc_id)"""
+  }
+
   /** Merges learned by q_bpe_train (and unrolled by its oracle). */
   private val NumTrainMerges = 12
 
@@ -1212,6 +1294,44 @@ object TextOps {
                      array_to_string(a.tk[:8], ' ') AS first_tokens
               FROM agg a LEFT JOIN oldc o USING (doc_id)
               ORDER BY a.doc_id""")),
+
+    // ROUND-TRIP BPE (BpeCodec.encodeDocExact + BpeCodec.decodeTokens —
+    // the fidelity every production tokenizer has and the lossy modes
+    // trade away): no case folding, no whitespace dropping, every input
+    // byte carried by exactly one token, so decode(encode(s)) == s
+    // byte-for-byte. Packed shards built in this mode (bpeIdsExact /
+    // writeBatch(exact = true)) are detokenizable artifacts. The pin is
+    // two-sided: n_tokens/first_tokens hash-pin the tokenization (the
+    // oracle replays segmentation + merges), while text_md5 is computed
+    // by Spark THROUGH encode→decode but by DuckDB directly on the raw
+    // suffixed text — a hash match IS an independent round-trip proof on
+    // every gate document (a lossy encode cannot fake it). The suffix
+    // plants case, tab, newline, a double space, '<', an apostrophe and
+    // multi-byte UTF-8 per doc. Still ONE codegen per-row call per side.
+    Q("q_bpe_encode_roundtrip",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), lit(" #"), col("doc_id").cast(StringType),
+              lit(RoundTripSuffix)).as("tf"))
+          .select(col("doc_id"),
+            graft.functions.BpeEncodeTokens.bpeTokensExact(col("tf")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            graft.functions.BpeEncodeTokens.bpeDecode(col("toks")).as("dec"))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            array_join(slice(col("toks"), 1, 8), " ").as("first_tokens"),
+            md5(col("dec").cast(BinaryType)).as("text_md5"),
+            octet_length(col("dec")).cast(LongType).as("n_bytes"))
+          .orderBy(col("doc_id")),
+      Some(s"""$bpeCteExact
+              SELECT c.doc_id,
+                     CAST(len(a.tk) AS BIGINT) AS n_tokens,
+                     array_to_string(a.tk[:8], ' ') AS first_tokens,
+                     md5(c.t) AS text_md5,
+                     CAST(octet_length(encode(c.t)) AS BIGINT) AS n_bytes
+              FROM corp c JOIN agg a USING (doc_id)
+              ORDER BY c.doc_id""")),
 
     // Sequence packing re-pointed at BPE counts — budget-accurate
     // packing: the 256-token training sequences are cut in SUBWORD

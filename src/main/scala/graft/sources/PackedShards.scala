@@ -33,6 +33,19 @@ object PackedShards {
 
   val DefaultBudget = 256L
   val DefaultSeqsPerShard = 8L
+
+  /** The writers' default id column when no `idsExpr` override is
+    * given: `exact = true` selects the ROUND-TRIP tokenizer
+    * (functions.BpeCodec.encodeDocExact — shards become byte-lossless,
+    * detokenizable artifacts), else `fullCharset` selects the
+    * byte-fallback budget tokenizer, else the letters-only fixture
+    * convention. Same ids, same oracle arithmetic — the modes differ
+    * only in pre-tokenization.
+    */
+  private def defaultIds(codecId: String, fullCharset: Boolean,
+      exact: Boolean): org.apache.spark.sql.Column =
+    if (exact) graft.functions.BpeEncodeIds.bpeIdsExact(col("text"), codecId)
+    else graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)
   private val DocsPerChunk = 1024L
   private[graft] val ChunksPerSuper = 1024L
 
@@ -156,10 +169,11 @@ object PackedShards {
       budget: Long = DefaultBudget,
       seqsPerShard: Long = DefaultSeqsPerShard,
       codecId: String = "fixture", fullCharset: Boolean = false,
-      idsExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      idsExpr: Option[org.apache.spark.sql.Column] = None,
+      exact: Boolean = false): DataFrame = {
     require(budget > 0 && seqsPerShard > 0)
     val offs = shuffledOffsets(docs, idsExpr.getOrElse(
-      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)),
+      defaultIds(codecId, fullCharset, exact)),
       seed)
     packedSharded(offs, budget, seqsPerShard)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
@@ -245,10 +259,11 @@ object PackedShards {
       codecId: String = "fixture", fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,
       docsPerChunk: Long = DocsPerChunk,
-      chunksPerSuper: Long = ChunksPerSuper): DataFrame = {
+      chunksPerSuper: Long = ChunksPerSuper,
+      exact: Boolean = false): DataFrame = {
     require(budget > 0 && seqsPerShard > 0)
     val offs = withOffsets(docs, idsExpr.getOrElse(
-      graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset)),
+      defaultIds(codecId, fullCharset, exact)),
       docsPerChunk = docsPerChunk, chunksPerSuper = chunksPerSuper)
     // packedSharded co-locates every shard's rows on its ONE shuffle, so
     // the partitioned write emits exactly one file per shard directory —
@@ -316,7 +331,8 @@ object PackedShards {
       onRangeWritten: Long => Unit = _ => (),
       shuffleSeed: Option[String] = None,
       targetRangeTokens: Option[Long] = None,
-      maxConcurrentRanges: Int = 1): DataFrame = {
+      maxConcurrentRanges: Int = 1,
+      exact: Boolean = false): DataFrame = {
     require(budget > 0 && seqsPerShard > 0 && shardsPerRange > 0)
     require(maxConcurrentRanges >= 1,
       s"maxConcurrentRanges must be >= 1, got $maxConcurrentRanges")
@@ -328,8 +344,7 @@ object PackedShards {
 
     val offsetsDir = s"$outDir/_offsets"
     if (!exists(s"$offsetsDir/_DONE")) {
-      val ids = idsExpr.getOrElse(
-        graft.functions.BpeEncodeIds.bpeIds(col("text"), codecId, fullCharset))
+      val ids = idsExpr.getOrElse(defaultIds(codecId, fullCharset, exact))
       // with a shuffleSeed, the staged offsets carry the shuffled layout
       // (shuffledOffsets) — a restartable 100 TB SHUFFLED pack; offsets
       // remain contiguous per hash-bucket chunk, so the interval filter's

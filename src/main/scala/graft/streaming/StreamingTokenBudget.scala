@@ -88,8 +88,11 @@ class TokenBudgetGateProcessor(cap: Long)
 
 object StreamingTokenBudget {
 
-  private def tokenCount(fullCharset: Boolean): org.apache.spark.sql.Column =
-    (if (fullCharset)
+  private def tokenCount(fullCharset: Boolean,
+      exact: Boolean): org.apache.spark.sql.Column =
+    (if (exact)
+      size(graft.functions.BpeEncodeTokens.bpeTokensExact(col("text")))
+    else if (fullCharset)
       size(graft.functions.BpeEncodeTokens.bpeTokensFull(col("text")))
     else
       size(graft.functions.BpeEncodeTokens.bpeTokens(col("text"))))
@@ -101,16 +104,20 @@ object StreamingTokenBudget {
     * `fullCharset = true` counts with the byte-fallback tokenizer
     * (BpeCodec.encodeDocFull) so digits/punctuation/non-Latin scripts
     * charge the budget instead of slipping past it — the production
-    * setting for real web text.
+    * setting for real web text; `exact = true` counts with the
+    * ROUND-TRIP tokenizer (BpeCodec.encodeDocExact), the setting that
+    * matches a pack built with bpeIdsExact (whitespace and case charge
+    * the budget because they are in the shards).
     */
   def gate(docs: DataFrame, cap: Long,
-      fullCharset: Boolean = false): Dataset[AdmittedDoc] = {
+      fullCharset: Boolean = false,
+      exact: Boolean = false): Dataset[AdmittedDoc] = {
     implicit val tupleEnc =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[AdmittedDoc]
     docs
       .select(col("source"), col("doc_id"),
-        tokenCount(fullCharset).as("n"))
+        tokenCount(fullCharset, exact).as("n"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new TokenBudgetGateProcessor(cap), TimeMode.None(),
@@ -120,15 +127,16 @@ object StreamingTokenBudget {
   /** Wire a (source, text) document stream into per-source budget
     * tracking. Requires the RocksDB state store provider in production
     * (same contract as the other transformWithState jobs).
-    * `fullCharset` as in [[gate]].
+    * `fullCharset` / `exact` as in [[gate]].
     */
   def apply(docs: DataFrame,
-      fullCharset: Boolean = false): Dataset[TokenBudgetUpdate] = {
+      fullCharset: Boolean = false,
+      exact: Boolean = false): Dataset[TokenBudgetUpdate] = {
     implicit val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[TokenBudgetUpdate]
     docs
       .select(col("source"),
-        tokenCount(fullCharset).as("n"))
+        tokenCount(fullCharset, exact).as("n"))
       .as[(String, Long)]
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new TokenBudgetProcessor, TimeMode.None(),

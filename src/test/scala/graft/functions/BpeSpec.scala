@@ -211,6 +211,67 @@ object BpeSpec extends Properties("Bpe") {
       ops <= 12L * (4L * d.length + 1)
     }
 
+  // --- round-trip (byte-exact) pre-tokenization (q_bpe_encode_roundtrip) ---
+
+  // full Unicode incl. supplementary planes and whitespace runs — the
+  // round-trip domain (valid code points only: an unpaired surrogate has
+  // no UTF-8 encoding, so no byte-level tokenizer can round-trip it)
+  private val anyCp: Gen[String] = Gen.frequency(
+    8 -> anyChr.map(_.toString),
+    1 -> Gen.oneOf(0x1F600, 0x1D11E, 0x2070E, 0x10348)
+      .map(cp => new String(Character.toChars(cp))),
+    1 -> Gen.const(" "))
+  private val unicodeDoc: Gen[String] = Gen.listOf(anyCp).map(_.mkString)
+
+  private def encodeExact(codec: BpeCodec, d: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    codec.encodeDocExact(d, out)
+    out.toSeq
+  }
+
+  property("round trip: decode(encodeExact(s)) == s over full Unicode") =
+    forAll(unicodeDoc) { d =>
+      BpeCodec.decodeTokens(encodeExact(BpeMerges.default, d)) == d
+    }
+
+  property("round trip holds at realistic vocab (generated 4096-merge table)") =
+    forAll(unicodeDoc) { d =>
+      BpeCodec.decodeTokens(encodeExact(bigCodec, d)) == d
+    }
+
+  property("exact mode: ' word' glues as one unit opening with <0x20>") =
+    forAll(word, word) { (w1, w2) =>
+      // committed tables hold no <0x20> merges, so the glue token stays
+      // whole and each word merges exactly as its unglued encode
+      encodeExact(BpeMerges.default, w1 + " " + w2) ==
+        encodeWord(w1) ++ ("<0x20>" +: encodeWord(w2))
+    }
+
+  property("exact mode: whitespace run — only the LAST space glues") =
+    forAll(word) { w =>
+      encodeExact(BpeMerges.default, "  " + w) ==
+        Seq("<0x20>") ++ ("<0x20>" +: encodeWord(w))
+    }
+
+  property("exact mode: agrees with encodeDoc modulo glue on [a-z ] text") =
+    forAll(doc) { d =>
+      encodeExact(BpeMerges.default, d).filterNot(_ == "<0x20>") ==
+        BpeMerges.default.encodeDoc(d)
+    }
+
+  property("vocab: token(id(t)) == t for every emittable exact-mode token") =
+    forAll(unicodeDoc) { d =>
+      val vocab = new BpeVocab(BpeMerges.table)
+      encodeExact(BpeMerges.default, d).forall(t => vocab.token(vocab.id(t)) == t)
+    }
+
+  property("ids round trip: packed-id stream detokenizes to the input") =
+    forAll(unicodeDoc) { d =>
+      val vocab = new BpeVocab(BpeMerges.table)
+      val ids = encodeExact(BpeMerges.default, d).map(vocab.id)
+      BpeCodec.decodeTokens(ids.map(vocab.token)) == d
+    }
+
   // --- trainer (q_bpe_train) ---
 
   property("trainer: hand-computed merges on a fixed histogram") = {

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 import scala.collection.mutable.ArrayBuffer
 import graft.SparkSpec
-import graft.functions.{BpeMerges, BpeVocab}
+import graft.functions.{BpeCodec, BpeMerges, BpeVocab}
 import graft.sources.PackedShards
 
 /** The packed-training-shard writer end-to-end: exact budget (every
@@ -163,6 +163,27 @@ class StreamingPackedShardsSpec extends SparkSpec {
       s"pack layout $packOrder != epochShuffle order $shufOrder")
     assert(packOrder != docs.map(_._1).sorted.toSeq,
       "seed epoch1 must actually permute this corpus")
+  }
+
+  test("exact-mode pack: shards are byte-lossless (detokenize == corpus)") {
+    // the round-trip mode end-to-end THROUGH the artifact: pack with
+    // exact = true, read the id stream back in (seq, position) order,
+    // map ids → tokens → bytes — must equal the corpus texts
+    // concatenated in doc_id order, byte-for-byte (case, whitespace,
+    // punctuation, multi-byte UTF-8 all preserved in the shards)
+    val docs2 = Seq(
+      0L -> "Table SCAN  data\n",
+      1L -> "\tfast query—spark 42%",
+      2L -> " café 日本 <tag> 'q' ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack_exact").toString
+    val rel = PackedShards.writeBatch(spark, docs2.toDF("doc_id", "text"),
+      s"$dir/out", budget = 8L, seqsPerShard = 2, exact = true)
+    val idStream = rel.select(col("seq"), col("tokens")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).sortBy(_._1)
+      .flatMap(_._2).toSeq
+    val rebuilt = BpeCodec.decodeTokens(idStream.map(vocab.token))
+    assert(rebuilt == docs2.sortBy(_._1).map(_._2).mkString,
+      "exact-mode shards must detokenize to the exact corpus bytes")
   }
 
   test("shuffledOffsets: layout invariant across md5 hex-prefix widths") {
