@@ -842,6 +842,123 @@ object Multimodal {
 
   import graft.ops.Q
 
+  /** The COMPOSED media-ingest chain as oracle-able batch arithmetic
+    * (q_media_ingest_audit) — the audit twin of streaming.MediaIngestJob
+    * exactly as q_curation_pipeline audits CurationIngestJob's text
+    * chain: one fixture batch runs exact-byte dedup, then the three
+    * modality-perceptual gates (image aHash / audio envelope / video
+    * clip hash — all three stub-rastered here, the q_media_neardup /
+    * q_clip_neardup convention; the real-codec hashers are spec-pinned
+    * in MultimodalSpec/MediaIngestJobSpec), with the job's greedy
+    * lower-id within-batch resolution (PerceptualDedupCore.dedupBatch:
+    * an item dies when a LOWER-id exact-survivor of its kind lies
+    * within the Hamming radius — not transitive closure). The fixture
+    * plants, per media item: a byte-identical re-upload (+1 — dies at
+    * the EXACT gate), a one-char perturbation (+2 — byte-different, so
+    * it passes exact and dies at its kind's PERCEPTUAL gate when within
+    * Hamming 3), and for videos a frame-REVERSED cut (+3 — same frames,
+    * different order: the order-aware clip hash must ADMIT it). Output
+    * is one row per stage — admit/kill counts plus an md5 checksum of
+    * the sorted admitted ids — so the DuckDB oracle hash-pins the whole
+    * composed admit set, not just sizes. Scale shape = the job's:
+    * payload bytes never join or shuffle (only vid + four 16-bit band
+    * keys enter the self-join), each gate is a banded bucket join, and
+    * the per-stage summary is one tiny aggregate.
+    */
+  private def mediaIngestAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftSqlShims
+    def stubKeys(c: org.apache.spark.sql.Column) =
+      GraftSqlShims.column(StubAHashKeys(GraftSqlShims.expression(c)))
+    val base = mediaTable(s, dir)
+      .select(col("media_id"), col("kind"), col("bytes").cast(StringType).as("txt"))
+      .withColumn("L", length(col("txt"))).filter(col("L") > 0)
+      .withColumn("q", expr("(L + 3) div 4"))
+      .withColumn("p", expr("rpad(txt, cast(4 * q as int), 'z')"))
+    def quarter(i: Int) =
+      expr(s"substring(p, cast($i * q + 1 as int), cast(q as int))")
+    val nonVideo = base.filter(col("kind") =!= "video")
+      .select(col("kind"), explode(array(
+        struct((col("media_id") * 4).as("vid"), col("txt").as("ct")),
+        struct((col("media_id") * 4 + 1).as("vid"), col("txt").as("ct")),
+        struct((col("media_id") * 4 + 2).as("vid"),
+          concat(lit("q"), expr("substring(txt, 2)")).as("ct")))).as("v"))
+      .select(col("v.vid").as("vid"), col("kind"), col("v.ct").as("ct"))
+    // video variants cut frames from the PADDED payload so all four
+    // share one frame length q (the q_clip_neardup convention)
+    val video = base.filter(col("kind") === "video")
+      .select(col("kind"), col("q"), explode(array(
+        struct((col("media_id") * 4).as("vid"), col("p").as("ct")),
+        struct((col("media_id") * 4 + 1).as("vid"), col("p").as("ct")),
+        struct((col("media_id") * 4 + 2).as("vid"),
+          concat(lit("q"), expr("substring(p, 2)")).as("ct")),
+        struct((col("media_id") * 4 + 3).as("vid"),
+          concat(quarter(3), quarter(2), quarter(1), quarter(0)).as("ct")))).as("v"))
+      .select(col("v.vid").as("vid"), col("kind"), col("v.ct").as("ct"), col("q"))
+    val variants = nonVideo.withColumn("q", lit(null).cast(LongType))
+      .unionByName(video).persist()
+    // stage 1 — exact-byte gate: keeper = min vid per content md5
+    val hashed = variants.withColumn("cmd5", md5(col("ct").cast(BinaryType)))
+    val keep1 = hashed.groupBy(col("cmd5")).agg(min(col("vid")).as("vid"))
+    val s1 = hashed.join(keep1, Seq("cmd5", "vid"), "left_semi")
+      .select(col("vid"), col("kind"), col("ct"), col("q")).persist()
+    // stages 2-4 — modality-perceptual gates over the exact survivors
+    val iaPool = s1.filter(col("kind").isin("image", "audio"))
+      .select(col("vid"), col("kind"), stubKeys(col("ct")).as("k"))
+    def frameKeys(fi: Int) = stubKeys(
+      expr(s"substring(ct, cast($fi * q + 1 as int), cast(q as int))"))
+    val vPool = s1.filter(col("kind") === "video")
+      .select(col("vid"), lit("video").as("kind"),
+        array(element_at(frameKeys(0), 1), element_at(frameKeys(1), 2),
+          element_at(frameKeys(2), 3), element_at(frameKeys(3), 4)).as("k"))
+    val pool = iaPool.unionByName(vPool)
+    val banded = pool.select(col("vid"), col("kind"), col("k"),
+      explode(expr(
+        "transform(sequence(0, 3), bb -> struct(bb AS band, element_at(k, bb + 1) AS key))")).as("bb"))
+      .select(col("vid"), col("kind"), col("k"), col("bb.band"), col("bb.key"))
+    val kills = banded.as("x").join(banded.as("y"),
+        col("x.kind") === col("y.kind") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.vid") > col("y.vid"))
+      .select(col("x.vid").as("vid"), col("x.kind").as("kind"),
+        col("x.k").as("ka"), col("y.k").as("kb"))
+      .distinct()
+      .filter(expr(
+        """bit_count(element_at(ka, 1) ^ element_at(kb, 1))
+         + bit_count(element_at(ka, 2) ^ element_at(kb, 2))
+         + bit_count(element_at(ka, 3) ^ element_at(kb, 3))
+         + bit_count(element_at(ka, 4) ^ element_at(kb, 4)) <= 3"""))
+      .select(col("vid"), col("kind")).distinct()
+    // survival level per variant: 0 = died exact, 1/2/3 = died at its
+    // kind's perceptual gate (chain order image → audio → clip), 4 = admitted
+    val flags = variants.select(col("vid"), col("kind"))
+      .join(s1.select(col("vid"), lit(1).as("f1")), Seq("vid"), "left")
+      .join(kills.select(col("vid"), lit(1).as("fk")), Seq("vid"), "left")
+      .select(col("vid"),
+        when(col("f1").isNull, lit(0))
+          .when(col("fk").isNotNull && col("kind") === "image", lit(1))
+          .when(col("fk").isNotNull && col("kind") === "audio", lit(2))
+          .when(col("fk").isNotNull && col("kind") === "video", lit(3))
+          .otherwise(lit(4)).as("lvl"))
+      .localCheckpoint()
+    variants.unpersist(); s1.unpersist()
+    def stageRow(i: Int, nm: String): DataFrame =
+      flags.agg(
+        sum(when(col("lvl") >= i - 1, 1L).otherwise(0L)).as("n_in"),
+        sum(when(col("lvl") === i - 1, 1L).otherwise(0L)).as("n_kill"),
+        sum(when(col("lvl") >= i, 1L).otherwise(0L)).as("n_out"),
+        expr(s"""md5(cast(array_join(transform(
+            sort_array(collect_list(CASE WHEN lvl >= $i THEN vid END)),
+            x -> cast(x AS string)), ',') AS binary))""").as("admit_md5"))
+        .select(lit(i).as("stage_id"), lit(nm).as("stage"),
+          col("n_in").cast(LongType).as("n_in"),
+          col("n_kill").cast(LongType).as("n_kill"),
+          col("n_out").cast(LongType).as("n_out"), col("admit_md5"))
+    stageRow(1, "exact")
+      .unionByName(stageRow(2, "image"))
+      .unionByName(stageRow(3, "audio"))
+      .unionByName(stageRow(4, "clip"))
+      .orderBy(col("stage_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     // Exact media dedup on the BINARY payload: keeper = first media_id
     // per content hash, with the copy count. The payload is hashed at
@@ -1291,6 +1408,99 @@ object Multimodal {
                   + bit_count(xor(CAST(ka[2] AS BIGINT), CAST(kb[2] AS BIGINT)))
                   + bit_count(xor(CAST(ka[3] AS BIGINT), CAST(kb[3] AS BIGINT)))
                   + bit_count(xor(CAST(ka[4] AS BIGINT), CAST(kb[4] AS BIGINT))) <= 3
-              ORDER BY a_id, b_id"""))
+              ORDER BY a_id, b_id""")),
+
+    // The COMPOSED media-ingest chain on the hard gate (the media twin
+    // of q_curation_pipeline): exact-byte → image → audio → clip gates
+    // in one audit (see mediaIngestAudit doc for fixture + semantics).
+    // The oracle replays the identical arithmetic — md5 exact grouping,
+    // the stub aHash rasters, the order-aware clip windows, the greedy
+    // lower-id kill rule — and the admit_md5 column hash-pins the full
+    // admitted id set after every stage, so the chain's COMPOSITION
+    // (stage order, pass-through of other kinds, kill attribution) is
+    // value-checked, not just spec-pinned.
+    Q("q_media_ingest_audit",
+      (s, dir) => mediaIngestAudit(s, dir),
+      Some("""WITH med AS (
+                SELECT doc_id AS media_id,
+                       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+                       text AS txt, len(text) AS L
+                FROM documents WHERE len(text) > 0),
+              vbase AS (SELECT media_id, kind, txt, (L + 3) // 4 AS q,
+                               rpad(txt, CAST(((L + 3) // 4) * 4 AS INTEGER), 'z') AS p
+                        FROM med),
+              var AS (
+                SELECT media_id * 4 AS vid, kind,
+                       CASE WHEN kind = 'video' THEN p ELSE txt END AS ct, q FROM vbase
+                UNION ALL
+                SELECT media_id * 4 + 1, kind,
+                       CASE WHEN kind = 'video' THEN p ELSE txt END, q FROM vbase
+                UNION ALL
+                SELECT media_id * 4 + 2, kind,
+                       CASE WHEN kind = 'video' THEN 'q' || substring(p, 2)
+                            ELSE 'q' || substring(txt, 2) END, q FROM vbase
+                UNION ALL
+                SELECT media_id * 4 + 3, kind,
+                       substring(p, CAST(3 * q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, CAST(2 * q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, CAST(q + 1 AS INTEGER), CAST(q AS INTEGER))
+                    || substring(p, 1, CAST(q AS INTEGER)), q
+                FROM vbase WHERE kind = 'video'),
+              s1 AS (SELECT v.vid, v.kind, v.ct, v.q FROM var v
+                     JOIN (SELECT md5(ct) AS m, min(vid) AS kvid FROM var GROUP BY md5(ct)) k
+                       ON md5(v.ct) = k.m AND v.vid = k.kvid),
+              pixia AS (SELECT vid, kind,
+                          list_transform(range(0, 64),
+                            i -> ascii(substring(ct, CAST(i * len(ct) // 64 AS INTEGER) + 1, 1)) % 256) AS pp
+                        FROM s1 WHERE kind IN ('image', 'audio')),
+              bitsia AS (SELECT vid, kind,
+                           list_transform(range(0, 64),
+                             i -> CASE WHEN 64 * pp[i + 1] > list_sum(pp) THEN 1 ELSE 0 END) AS b
+                         FROM pixia),
+              kia AS (SELECT vid, kind,
+                        list_transform(range(0, 4), bb ->
+                          list_sum(list_transform(range(0, 16), j -> b[bb * 16 + j + 1] * (1 << j)))) AS k
+                      FROM bitsia),
+              frv AS (SELECT vid, fi,
+                        substring(ct, CAST(fi * q + 1 AS INTEGER), CAST(q AS INTEGER)) AS ft
+                      FROM (SELECT vid, ct, q, unnest(range(0, 4)) AS fi FROM s1 WHERE kind = 'video')),
+              pixv AS (SELECT vid, fi,
+                         list_transform(range(0, 64),
+                           i -> ascii(substring(ft, CAST(i * len(ft) // 64 AS INTEGER) + 1, 1)) % 256) AS pp
+                       FROM frv),
+              bitsv AS (SELECT vid, fi,
+                          list_transform(range(0, 64),
+                            i -> CASE WHEN 64 * pp[i + 1] > list_sum(pp) THEN 1 ELSE 0 END) AS b
+                        FROM pixv),
+              kv AS (SELECT vid, list(key ORDER BY fi) AS k FROM (
+                       SELECT vid, fi,
+                              list_sum(list_transform(range(0, 16), j -> b[fi * 16 + j + 1] * (1 << j))) AS key
+                       FROM bitsv) GROUP BY vid),
+              pool AS (SELECT vid, kind, k FROM kia
+                       UNION ALL SELECT kv.vid, 'video' AS kind, kv.k FROM kv),
+              kills AS (SELECT DISTINCT b.vid, b.kind FROM pool a JOIN pool b
+                          ON a.kind = b.kind AND a.vid < b.vid
+                         AND (a.k[1] = b.k[1] OR a.k[2] = b.k[2] OR a.k[3] = b.k[3] OR a.k[4] = b.k[4])
+                        WHERE bit_count(xor(CAST(a.k[1] AS BIGINT), CAST(b.k[1] AS BIGINT)))
+                            + bit_count(xor(CAST(a.k[2] AS BIGINT), CAST(b.k[2] AS BIGINT)))
+                            + bit_count(xor(CAST(a.k[3] AS BIGINT), CAST(b.k[3] AS BIGINT)))
+                            + bit_count(xor(CAST(a.k[4] AS BIGINT), CAST(b.k[4] AS BIGINT))) <= 3),
+              lvl AS (SELECT v.vid,
+                        CASE WHEN s1.vid IS NULL THEN 0
+                             WHEN ki.vid IS NOT NULL AND v.kind = 'image' THEN 1
+                             WHEN ki.vid IS NOT NULL AND v.kind = 'audio' THEN 2
+                             WHEN ki.vid IS NOT NULL AND v.kind = 'video' THEN 3
+                             ELSE 4 END AS lvl
+                      FROM var v LEFT JOIN s1 ON v.vid = s1.vid
+                                 LEFT JOIN kills ki ON v.vid = ki.vid),
+              st(stage_id, stage) AS (VALUES (1, 'exact'), (2, 'image'), (3, 'audio'), (4, 'clip'))
+              SELECT st.stage_id AS stage_id, st.stage AS stage,
+                     CAST(count(*) FILTER (WHERE lvl >= stage_id - 1) AS BIGINT) AS n_in,
+                     CAST(count(*) FILTER (WHERE lvl = stage_id - 1) AS BIGINT) AS n_kill,
+                     CAST(count(*) FILTER (WHERE lvl >= stage_id) AS BIGINT) AS n_out,
+                     md5(string_agg(CASE WHEN lvl >= stage_id THEN CAST(vid AS VARCHAR) END, ',' ORDER BY vid)) AS admit_md5
+              FROM st CROSS JOIN lvl
+              GROUP BY st.stage_id, st.stage
+              ORDER BY stage_id"""))
   )
 }
