@@ -74,6 +74,63 @@ object PipelineOps {
       .filter(col("max_overlap") >= minOverlap)
   }
 
+  /** Span-granularity contamination report: for every training doc that
+    * shares a k-word window with ANY eval doc, the maximal contaminated
+    * word spans (overlap-merged islands — the q_repeated_spans machinery)
+    * plus eval attribution: how many distinct eval docs touch the span
+    * and the smallest such eval id. [[decontaminate]] flags whole docs
+    * for a keep/kill decision; this is the surgical form — the exact
+    * word ranges a removal pass would cut so the doc SURVIVES
+    * decontamination instead of being dropped (the eval-overlap analogue
+    * of the Lee-et-al repeated-span cut; the reference delegates all
+    * analytics, `README.md:31`, so this is NS surface). Scale shape:
+    * windows shuffle as 8-byte xxhash64 keys, never text; the eval side
+    * is tiny by construction and BROADCAST into both the hash join and
+    * the island attribution; the only window functions partition by
+    * doc_id (bounded by document length).
+    */
+  def decontaminateSpans(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+      k: Int = 3): DataFrame = {
+    val wins = docs.withColumn("is_eval", isEval)
+      .select(col("doc_id"), col("is_eval"),
+        size(split(col("text"), " ")).cast(LongType).as("n"),
+        posexplode(graft.functions.TextFunctions.wordWindows(col("text"), k, 1))
+          .as(Seq("win", "chunk")))
+      .select(col("doc_id"), col("is_eval"), col("n"),
+        col("win").cast(LongType).as("win"), xxhash64(col("chunk")).as("h"))
+      .persist() // eval and train legs both read the windowed scan
+    val evalW = wins.filter(col("is_eval"))
+      .select(col("h"), col("doc_id").as("eval_id")).distinct()
+    // (train doc, window, eval doc) hit triples — unique by construction
+    // (window rows are unique per (doc, win); evalW is distinct)
+    val hits = wins.filter(!col("is_eval"))
+      .join(broadcast(evalW), Seq("h"))
+      .select(col("doc_id"), col("n"), col("win"), col("eval_id"))
+      .persist() // islands and attribution both read it
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("win"))
+    val islands = hits.select(col("doc_id"), col("win")).distinct()
+      .withColumn("prev", lag(col("win"), 1).over(w1))
+      .withColumn("new_island",
+        when(col("prev").isNull || col("win") - col("prev") > k - 1, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("win"), col("island"))
+    val out = hits.join(islands, Seq("doc_id", "win"))
+      .groupBy(col("doc_id"), col("island"), col("n"))
+      .agg(min(col("win")).as("span_start"),
+        least(max(col("win")) + (k - 1), col("n") - 1).as("span_end"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        min(col("eval_id")).as("min_eval_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"),
+        col("n_eval_docs"), col("min_eval_id"))
+      .localCheckpoint()
+    hits.unpersist()
+    wins.unpersist()
+    out
+  }
+
   /** Unigram-LM surprisal score per document — the cheap proxy for the
     * CCNet/KenLM perplexity filter: avg over token instances of
     * -ln p(token), with p from the corpus's own unigram counts. Two
@@ -792,6 +849,112 @@ object PipelineOps {
                      CAST(n_neardup_docs AS BIGINT) AS n_neardup_docs,
                      CAST(n_neardup_docs AS DOUBLE) / n_docs AS neardup_rate
               FROM agg a JOIN lt ON lt.source = a.source
-              ORDER BY a.source"""))
+              ORDER BY a.source""")),
+
+    // Span-granularity decontamination vs the doc_id % 97 == 0 eval
+    // subset: the exact word ranges of each training doc covered by a
+    // 3-word window shared with any eval doc, overlap-merged into
+    // maximal spans, with eval attribution (distinct eval docs touching
+    // the span + smallest eval id). Same windows as q_decontaminate's
+    // shingles but position-tracked; same islands as q_repeated_spans.
+    // The oracle replays windows on chunk STRINGS (hash-vs-string
+    // convention), the eval equi-join, and the islands.
+    Q("q_decontaminate_spans",
+      (s, dir) => decontaminateSpans(t(s, dir, "documents"),
+          col("doc_id") % 97 === 0, k = 3)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH x AS (
+                SELECT doc_id, ws, len(ws) AS n, doc_id % 97 = 0 AS is_eval
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              win AS (
+                SELECT doc_id, is_eval, n, j AS win,
+                       CASE WHEN n <= 3 THEN array_to_string(ws, ' ')
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM x, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j)),
+              ew AS (SELECT DISTINCT chunk, doc_id AS eval_id
+                     FROM win WHERE is_eval),
+              hit AS (SELECT w.doc_id, w.n, w.win, e.eval_id
+                      FROM win w JOIN ew e USING (chunk)
+                      WHERE NOT w.is_eval),
+              isl AS (
+                SELECT doc_id, win,
+                       SUM(CASE WHEN prev IS NULL OR win - prev > 2 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY win) AS island
+                FROM (SELECT doc_id, win,
+                             lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+                      FROM (SELECT DISTINCT doc_id, win FROM hit)))
+              SELECT h.doc_id, MIN(h.win) AS span_start,
+                     LEAST(MAX(h.win) + 2, h.n - 1) AS span_end,
+                     LEAST(MAX(h.win) + 2, h.n - 1) - MIN(h.win) + 1 AS span_words,
+                     COUNT(DISTINCT h.eval_id) AS n_eval_docs,
+                     MIN(h.eval_id) AS min_eval_id
+              FROM hit h JOIN isl i ON h.doc_id = i.doc_id AND h.win = i.win
+              GROUP BY h.doc_id, i.island, h.n
+              ORDER BY 1, 2""")),
+
+    // APPLYING the contaminated-span cut (the q_span_removed_text shape
+    // pointed at eval leakage instead of corpus boilerplate): every
+    // training-doc word covered by a span shared with an eval doc is
+    // removed and the doc re-joins — the surgical alternative to
+    // q_decontaminate's whole-doc kill. Output per surviving train doc:
+    // word counts and the md5 of the cleaned text (fingerprint, not
+    // text — the compare stays scalar and pins every byte). The span
+    // relation is pair-bounded and broadcasts; membership is an
+    // exists() over the per-doc span array, order-independent.
+    Q("q_decontaminate_removed",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perDoc = decontaminateSpans(docs, col("doc_id") % 97 === 0, k = 3)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("clean_arr", expr(
+            """filter(transform(ws, (w, i) -> struct(w AS w, CAST(i AS BIGINT) AS i)),
+                 x -> spans IS NULL OR
+                      NOT exists(spans, sp -> x.i >= sp.span_start AND x.i <= sp.span_end))"""))
+          .select(col("doc_id"),
+            size(col("ws")).cast(LongType).as("n_words"),
+            (size(col("ws")) - size(col("clean_arr"))).cast(LongType).as("n_removed"),
+            md5(expr("array_join(transform(clean_arr, x -> x.w), ' ')").cast("binary"))
+              .as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+                SELECT doc_id, ws, len(ws) AS n, doc_id % 97 = 0 AS is_eval
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              win AS (
+                SELECT doc_id, is_eval, n, j AS win,
+                       CASE WHEN n <= 3 THEN array_to_string(ws, ' ')
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM x, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j)),
+              ew AS (SELECT DISTINCT chunk FROM win WHERE is_eval),
+              hit AS (SELECT DISTINCT w.doc_id, w.n, w.win
+                      FROM win w JOIN ew e USING (chunk)
+                      WHERE NOT w.is_eval),
+              isl AS (
+                SELECT doc_id, n, win,
+                       SUM(CASE WHEN prev IS NULL OR win - prev > 2 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY win) AS island
+                FROM (SELECT doc_id, n, win,
+                             lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+                      FROM hit)),
+              sp AS (SELECT doc_id, MIN(win) AS span_start,
+                            LEAST(MAX(win) + 2, n - 1) AS span_end
+                     FROM isl GROUP BY doc_id, island, n),
+              w AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS i, unnest(ws) AS word
+                    FROM x WHERE NOT is_eval),
+              marked AS (SELECT w.doc_id, w.i, w.word,
+                                EXISTS(SELECT 1 FROM sp WHERE sp.doc_id = w.doc_id
+                                       AND w.i BETWEEN sp.span_start AND sp.span_end) AS rm
+                         FROM w)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_words,
+                     CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                     md5(coalesce(string_agg(word, ' ' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+              FROM marked GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

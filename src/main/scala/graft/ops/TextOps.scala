@@ -64,6 +64,242 @@ object TextOps {
     out
   }
 
+  /** Token-level contamination audit of the PACKED training artifact:
+    * encode the train corpus with the committed codec, lay the ids out
+    * in pack order (same two-level offset spine the writer uses), and
+    * find every `ngram`-token-id window that also occurs in an eval
+    * doc's encoding — the audit a lab runs against the artifact it
+    * actually TRAINS on, not the raw text it started from (raw-text
+    * decontamination misses leaks that normalization introduces;
+    * token-id grams are what the model sees). One row per contaminated
+    * (shard, seq): window-hit count, distinct eval/train docs involved,
+    * and the first contaminated global position — the coordinates a
+    * re-pack or loss-mask pass needs. Windows are attributed to the
+    * sequence their FIRST token lands in. Scale shape: eval grams are
+    * tiny by construction and BROADCAST; the train side explodes to
+    * (8-byte gram hash, position) pairs map-side — the corpus text
+    * never shuffles — and the offset spine is the parallel two-level
+    * tokenShards one.
+    */
+  def packDecontaminate(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, ngram: Int = 5,
+      budget: Long = 256L, seqsPerShard: Long = 8L): DataFrame =
+    packContaminationHits(docs, isEval, ngram, budget)
+      .withColumn("seq", expr(s"pos div ${budget}L"))
+      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("doc_id")).as("n_train_docs"),
+        min(col("pos")).as("first_pos"))
+      .orderBy(col("shard"), col("seq"))
+
+  /** The shared contamination-hit relation of [[packDecontaminate]] and
+    * [[packLossMask]]: one row per (train window, eval doc) whose
+    * `ngram`-token-id window occurs in both — (pos, doc_id, eval_id)
+    * with pos the window's FIRST global pack position. Checkpointed so
+    * callers can aggregate it freely after the encode scan unpersists.
+    */
+  private def packContaminationHits(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, ngram: Int,
+      budget: Long): DataFrame = {
+    val enc = docs.withColumn("is_eval", isEval)
+      .select(col("doc_id"), col("is_eval"),
+        graft.functions.BpeEncodeIds.bpeIds(col("text")).as("tids"))
+      .persist() // eval grams, train grams, and the offset spine read it
+    val train = enc.filter(!col("is_eval"))
+    // per-doc pack offsets over the TRAIN corpus in doc_id order — the
+    // exact layout q_pack_shards ships
+    val offs = tokenShards(train, budget,
+        nTokens = size(col("tids")).cast(LongType))
+      .select(col("doc_id"), col("offset"))
+    // per-doc id windows; docs shorter than the window contribute none
+    // (posexplode drops the empty array)
+    def grams(df: DataFrame): DataFrame = df
+      .select(df.columns.map(col) :+
+        posexplode(expr(
+          s"""CASE WHEN size(tids) >= $ngram
+                THEN transform(sequence(0, size(tids) - $ngram),
+                       j -> xxhash64(array_join(slice(tids, j + 1, $ngram), ':')))
+                ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+          .as(Seq("widx", "gh")): _*)
+    val evalG = grams(enc.filter(col("is_eval")))
+      .select(col("gh"), col("doc_id").as("eval_id")).distinct()
+    val out = grams(train.join(offs, Seq("doc_id")))
+      .join(broadcast(evalG), Seq("gh"))
+      .select((col("offset") + col("widx")).as("pos"),
+        col("doc_id"), col("eval_id"))
+      .localCheckpoint()
+    enc.unpersist()
+    out
+  }
+
+  /** The LOSS MASK a trainer applies instead of re-packing: every global
+    * pack position covered by a contaminated `ngram` window (the
+    * [[packDecontaminate]] hits, positions pos..pos+ngram-1), merged
+    * into maximal intervals PER SEQUENCE (trainers mask within a
+    * sequence, so an interval crossing a 256-token boundary splits) —
+    * (shard, seq, mask_start, mask_end, mask_tokens) in global
+    * positions. report → cut (raw text) → audit (artifact) → mask
+    * (artifact-level fix without re-shipping a single shard). Covered
+    * positions explode ngram-fold from the hit set (hit-bounded, tiny
+    * vs the corpus); the island window partitions by seq — at most
+    * `budget` rows per partition by construction.
+    */
+  def packLossMask(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, ngram: Int = 5,
+      budget: Long = 256L, seqsPerShard: Long = 8L): DataFrame = {
+    val cov = packContaminationHits(docs, isEval, ngram, budget)
+      .select(explode(expr(s"sequence(pos, pos + ${ngram - 1})")).as("p"))
+      .distinct()
+      .withColumn("seq", expr(s"p div ${budget}L"))
+    val w = Window.partitionBy(col("seq")).orderBy(col("p"))
+    cov
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("p") - col("prev") > 1L, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"),
+        col("island"))
+      .agg(min(col("p")).as("mask_start"), max(col("p")).as("mask_end"),
+        count(lit(1)).as("mask_tokens"))
+      .select(col("shard"), col("seq"), col("mask_start"), col("mask_end"),
+        col("mask_tokens"))
+      .orderBy(col("seq"), col("mask_start"))
+  }
+
+  /** Token-exact PROVENANCE of the packed artifact: how many subword
+    * tokens (and contributing documents) each shard draws from each
+    * source — the dataset-card-grade readout a lab publishes per
+    * artifact and the input to any per-source sampling audit. A
+    * document's tokens occupy the contiguous interval
+    * [offset, offset+n) of the global stream, so its contribution to a
+    * shard is pure interval arithmetic — no per-token rows ever
+    * materialize: the corpus encodes once (codegen, map-side), the
+    * two-level spine prices the offsets, and each doc explodes to only
+    * the handful of shards it touches (≥1 row per doc, ~n/shardTokens
+    * more for docs spanning boundaries).
+    */
+  def shardProvenance(docs: DataFrame, budget: Long = 256L,
+      seqsPerShard: Long = 8L): DataFrame = {
+    val S = budget * seqsPerShard // tokens per shard
+    val enc = docs.select(col("doc_id"), col("source"),
+      graft.functions.BpeEncodeIds.bpeIds(col("text")).as("tids"))
+    val offs = tokenShards(enc, budget,
+      nTokens = size(col("tids")).cast(LongType))
+    offs.join(enc.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(col("n_tokens") > 0L)
+      .select(col("source"), col("offset"), col("n_tokens"),
+        explode(expr(
+          s"sequence(offset div ${S}L, (offset + n_tokens - 1) div ${S}L)"))
+          .as("shard"))
+      .groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("offset") + col("n_tokens"), (col("shard") + 1) * S) -
+          greatest(col("offset"), col("shard") * S)).as("n_tokens"))
+      .orderBy(col("shard"), col("source"))
+  }
+
+  /** DuckDB oracle for [[shardProvenance]]: the BPE replay once, per-doc
+    * token counts, the cumulative offset sum, then the same interval
+    * arithmetic per (doc, touched shard).
+    */
+  private def shardProvenanceOracle(shardTokens: Long): String =
+    s"""$bpeCte,
+       sizes AS (SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS nt
+                 FROM fin GROUP BY 1),
+       offs AS (SELECT doc_id, nt,
+                       CAST(SUM(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS off
+                FROM sizes),
+       ex AS (SELECT d.source, o.off, o.nt,
+                     unnest(range(o.off // $shardTokens,
+                       (o.off + o.nt - 1) // $shardTokens + 1)) AS shard
+              FROM offs o JOIN documents d USING (doc_id))
+       SELECT CAST(shard AS BIGINT) AS shard, source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(LEAST(off + nt, (shard + 1) * $shardTokens) -
+                       GREATEST(off, shard * $shardTokens)) AS BIGINT) AS n_tokens
+       FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** DuckDB oracle for [[packDecontaminate]]: ONE [[bpeCteOver]] replay
+    * over the whole corpus, then per-doc id arrays, train-side offsets
+    * as one cumulative sum in doc_id order, gram extraction on
+    * ':'-joined id STRINGS (the hash-vs-string convention), the eval
+    * equi-join, and the same shard/seq integer arithmetic. `fin` and
+    * `darr` are hand-marked MATERIALIZED (darr feeds THREE legs — eval
+    * grams, train grams, offsets — and DuckDB re-inlines
+    * multiply-referenced CTEs, re-running the whole BPE replay per leg;
+    * matCtes can't hint under WITH RECURSIVE, hence by hand).
+    */
+  private def packContaminationHitsCte(ngram: Int): String = {
+    val prods = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+    val matFin = bpeCte.replace("fin AS (", "fin AS MATERIALIZED (")
+    s"""$matFin,
+       flat AS (SELECT doc_id, wid, generate_subscripts(toks, 1) AS ti,
+                       unnest(toks) AS t
+                FROM fin),
+       dtok AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY wid, ti) - 1 AS dpos,
+                       CASE WHEN len(t) = 1 THEN ascii(t) - 97
+                            ELSE 291 + list_position($prods, t) END AS tid
+                FROM flat),
+       darr AS MATERIALIZED (SELECT doc_id, list(tid ORDER BY dpos) AS tids
+                FROM dtok GROUP BY 1),
+       eg AS (SELECT DISTINCT array_to_string(tids[j+1 : j+$ngram], ':') AS gram,
+                     doc_id AS eval_id
+              FROM darr, LATERAL (SELECT unnest(range(0,
+                     CASE WHEN len(tids) >= $ngram
+                          THEN len(tids) - $ngram + 1 ELSE 0 END)) AS j)
+              WHERE doc_id % 97 = 0),
+       offs AS (SELECT doc_id,
+                       CAST(SUM(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS off
+                FROM (SELECT doc_id, len(tids) AS nt FROM darr
+                      WHERE doc_id % 97 <> 0)),
+       tg AS (SELECT doc_id, j AS widx,
+                     array_to_string(tids[j+1 : j+$ngram], ':') AS gram
+              FROM darr, LATERAL (SELECT unnest(range(0,
+                     CASE WHEN len(tids) >= $ngram
+                          THEN len(tids) - $ngram + 1 ELSE 0 END)) AS j)
+              WHERE doc_id % 97 <> 0),
+       hit AS (SELECT o.off + t.widx AS pos, t.doc_id, e.eval_id
+               FROM tg t JOIN eg e USING (gram)
+                    JOIN offs o ON o.doc_id = t.doc_id)"""
+  }
+
+  private def packDecontaminateOracle(ngram: Int): String =
+    s"""${packContaminationHitsCte(ngram)}
+       SELECT CAST((pos // 256) // 8 AS BIGINT) AS shard,
+              CAST(pos // 256 AS BIGINT) AS seq,
+              CAST(count(*) AS BIGINT) AS n_hits,
+              CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+              CAST(min(pos) AS BIGINT) AS first_pos
+       FROM hit GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** DuckDB oracle for [[packLossMask]]: the same hit relation, covered
+    * positions expanded ngram-fold and deduped, then
+    * per-sequence gaps-and-islands over consecutive positions.
+    */
+  private def packLossMaskOracle(ngram: Int): String =
+    s"""${packContaminationHitsCte(ngram)},
+       cov AS (SELECT DISTINCT CAST(p AS BIGINT) AS p
+               FROM hit, LATERAL (SELECT unnest(range(pos, pos + $ngram)) AS p)),
+       seqp AS (SELECT p, p // 256 AS seq FROM cov),
+       misl AS (
+         SELECT p, seq,
+                SUM(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY seq ORDER BY p) AS island
+         FROM (SELECT p, seq, lag(p) OVER (PARTITION BY seq ORDER BY p) AS prev
+               FROM seqp))
+       SELECT CAST(seq // 8 AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+              CAST(MIN(p) AS BIGINT) AS mask_start,
+              CAST(MAX(p) AS BIGINT) AS mask_end,
+              CAST(count(*) AS BIGINT) AS mask_tokens
+       FROM misl GROUP BY seq, island ORDER BY 2, 3"""
+
   /** DuckDB mirror of the BPE merge loop (shared by q_bpe_encode and
     * q_pack_sequences_bpe): per (doc, word) a recursive CTE applies one
     * merge per level — the min-rank adjacent pair via list_position over
@@ -1416,6 +1652,77 @@ object TextOps {
         shuffleSeed = Some("epoch1")),
       Some(s"$bpeCte${packShardsTailSqlOrdered(
         "md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id")}")),
+
+    // Token-level decontamination of the packed ARTIFACT: eval docs
+    // (doc_id % 97 == 0) are held out of the pack; every 5-token-id
+    // window of the packed train stream that also occurs in an eval
+    // doc's encoding is reported at its (shard, seq) coordinates with
+    // eval/train attribution and the first contaminated position. The
+    // raw-text twin is q_decontaminate/q_decontaminate_spans; this one
+    // runs on what the model actually sees. Oracle: one MATERIALIZED
+    // BPE replay, per-doc id arrays, a cumulative train-offset sum,
+    // ':'-joined gram strings vs Spark's xxhash64 of the same strings.
+    Q("q_pack_decontaminate",
+      (s, dir) => packDecontaminate(t(s, dir, "documents"),
+        col("doc_id") % 97 === 0, ngram = 5),
+      Some(packDecontaminateOracle(5))),
+
+    // The LOSS MASK over those hits: every covered position
+    // (pos..pos+4 per hit window), merged into maximal intervals per
+    // 256-token sequence — what a trainer applies to neutralize the
+    // leak WITHOUT re-shipping shards. Same hit relation; the mask
+    // arithmetic (coverage, dedup, per-seq islands) replays in full.
+    Q("q_pack_loss_mask",
+      (s, dir) => packLossMask(t(s, dir, "documents"),
+        col("doc_id") % 97 === 0, ngram = 5),
+      Some(packLossMaskOracle(5))),
+
+    // Pack AFTER the decontamination kill — the composed form a lab
+    // actually ships: eval docs (doc_id % 97 == 0) held out, training
+    // docs sharing >= 2 distinct shingles with any eval doc dropped
+    // (q_decontaminate's exact rule), survivors packed by the real
+    // writer and audited per shard. Every shard boundary re-seats when
+    // the kill set changes, so the hash match pins the composed
+    // decontaminate -> pack arithmetic end to end. The oracle inlines
+    // the q_decontaminate flag test as the pack replay's corpus filter.
+    Q("q_pack_decontaminated",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val flagged = graft.ops.PipelineOps.decontaminate(docs,
+          col("doc_id") % 97 === 0, 2).select(col("doc_id"))
+        val survivors = docs.filter(col("doc_id") % 97 =!= 0)
+          .join(flagged, Seq("doc_id"), "left_anti")
+        packShardsAudit(s, survivors)
+      },
+      Some(s"${bpeCteOver(
+        """SELECT doc_id, text FROM documents
+           WHERE doc_id % 97 <> 0 AND doc_id NOT IN (
+             SELECT doc_id FROM (
+               SELECT a.doc_id, b.doc_id AS eval_id, count(*) AS c
+               FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                        range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END),
+                        i -> CASE WHEN len(ws) >= 3
+                                  THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  ELSE text END))) AS s
+                     FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                           FROM documents)) a
+                 JOIN (SELECT doc_id, unnest(list_distinct(list_transform(
+                        range(1, CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END),
+                        i -> CASE WHEN len(ws) >= 3
+                                  THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  ELSE text END))) AS s
+                     FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+                           FROM documents)) b ON a.s = b.s
+               WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+               GROUP BY 1, 2)
+             GROUP BY doc_id HAVING max(c) >= 2)""")}$packShardsTailSql")),
+
+    // Token-exact per-shard source composition of the packed artifact
+    // (dataset-card provenance): interval arithmetic over per-doc
+    // [offset, offset+n) spans — no per-token rows on either engine.
+    Q("q_shard_provenance",
+      (s, dir) => shardProvenance(t(s, dir, "documents")),
+      Some(shardProvenanceOracle(2048L))),
 
     // The BYTE-LEVEL shipped artifact: the same pack-and-audit pass under
     // the full-charset tokenizer over the derived mixed-content corpus

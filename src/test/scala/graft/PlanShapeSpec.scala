@@ -290,4 +290,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "class counts must partial-aggregate before the exchange:\n" + p.take(800))
   }
+
+  // q_decontaminate_spans / q_pack_decontaminate end in localCheckpoint
+  // (the persist-safety house pattern), so their executedPlan is an RDD
+  // scan — the eval-side broadcast is an explicit broadcast() hint in the
+  // operator code and exercised by their sf0.01 oracles instead.
+
+  test("q_shard_provenance: interval explode, no per-token rows, no sort-merge join") {
+    val p = plan("q_shard_provenance")
+    // the only joins are doc-level (offsets x source), small enough to
+    // hash/broadcast; a sort-merge here would mean a corpus-wide shuffle
+    // of something bigger than doc-level rows
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "provenance must partial-aggregate before the exchange:\n" + p.take(800))
+  }
 }

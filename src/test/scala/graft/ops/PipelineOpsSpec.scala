@@ -185,4 +185,52 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("a_cell") === col("b_cell"))
     assert(violations.isEmpty, violations.collect().mkString(", "))
   }
+
+  test("decontaminateSpans: bounds, disjointness, eval attribution") {
+    val out = PipelineOps.decontaminateSpans(docs, col("doc_id") % 97 === 0, 3)
+      .collect()
+    assert(out.nonEmpty, "fixture produced no contaminated spans")
+    assert(out.forall(_.getLong(0) % 97 != 0), "an eval doc got a span")
+    assert(out.forall(r => r.getAs[Long]("min_eval_id") % 97 == 0))
+    assert(out.forall(r => r.getAs[Long]("n_eval_docs") >= 1L))
+    assert(out.forall(r => r.getAs[Long]("span_words") ==
+      r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1L))
+    // islands separated by a gap > k-1 cannot touch after the +k-1 extension
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      rs.toSeq.sortBy(_.getAs[Long]("span_start")).sliding(2).foreach {
+        case Seq(a, b) => assert(a.getAs[Long]("span_end") <
+          b.getAs[Long]("span_start"), s"overlapping spans: $a $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("decontaminateSpans: spans inside doc bounds; doc set == decontaminate at floor 1") {
+    val spans = PipelineOps.decontaminateSpans(docs, col("doc_id") % 97 === 0, 3)
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    assert(spans.join(lens, "doc_id")
+      .where(col("span_end") >= col("n") || col("span_start") < 0).count() == 0L)
+    // the window machinery and the shingle-set machinery agree on WHICH
+    // docs are contaminated (same 3-word convention incl. the short-doc
+    // whole-text fallback)
+    val spanDocs = spans.select("doc_id").distinct()
+    val flagged = PipelineOps.decontaminate(docs, col("doc_id") % 97 === 0, 1)
+      .select("doc_id")
+    assert(spanDocs.exceptAll(flagged).isEmpty &&
+      flagged.exceptAll(spanDocs).isEmpty)
+  }
+
+  test("decontaminate_removed: per-doc removal equals total span words") {
+    val q = graft.SparkEntry.queries("q_decontaminate_removed")(spark, sf001)
+    val spans = PipelineOps.decontaminateSpans(docs, col("doc_id") % 97 === 0, 3)
+      .groupBy("doc_id").agg(sum("span_words").as("w"))
+    // spans are disjoint (pinned above), so the cut removes exactly their sum
+    assert(q.join(spans, Seq("doc_id"), "left")
+      .where(coalesce(col("w"), lit(0L)) =!= col("n_removed")).count() == 0L)
+    // untouched docs keep their original text byte-for-byte
+    val orig = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+    assert(q.filter(col("n_removed") === 0L).join(orig, "doc_id")
+      .where(col("clean_md5") =!= col("m")).count() == 0L)
+  }
 }

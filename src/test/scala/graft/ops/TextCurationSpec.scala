@@ -78,4 +78,105 @@ class TextCurationSpec extends SparkSpec {
     assert(r.where(col("words") < 1L || col("sentences") < 1L).count() == 0L)
     assert(r.where(isnull(col("flesch")) || isnan(col("flesch"))).count() == 0L)
   }
+
+  test("packDecontaminate: coordinates consistent, counts sane") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextOps.packDecontaminate(docs, col("doc_id") % 97 === 0,
+      ngram = 5).collect()
+    // shard/seq arithmetic agrees row-by-row; first_pos lands in its seq
+    assert(out.forall(r => r.getAs[Long]("shard") == r.getAs[Long]("seq") / 8L))
+    assert(out.forall(r => r.getAs[Long]("first_pos") / 256L ==
+      r.getAs[Long]("seq")))
+    assert(out.forall(r => r.getAs[Long]("n_hits") >=
+      math.max(r.getAs[Long]("n_eval_docs"), r.getAs[Long]("n_train_docs"))))
+  }
+
+  test("shardProvenance conserves every source's token count; shard rows bounded") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextOps.shardProvenance(docs)
+    // per-source conservation: provenance sums == the source's encoded size
+    val enc = docs.select(col("source"),
+      size(graft.functions.BpeEncodeIds.bpeIds(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("expected"))
+    val bad = out.groupBy("source").agg(sum("n_tokens").as("got"))
+      .join(enc, "source").where(col("got") =!= col("expected"))
+    assert(bad.count() == 0L, bad.collect().mkString(", "))
+    // no (shard, source) cell can exceed the shard's token capacity
+    assert(out.where(col("n_tokens") > 2048L || col("n_tokens") < 1L).count() == 0L)
+    // shards are contiguous from 0
+    val shards = out.select("shard").distinct()
+    assert(shards.count() == shards.agg(max("shard")).head().getLong(0) + 1)
+  }
+
+  test("pack_decontaminated ships exactly the survivor corpus's tokens") {
+    val q = graft.SparkEntry.queries("q_pack_decontaminated")(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val flagged = PipelineOps.decontaminate(docs, col("doc_id") % 97 === 0, 2)
+      .select("doc_id")
+    val survivors = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val expected = survivors.select(
+      size(graft.functions.BpeEncodeIds.bpeIds(col("text"))).cast("long").as("nt"))
+      .agg(sum("nt")).head().getLong(0)
+    assert(q.agg(sum("n_tokens")).head().getLong(0) == expected)
+    // and it differs from the undecontaminated pack (boundaries re-seat)
+    val plain = graft.SparkEntry.queries("q_pack_shards")(spark, sf0001)
+    assert(plain.agg(sum("n_tokens")).head().getLong(0) > expected)
+  }
+
+  test("packDecontaminate finds a PLANTED token-run leak at its exact pack position") {
+    import spark.implicits._
+    // doc 0 is eval (0 % 97 == 0); train doc 1 embeds eval doc 0's exact
+    // word run, train doc 2 is unrelated filler that packs FIRST (doc_id
+    // order puts doc 1 after... doc 1 < doc 2, so doc 1 packs first at
+    // offset 0). The leak's position is doc1's offset plus the id-index
+    // where the shared run begins.
+    val docs = Seq(
+      (0L, "quick brown foxes jump over lazy dogs"),
+      (1L, "zzz quick brown foxes jump over lazy dogs yyy"),
+      (2L, "completely unrelated filler words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.packDecontaminate(docs, col("doc_id") === 0L, ngram = 5)
+      .collect()
+    assert(out.nonEmpty, "planted leak not found")
+    // expected first position: doc 1 is the first train doc, so its
+    // offset is 0; the shared run starts after 'zzz' encodes
+    val ids = docs.select(col("doc_id"),
+      graft.functions.BpeEncodeIds.bpeIds(col("text")).as("tids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val evalIds = ids(0L)
+    val d1 = ids(1L)
+    val runStart = d1.indexOfSlice(evalIds.take(5))
+    assert(runStart > 0, s"fixture broken: ${d1} vs ${evalIds}")
+    assert(out.map(_.getAs[Long]("first_pos")).min == runStart.toLong)
+    // the unrelated doc contributes no hits
+    assert(out.forall(_.getAs[Long]("n_train_docs") == 1L))
+    // ...and the loss mask is EXACTLY the planted run's coverage: one
+    // interval from the run's first id to its last (tiny fixture — all
+    // in sequence 0)
+    val mask = TextOps.packLossMask(docs, col("doc_id") === 0L, ngram = 5)
+      .collect()
+    assert(mask.length == 1, mask.mkString(", "))
+    assert(mask(0).getAs[Long]("mask_start") == runStart.toLong)
+    assert(mask(0).getAs[Long]("mask_end") == (runStart + evalIds.length - 1).toLong)
+    assert(mask(0).getAs[Long]("mask_tokens") == evalIds.length.toLong)
+  }
+
+  test("packLossMask: intervals inside their sequence, disjoint, exact token counts") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = TextOps.packLossMask(docs, col("doc_id") % 97 === 0, ngram = 5)
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("mask_start") / 256L ==
+      r.getAs[Long]("seq") &&
+      r.getAs[Long]("mask_end") / 256L == r.getAs[Long]("seq")))
+    assert(out.forall(r => r.getAs[Long]("mask_tokens") ==
+      r.getAs[Long]("mask_end") - r.getAs[Long]("mask_start") + 1L))
+    out.groupBy(_.getAs[Long]("seq")).values.foreach { rs =>
+      rs.toSeq.sortBy(_.getAs[Long]("mask_start")).sliding(2).foreach {
+        case Seq(a, b) => assert(a.getAs[Long]("mask_end") + 1L <
+          b.getAs[Long]("mask_start"), s"mergeable intervals: $a $b")
+        case _ => ()
+      }
+    }
+  }
 }
