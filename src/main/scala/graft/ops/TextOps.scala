@@ -124,8 +124,16 @@ object TextOps {
           .as(Seq("widx", "gh")): _*)
     val evalG = grams(enc.filter(col("is_eval")))
       .select(col("gh"), col("doc_id").as("eval_id")).distinct()
-    val out = grams(train.join(offs, Seq("doc_id")))
+    // hit FIRST, offsets SECOND: the gram stream (computed map-side from
+    // the scan) meets the broadcast eval set before anything shuffles, so
+    // the doc-level offset join sees only the HIT set — at production
+    // leak rates a vanishing fraction of the corpus — and the token
+    // arrays never enter a shuffle (joining offsets onto the tids-bearing
+    // side instead would re-shuffle the tokenized corpus at 10^11 docs)
+    val out = grams(train)
       .join(broadcast(evalG), Seq("gh"))
+      .select(col("doc_id"), col("widx"), col("eval_id"))
+      .join(offs, Seq("doc_id"))
       .select((col("offset") + col("widx")).as("pos"),
         col("doc_id"), col("eval_id"))
       .localCheckpoint()
@@ -551,13 +559,20 @@ object TextOps {
     * under the fixture table, exactly as in Scala where the committed
     * tables hold no byte pairs).
     */
-  private def bpeCteExact: String = {
+  private def bpeCteExact: String =
+    bpeCteExactOver(
+      s"SELECT doc_id, text || ' #' || doc_id || ${sqlStr(RoundTripSuffix)} AS t" +
+        " FROM documents")
+
+  /** [[bpeCteExact]] over an arbitrary `(doc_id, t)` corpus SELECT — the
+    * parameterized form, so the exact-mode PACK oracle can replay the
+    * raw documents while the round-trip row keeps its planted suffix.
+    */
+  private def bpeCteExactOver(corpus: String): String = {
     val ml = graft.functions.BpeMerges.table
       .map { case (a, b) => s"'$a'||chr(1)||'$b'" }.mkString("[", ",", "]")
     s"""WITH RECURSIVE
-       corp AS (SELECT doc_id,
-                  text || ' #' || doc_id || ${sqlStr(RoundTripSuffix)} AS t
-                FROM documents),
+       corp AS ($corpus),
        seg AS (SELECT doc_id,
                  generate_subscripts(regexp_extract_all(t, ' ?[a-z0-9]+|[^a-z0-9]'), 1) AS sid,
                  unnest(regexp_extract_all(t, ' ?[a-z0-9]+|[^a-z0-9]')) AS s
@@ -596,6 +611,48 @@ object TextOps {
                 UNION ALL SELECT doc_id, sid, toks FROM fb),
        agg AS (SELECT doc_id, flatten(list(toks ORDER BY sid)) AS tk
                FROM strm GROUP BY doc_id)"""
+  }
+
+  /** Reader-side audit tail for the EXACT-mode pack
+    * (q_pack_shards_exact): global positions from [[bpeCteExactOver]]'s
+    * strm relation (doc_id, sid, ti — word units and byte units share
+    * one sid space), ids via the exact BpeVocab scheme (a-z → 0..25,
+    * 0-9 → 26..35, `<0xNN>` → 36+NN, merge products → 292+rank), then
+    * the same integer seq/shard arithmetic as [[packShardsTailSql]].
+    */
+  private def packShardsExactTailSql: String = {
+    val prods = graft.functions.BpeMerges.table
+      .map { case (a, b) => s"'$a$b'" }.mkString("[", ",", "]")
+    s""",
+       flatx AS (SELECT doc_id, sid, generate_subscripts(toks, 1) AS ti,
+                        unnest(toks) AS t
+                 FROM strm),
+       g AS (SELECT doc_id, t,
+                    row_number() OVER (ORDER BY doc_id, sid, ti) - 1 AS pos
+             FROM flatx),
+       ids AS (SELECT doc_id, pos,
+                      CASE WHEN len(t) = 1 AND t BETWEEN 'a' AND 'z'
+                             THEN ascii(t) - 97
+                           WHEN len(t) = 1 THEN 26 + ascii(t) - 48
+                           WHEN len(t) = 6 AND t LIKE '<0x%'
+                             THEN 36 + 16 * (strpos('0123456789ABCDEF', substr(t, 4, 1)) - 1)
+                                     + (strpos('0123456789ABCDEF', substr(t, 5, 1)) - 1)
+                           ELSE 291 + list_position($prods, t) END AS tid
+               FROM g),
+       seqs AS (SELECT pos // 256 AS seq,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(tid) AS BIGINT) AS ts,
+                       CAST(sum(doc_id) AS BIGINT) AS sd,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                FROM ids GROUP BY 1)
+       SELECT CAST(seq // 8 AS BIGINT) AS shard,
+              CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN n = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+              CAST(sum(ts) AS BIGINT) AS tid_sum,
+              CAST(sum(sd) AS BIGINT) AS span_sum,
+              CAST(sum(nd) AS BIGINT) AS n_contribs
+       FROM seqs GROUP BY 1 ORDER BY 1"""
   }
 
   /** Merges learned by q_bpe_train (and unrolled by its oracle). */
@@ -1652,6 +1709,22 @@ object TextOps {
         shuffleSeed = Some("epoch1")),
       Some(s"$bpeCte${packShardsTailSqlOrdered(
         "md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id")}")),
+
+    // The EXACT-mode shipped artifact: the byte-LOSSLESS pack
+    // (writeBatch(exact = true) / bpeIdsExact — GPT-2 Ġ-style space
+    // gluing, no case folding, no whitespace dropping) written by the
+    // REAL writer, read back, every token id folded into the checksum.
+    // Detokenizability (decode == corpus bytes) is spec-pinned; this
+    // row hash-pins the artifact's exact id stream against an
+    // arithmetic oracle replaying segmentation, merges, the exact
+    // vocab (a-z/0-9/<0xNN>/products), and the pack arithmetic — the
+    // last pack variant that was spec-only.
+    Q("q_pack_shards_exact",
+      (s, dir) => packShardsAudit(s, t(s, dir, "documents"),
+        idsExpr = Some(
+          graft.functions.BpeEncodeIds.bpeIdsExact(col("text")))),
+      Some(s"${bpeCteExactOver(
+        "SELECT doc_id, text AS t FROM documents")}$packShardsExactTailSql")),
 
     // Token-level decontamination of the packed ARTIFACT: eval docs
     // (doc_id % 97 == 0) are held out of the pack; every 5-token-id
