@@ -55,4 +55,44 @@ class StreamingDecontaminateSpec extends SparkSpec {
     // evidence sanity: killed docs carry at least one eval hit
     assert(streamed.filter(!_.admitted).forall(_.n_eval_hits >= 1L))
   }
+
+  test("composes in front of curate: leak dies at the gate, junk at curate, clean doc lands") {
+    def score(t: String): Long =
+      graft.functions.LinearTextScore.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    // two DISTINCT classifier-positive texts from DISJOINT word pools
+    // (disjoint words => no shared 3-word window). The classifier's score
+    // is additive per word, so build each text from words whose INDIVIDUAL
+    // contribution is positive; >= 4 words guarantees the >= 2 distinct
+    // shingles the kill floor needs
+    def positiveText(pool: Seq[String]): String = {
+      val pos = pool.filter(w => score(w) > 0L)
+      assert(pos.size >= 4, s"pool too negative: $pool -> $pos")
+      pos.take(5).mkString(" ")
+    }
+    val evalText = positiveText(Seq("spark", "table", "scan", "fast",
+      "deep", "merge", "sort", "value", "batch", "window", "plan", "query"))
+    val cleanText = positiveText(Seq("stream", "data", "column", "filter",
+      "group", "hash", "join", "agg", "row", "key", "shard", "token"))
+
+    val idx = StreamingDecontaminate.evalIndex(
+      Seq((0L, evalText)).toDF("doc_id", "text"))
+    val docs = Seq(
+      CurationIngestJob.IncomingDoc(10L, evalText, "s0"), // the planted leak
+      CurationIngestJob.IncomingDoc(11L, cleanText, "s0"), // survives both
+      CurationIngestJob.IncomingDoc(12L, "tiny doc", "s1")) // gate-clean, curate-killed
+
+    val dir = java.nio.file.Files.createTempDirectory("decon_curate").toString
+    withRocksDBStateStore {
+      val in = MemoryStream[CurationIngestJob.IncomingDoc]
+      val gated = StreamingDecontaminate(in.toDS(), idx, minOverlap = 2L)
+        .filter(_.admitted)
+        .map(g => CurationIngestJob.IncomingDoc(g.doc_id, g.text, g.source))
+      val q = CurationIngestJob.start(gated, s"$dir/lake", s"$dir/ckpt")
+      try { in.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    }
+    val lake = CurationIngestJob.lake(spark, s"$dir/lake")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lake == Set(11L), s"lake held $lake")
+  }
 }
