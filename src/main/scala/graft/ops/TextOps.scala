@@ -190,12 +190,22 @@ object TextOps {
     * more for docs spanning boundaries).
     */
   def shardProvenance(docs: DataFrame, budget: Long = 256L,
-      seqsPerShard: Long = 8L): DataFrame = {
+      seqsPerShard: Long = 8L,
+      shuffleSeed: Option[String] = None): DataFrame = {
     val S = budget * seqsPerShard // tokens per shard
     val enc = docs.select(col("doc_id"), col("source"),
       graft.functions.BpeEncodeIds.bpeIds(col("text")).as("tids"))
-    val offs = tokenShards(enc, budget,
-      nTokens = size(col("tids")).cast(LongType))
+    // offsets in the layout under audit: doc_id order (the plain pack)
+    // or the md5(seed:doc_id) epochShuffle permutation (the artifact a
+    // training run actually ships)
+    val offs = shuffleSeed match {
+      case Some(seed) => graft.sources.PackedShards
+        .shuffledOffsets(docs,
+          graft.functions.BpeEncodeIds.bpeIds(col("text")), seed)
+        .select(col("doc_id"), col("n_tokens"), col("offset"))
+      case None => tokenShards(enc, budget,
+        nTokens = size(col("tids")).cast(LongType))
+    }
     offs.join(enc.select(col("doc_id"), col("source")), Seq("doc_id"))
       .filter(col("n_tokens") > 0L)
       .select(col("source"), col("offset"), col("n_tokens"),
@@ -210,15 +220,18 @@ object TextOps {
   }
 
   /** DuckDB oracle for [[shardProvenance]]: the BPE replay once, per-doc
-    * token counts, the cumulative offset sum, then the same interval
-    * arithmetic per (doc, touched shard).
+    * token counts, the cumulative offset sum in `orderSql` order (doc_id
+    * for the plain layout; md5(seed:doc_id), doc_id for the shuffled
+    * one — the q_pack_shards_shuffled convention), then the same
+    * interval arithmetic per (doc, touched shard).
     */
-  private def shardProvenanceOracle(shardTokens: Long): String =
+  private def shardProvenanceOracle(shardTokens: Long,
+      orderSql: String = "doc_id"): String =
     s"""$bpeCte,
        sizes AS (SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS nt
                  FROM fin GROUP BY 1),
        offs AS (SELECT doc_id, nt,
-                       CAST(SUM(nt) OVER (ORDER BY doc_id) - nt AS BIGINT) AS off
+                       CAST(SUM(nt) OVER (ORDER BY $orderSql) - nt AS BIGINT) AS off
                 FROM sizes),
        ex AS (SELECT d.source, o.off, o.nt,
                      unnest(range(o.off // $shardTokens,
@@ -1796,6 +1809,18 @@ object TextOps {
     Q("q_shard_provenance",
       (s, dir) => shardProvenance(t(s, dir, "documents")),
       Some(shardProvenanceOracle(2048L))),
+
+    // Provenance of the SHUFFLED artifact — the layout a training run
+    // actually ships (q_pack_shards_shuffled's permutation): the same
+    // interval arithmetic over offsets in md5(seed:doc_id) order. The
+    // permutation re-seats every doc, so per-shard compositions differ
+    // completely from the plain layout — a shuffle that silently
+    // changed the layout would move every row of this readout.
+    Q("q_shard_provenance_shuffled",
+      (s, dir) => shardProvenance(t(s, dir, "documents"),
+        shuffleSeed = Some("epoch1")),
+      Some(shardProvenanceOracle(2048L,
+        "md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id"))),
 
     // The BYTE-LEVEL shipped artifact: the same pack-and-audit pass under
     // the full-charset tokenizer over the derived mixed-content corpus

@@ -106,6 +106,14 @@ class TextCurationSpec extends SparkSpec {
     // shards are contiguous from 0
     val shards = out.select("shard").distinct()
     assert(shards.count() == shards.agg(max("shard")).head().getLong(0) + 1)
+    // the SHUFFLED layout conserves the same per-source totals (a
+    // permutation moves tokens, never creates them) but re-seats the
+    // per-shard composition
+    val shuf = TextOps.shardProvenance(docs, shuffleSeed = Some("epoch1"))
+    val badShuf = shuf.groupBy("source").agg(sum("n_tokens").as("got"))
+      .join(enc, "source").where(col("got") =!= col("expected"))
+    assert(badShuf.count() == 0L)
+    assert(shuf.exceptAll(out).count() > 0L, "shuffle did not re-seat the layout")
   }
 
   test("pack_decontaminated ships exactly the survivor corpus's tokens") {
