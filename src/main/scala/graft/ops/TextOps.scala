@@ -83,15 +83,26 @@ object TextOps {
     */
   def packDecontaminate(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, ngram: Int = 5,
-      budget: Long = 256L, seqsPerShard: Long = 8L): DataFrame =
-    packContaminationHits(docs, isEval, ngram, budget)
+      budget: Long = 256L, seqsPerShard: Long = 8L): DataFrame = {
+    val base = packContaminationHits(docs, isEval, ngram, budget)
       .withColumn("seq", expr(s"pos div ${budget}L"))
-      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"))
+      .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
+    // TWO countDistincts in one aggregate trigger the Expand-based
+    // distinct rewrite, whose group order is session-dependent (exprId
+    // hashing) — it flipped the plan fingerprint run-over-run. One
+    // distinct per aggregate plans deterministically; the extra join is
+    // over hit-bounded keys.
+    val a1 = base.groupBy(col("shard"), col("seq"))
       .agg(count(lit(1)).as("n_hits"),
         countDistinct(col("eval_id")).as("n_eval_docs"),
-        countDistinct(col("doc_id")).as("n_train_docs"),
         min(col("pos")).as("first_pos"))
+    val a2 = base.groupBy(col("shard"), col("seq"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"))
+    a1.join(a2, Seq("shard", "seq"))
+      .select(col("shard"), col("seq"), col("n_hits"),
+        col("n_eval_docs"), col("n_train_docs"), col("first_pos"))
       .orderBy(col("shard"), col("seq"))
+  }
 
   /** The shared contamination-hit relation of [[packDecontaminate]] and
     * [[packLossMask]]: one row per (train window, eval doc) whose
