@@ -43,7 +43,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // pack composition, and the clip-hash banded pairs (a partition
     // drift in the greedy banding would re-seat pairs)
     "q_bpe_train_encode_full" -> sf0001, "q_pack_shards_trained" -> sf0001,
-    "q_clip_neardup" -> sf0001)
+    "q_clip_neardup" -> sf0001,
+    // round-12: the contamination-hit arithmetic over the offset spine
+    // (a partition drift would re-seat hit positions), the island merge
+    // over position-tracked windows, and the permuted-layout offsets
+    // (bucket-windowed cumulative sums must agree at any parallelism)
+    "q_pack_decontaminate" -> sf001, "q_decontaminate_spans" -> sf001,
+    "q_shard_provenance_shuffled" -> sf001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
