@@ -17,6 +17,7 @@ object SparkEntry {
       ops.TextDedup.queries ++ ops.Similarity.queries ++ ops.TextOps.queries ++
       ops.Skew.queries ++ ops.BloomJoin.queries ++ ops.CorpusOps.queries ++
       ops.PipelineOps.queries ++ ops.SqlSurface.queries ++
+      ops.TrainerOps.queries ++
       ops.WarehouseOps.queries ++ ops.StatsOps.queries ++
       multimodal.Multimodal.queries
 

@@ -1,0 +1,383 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Trainer-side dataset-preparation operators: the transforms a training
+  * run applies between the curated corpus and the batches the model
+  * actually consumes. The reference stops at the partitioned lake
+  * (`processor_stock_quotes.py:84-91` writes hive-partitioned parquet and
+  * leaves consumption to Athena); these rows are the NS continuation of
+  * that artifact boundary — packing-efficiency accounting, length-sorted
+  * batch scheduling, repetition loss-masking over the packed stream, and
+  * the fill-in-the-middle reordering code models train with.
+  *
+  * Scale shape shared by all four: per-doc arithmetic is one codegen map
+  * over the scan; every global coordinate (pack offsets, curriculum
+  * ranks) comes from a two-phase spine (per-group totals, a prefix sum
+  * over the FEW group rows, broadcast back) — no single-partition pass
+  * over the corpus anywhere.
+  */
+object TrainerOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Padding-waste audit of the three packing strategies a trainer
+    * chooses between, over the same corpus and the same sequence length:
+    *
+    *   - `concat`  — GPT-style: documents laid end-to-end, cut every L
+    *     tokens. Zero intra-corpus padding (only the final sequence pads)
+    *     but sequences mix documents (`n_mixed_seqs` counts them — the
+    *     cross-document-attention cost of the strategy).
+    *   - `pad_max` — each document cut into ceil(n/L) sequences, the tail
+    *     padded to L. No document mixing, worst padding.
+    *   - `bucket_pow2` — the tail pads only to the next power-of-two
+    *     bucket (dynamic-shape batching): the middle ground serving
+    *     stacks use.
+    *
+    * One row per strategy: sequence count, mixed-sequence count, pad
+    * tokens, corpus tokens, and efficiency = tokens/(tokens+pad). The
+    * corpus is scanned once for sizes; `concat`'s mixed count rides the
+    * [[TextOps.tokenShards]] offset spine (the boundary arithmetic
+    * q_pack_sequences ships), so the whole audit is aggregate-only —
+    * nothing wider than one row per document ever shuffles.
+    */
+  def packEfficiency(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    val L = budget
+    val offs = TextOps.tokenShards(docs, budget = L)
+    // tokenShards localCheckpoints its output, so the three aggregate
+    // legs below re-read a materialized relation, not the text scan
+    val tot = offs.agg(sum(col("n_tokens")).as("total_tokens"))
+    val concatRow = tot
+      .withColumn("n_sequences", expr(s"(total_tokens + ${L - 1}) div ${L}L"))
+      .withColumn("pad_tokens", col("n_sequences") * L - col("total_tokens"))
+    // sequences holding >= 2 documents: each doc explodes to only the
+    // sequences it touches (O(tokens/L) rows corpus-wide)
+    val mixed = offs
+      .select(explode(expr(
+        s"sequence(offset div ${L}L, (offset + n_tokens - 1) div ${L}L)"))
+        .as("seq"))
+      .groupBy(col("seq")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") >= 2L, 1L).otherwise(0L)), lit(0L))
+        .as("n_mixed_seqs"))
+    val concatF = concatRow.crossJoin(mixed)
+      .select(lit("concat").as("strategy"), col("n_sequences"),
+        col("n_mixed_seqs"), col("pad_tokens"), col("total_tokens"))
+    val padMaxF = offs
+      .agg(sum(expr(s"(n_tokens + ${L - 1}) div ${L}L")).as("n_sequences"),
+        sum(expr(s"((n_tokens + ${L - 1}) div ${L}L) * ${L}L - n_tokens"))
+          .as("pad_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(lit("pad_max").as("strategy"), col("n_sequences"),
+        lit(0L).as("n_mixed_seqs"), col("pad_tokens"), col("total_tokens"))
+    // next power of two >= tail, tail in 1..L: a fixed CASE chain (no
+    // float log2 — exactness at the 2^k boundaries must not depend on
+    // libm), generated for the L the caller picked
+    require(L >= 2 && (L & (L - 1)) == 0, s"budget must be a power of two, got $L")
+    val steps = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= L).toSeq
+    val pow2Tail = steps.init.foldRight(lit(L): org.apache.spark.sql.Column) {
+      (s, rest) => when(col("tail") <= s, s).otherwise(rest)
+    }
+    val bucketF = offs
+      .withColumn("tail", col("n_tokens") % L)
+      .withColumn("pad",
+        when(col("tail") === 0L, 0L).otherwise(pow2Tail - col("tail")))
+      .agg(sum(expr(s"n_tokens div ${L}L") +
+          when(col("tail") === 0L, 0L).otherwise(1L)).as("n_sequences"),
+        sum(col("pad")).as("pad_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(lit("bucket_pow2").as("strategy"), col("n_sequences"),
+        lit(0L).as("n_mixed_seqs"), col("pad_tokens"), col("total_tokens"))
+    concatF.union(padMaxF).union(bucketF)
+      .withColumn("efficiency",
+        col("total_tokens").cast(DoubleType) /
+          (col("total_tokens") + col("pad_tokens")).cast(DoubleType))
+      .orderBy(col("strategy"))
+  }
+
+  private def pow2CaseSql(L: Long): String = {
+    val steps = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= L).toSeq
+    steps.init.map(s => s"WHEN t <= $s THEN $s").mkString(
+      "CASE ", " ", s" ELSE $L END")
+  }
+
+  /** DuckDB oracle for [[packEfficiency]] at budget 256. */
+  private val packEfficiencyOracle: String = {
+    val p2 = pow2CaseSql(256L).replace("t <=", "(n % 256) <=")
+    s"""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+       o AS (SELECT doc_id, n,
+                    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM s),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM s),
+       mix AS (SELECT CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS m
+               FROM (SELECT seq, count(*) AS c
+                     FROM (SELECT unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq
+                           FROM o) GROUP BY 1)),
+       u AS (
+         SELECT 'concat' AS strategy,
+                CAST((total + 255) // 256 AS BIGINT) AS n_sequences,
+                m AS n_mixed_seqs,
+                CAST((total + 255) // 256 * 256 - total AS BIGINT) AS pad_tokens,
+                total AS total_tokens
+         FROM tot, mix
+         UNION ALL
+         SELECT 'pad_max',
+                CAST(SUM((n + 255) // 256) AS BIGINT),
+                0,
+                CAST(SUM(((n + 255) // 256) * 256 - n) AS BIGINT),
+                (SELECT total FROM tot)
+         FROM s
+         UNION ALL
+         SELECT 'bucket_pow2',
+                CAST(SUM(n // 256 + CASE WHEN n % 256 = 0 THEN 0 ELSE 1 END) AS BIGINT),
+                0,
+                CAST(SUM(CASE WHEN n % 256 = 0 THEN 0
+                              ELSE ($p2) - n % 256 END) AS BIGINT),
+                (SELECT total FROM tot)
+         FROM s)
+       SELECT strategy, n_sequences, n_mixed_seqs, pad_tokens, total_tokens,
+              CAST(total_tokens AS DOUBLE) / CAST(total_tokens + pad_tokens AS DOUBLE) AS efficiency
+       FROM u ORDER BY strategy"""
+  }
+
+  /** Length-sorted batch scheduling (the curriculum/bucketing pass that
+    * cuts attention-padding waste): documents ranked by (token count,
+    * doc_id) form fixed-size batches; each batch pads to its own max.
+    * Output compares the `curriculum` schedule against `arrival`
+    * (doc_id-order batches of the same size) — one row per (schedule,
+    * batch) with its padding bill, the A/B a training team runs before
+    * switching the loader to length-bucketed sampling.
+    *
+    * The curriculum rank is two-phase like [[TextOps.tokenShards]]:
+    * per-LENGTH counts aggregate first, a prefix sum runs over the few
+    * distinct length values (the only single-partition window — O(max
+    * doc length), not O(docs)), and docs rank within their length group.
+    * The arrival rank IS tokenShards with nTokens=1 (offset = number of
+    * docs before, in doc_id order).
+    */
+  def lengthCurriculum(docs: DataFrame, batchSize: Long = 32L): DataFrame = {
+    val sized = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n"))
+    val lenBase = sized.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .withColumn("base",
+        coalesce(sum(col("c")).over(Window.orderBy(col("n"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n"), col("base"))
+    val cur = sized.join(broadcast(lenBase), Seq("n"))
+      .withColumn("rank", col("base") +
+        row_number().over(Window.partitionBy(col("n")).orderBy(col("doc_id")))
+          .cast(LongType) - 1L)
+      .select(lit("curriculum").as("schedule"), col("n"),
+        expr(s"rank div ${batchSize}L").as("batch_id"))
+    val arr = TextOps.tokenShards(docs, budget = batchSize, nTokens = lit(1L))
+      .join(sized, Seq("doc_id"))
+      .select(lit("arrival").as("schedule"), col("n"),
+        col("shard").as("batch_id"))
+    cur.union(arr)
+      .groupBy(col("schedule"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"),
+        sum(col("n")).as("sum_tokens"),
+        (max(col("n")) * count(lit(1)) - sum(col("n"))).as("pad_tokens"))
+      .orderBy(col("schedule"), col("batch_id"))
+  }
+
+  private val lengthCurriculumOracle: String =
+    """WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+       r AS (SELECT 'curriculum' AS schedule, n,
+                    CAST((row_number() OVER (ORDER BY n, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+             FROM s
+             UNION ALL
+             SELECT 'arrival', n,
+                    CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT)
+             FROM s)
+       SELECT schedule, batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(n) AS BIGINT) AS min_tokens,
+              CAST(max(n) AS BIGINT) AS max_tokens,
+              CAST(sum(n) AS BIGINT) AS sum_tokens,
+              CAST(max(n) * count(*) - sum(n) AS BIGINT) AS pad_tokens
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Repetition LOSS MASK over the packed stream: every pack position
+    * covered by a cross-document repeated span (the
+    * [[TextDedup.repeatedSpans]] corpus-granularity cut,
+    * q_repeated_spans_corpus) becomes a maskable interval in the
+    * q_pack_sequences layout — the artifact-level alternative to cutting
+    * the spans out and re-packing, exactly as [[TextOps.packLossMask]]
+    * is to [[TextOps.packDecontaminate]]. Output (shard, seq,
+    * mask_start, mask_end, mask_tokens) in global positions, intervals
+    * split at sequence boundaries (trainers mask within sequences).
+    *
+    * Scale shape: the span relation is hit-bounded (boilerplate, tiny vs
+    * the corpus); positions explode from SPANS, never from documents;
+    * islands partition by sequence — at most `budget` rows per
+    * partition by construction. Span positions are globally unique
+    * (per-doc spans are disjoint islands; documents occupy disjoint
+    * offset intervals), so no dedup pass is needed before the merge.
+    */
+  def packRepetitionMask(docs: DataFrame, k: Int = 10, budget: Long = 256L,
+      seqsPerShard: Long = 8L): DataFrame = {
+    val spans = TextDedup.repeatedSpans(docs, k, crossDocOnly = true)
+    val offs = TextOps.tokenShards(docs, budget)
+      .select(col("doc_id"), col("offset"))
+    val cov = spans.join(offs, Seq("doc_id"))
+      .select(explode(expr("sequence(offset + span_start, offset + span_end)"))
+        .as("p"))
+      .withColumn("seq", expr(s"p div ${budget}L"))
+    val w = Window.partitionBy(col("seq")).orderBy(col("p"))
+    cov
+      .withColumn("prev", lag(col("p"), 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("p") - col("prev") > 1L, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"),
+        col("island"))
+      .agg(min(col("p")).as("mask_start"), max(col("p")).as("mask_end"),
+        count(lit(1)).as("mask_tokens"))
+      .select(col("shard"), col("seq"), col("mask_start"), col("mask_end"),
+        col("mask_tokens"))
+      .orderBy(col("seq"), col("mask_start"))
+  }
+
+  /** DuckDB oracle for [[packRepetitionMask]]: the q_repeated_spans_corpus
+    * span relation verbatim, the whitespace-token offset cumsum, interval
+    * expansion, and the per-sequence island replay (the
+    * packLossMaskOracle shape).
+    */
+  private val packRepetitionMaskOracle: String =
+    """WITH x AS (
+         SELECT doc_id, ws, len(ws) AS n
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       win AS (
+         SELECT doc_id, n, j AS win,
+                CASE WHEN n <= 10 THEN array_to_string(ws, ' ')
+                     ELSE array_to_string(ws[j+1 : j+10], ' ') END AS chunk
+         FROM x, LATERAL (SELECT unnest(range(0,
+                CASE WHEN n <= 10 THEN 1 ELSE n - 10 + 1 END)) AS j)),
+       dup AS (SELECT chunk FROM win GROUP BY chunk
+               HAVING count(DISTINCT doc_id) >= 2),
+       hit AS (SELECT doc_id, n, win FROM win
+               WHERE chunk IN (SELECT chunk FROM dup)),
+       isl AS (
+         SELECT doc_id, n, win,
+                SUM(CASE WHEN prev IS NULL OR win - prev > 9 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY win) AS island
+         FROM (SELECT doc_id, n, win,
+                      lag(win) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+               FROM hit)),
+       spans AS (
+         SELECT doc_id, MIN(win) AS span_start,
+                LEAST(MAX(win) + 9, n - 1) AS span_end
+         FROM isl GROUP BY doc_id, island, n),
+       offs AS (
+         SELECT doc_id,
+                CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents)),
+       cov AS (SELECT unnest(range(o.off + sp.span_start,
+                                   o.off + sp.span_end + 1)) AS p
+               FROM spans sp JOIN offs o USING (doc_id)),
+       seqp AS (SELECT CAST(p AS BIGINT) AS p, CAST(p // 256 AS BIGINT) AS seq
+                FROM cov),
+       misl AS (
+         SELECT p, seq,
+                SUM(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY seq ORDER BY p) AS island
+         FROM (SELECT p, seq, lag(p) OVER (PARTITION BY seq ORDER BY p) AS prev
+               FROM seqp))
+       SELECT CAST(seq // 8 AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq,
+              CAST(MIN(p) AS BIGINT) AS mask_start,
+              CAST(MAX(p) AS BIGINT) AS mask_end,
+              CAST(count(*) AS BIGINT) AS mask_tokens
+       FROM misl GROUP BY seq, island ORDER BY 2, 3"""
+
+  /** Fill-in-the-middle transform (the PSM reordering code models train
+    * with): a deterministic md5 coin applies FIM to half the corpus; cut
+    * points (a, b) derive from two more md5 draws over the whitespace
+    * token count, and the document re-renders as
+    * `<PRE> prefix <SUF> suffix <MID> middle` — the model learns to
+    * infill. Non-applied documents pass through (the whole text is
+    * "prefix"). Output is scalar-only: the segment lengths and the md5
+    * of the rendered text, so the gate compare pins every byte without
+    * shipping text. Pure per-row map — streams at input bandwidth; the
+    * md5 coin is the repo's replay-stable sampling convention
+    * (q_hash_sample / epochShuffle).
+    */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def h(tag: String) =
+      conv(substring(md5(concat(lit(tag + ":"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", size(col("ws")).cast(LongType))
+      .withColumn("par", h("fim") % 2L)
+      .withColumn("a", pmod(h("fima"), col("n") + 1L))
+      .withColumn("b", col("a") + pmod(h("fimb"), col("n") - col("a") + 1L))
+      .withColumn("psm", concat(lit("<PRE> "),
+        expr("array_join(slice(ws, 1, CAST(a AS INT)), ' ')"),
+        lit(" <SUF> "),
+        expr("array_join(slice(ws, CAST(b AS INT) + 1, CAST(n - b AS INT)), ' ')"),
+        lit(" <MID> "),
+        expr("array_join(slice(ws, CAST(a AS INT) + 1, CAST(b - a AS INT)), ' ')")))
+      .select(col("doc_id"),
+        when(col("par") === 0L, 1L).otherwise(0L).as("fim_applied"),
+        when(col("par") === 0L, col("a")).otherwise(col("n")).as("n_prefix"),
+        when(col("par") === 0L, col("b") - col("a")).otherwise(0L).as("n_middle"),
+        when(col("par") === 0L, col("n") - col("b")).otherwise(0L).as("n_suffix"),
+        when(col("par") === 0L, md5(col("psm").cast(BinaryType)))
+          .otherwise(md5(col("text").cast(BinaryType))).as("out_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fimTransformOracle: String =
+    """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             FROM documents),
+       h AS (SELECT doc_id, text, ws, n,
+                    CAST(('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS par,
+                    CAST(('0x' || substr(md5('fima:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % (n + 1) AS a,
+                    CAST(('0x' || substr(md5('fimb:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hb
+             FROM s),
+       ab AS (SELECT doc_id, text, ws, n, par, a, a + hb % (n - a + 1) AS b FROM h),
+       -- COALESCE each segment: DuckDB's array_to_string is string_agg
+       -- underneath, so an EMPTY segment (a=0, b=n, or b=a) yields NULL
+       -- and would poison the whole concat; Spark's array_join gives ''
+       r AS (SELECT doc_id, par, a, b, n,
+                    '<PRE> ' || COALESCE(array_to_string(ws[1 : a], ' '), '') ||
+                    ' <SUF> ' || COALESCE(array_to_string(ws[b + 1 : n], ' '), '') ||
+                    ' <MID> ' || COALESCE(array_to_string(ws[a + 1 : b], ' '), '') AS psm,
+                    text
+             FROM ab)
+       SELECT doc_id,
+              CAST(CASE WHEN par = 0 THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+              CAST(CASE WHEN par = 0 THEN a ELSE n END AS BIGINT) AS n_prefix,
+              CAST(CASE WHEN par = 0 THEN b - a ELSE 0 END AS BIGINT) AS n_middle,
+              CAST(CASE WHEN par = 0 THEN n - b ELSE 0 END AS BIGINT) AS n_suffix,
+              CASE WHEN par = 0 THEN md5(psm) ELSE md5(text) END AS out_md5
+       FROM r ORDER BY doc_id"""
+
+  val queries: Seq[Q] = Seq(
+    Q("q_pack_efficiency",
+      (s, dir) => packEfficiency(t(s, dir, "documents")),
+      Some(packEfficiencyOracle)),
+    Q("q_length_curriculum",
+      (s, dir) => lengthCurriculum(t(s, dir, "documents")),
+      Some(lengthCurriculumOracle)),
+    Q("q_pack_repetition_mask",
+      (s, dir) => packRepetitionMask(t(s, dir, "documents")),
+      Some(packRepetitionMaskOracle)),
+    Q("q_fim_transform",
+      (s, dir) => fimTransform(t(s, dir, "documents")),
+      Some(fimTransformOracle)))
+}

@@ -49,7 +49,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // over position-tracked windows, and the permuted-layout offsets
     // (bucket-windowed cumulative sums must agree at any parallelism)
     "q_pack_decontaminate" -> sf001, "q_decontaminate_spans" -> sf001,
-    "q_shard_provenance_shuffled" -> sf001)
+    "q_shard_provenance_shuffled" -> sf001,
+    // round-12 trainer family: the curriculum rank's two-phase spine
+    // (per-length bases + within-length row_number) and the repetition
+    // mask's span/offset/island arithmetic must agree at any parallelism
+    "q_length_curriculum" -> sf0001, "q_pack_repetition_mask" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the trainer-side dataset-prep family (TrainerOps): the
+  * packing-efficiency identities, the curriculum-vs-arrival padding win,
+  * an independent JVM md5 replay of the FIM rendering, and a brute-force
+  * in-memory oracle for the repetition loss mask.
+  */
+class TrainerOpsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  test("packEfficiency: accounting identities hold on the fixture") {
+    val rows = TrainerOps.packEfficiency(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("concat", "pad_max", "bucket_pow2"))
+    val total = rows("concat").getLong(4)
+    assert(rows.values.forall(_.getLong(4) == total), "corpus total differs across strategies")
+    for ((name, r) <- rows) {
+      val (seqs, pad) = (r.getLong(1), r.getLong(3))
+      assert(pad >= 0, s"$name negative padding")
+      assert(r.getDouble(5) == total.toDouble / (total + pad), s"$name efficiency formula")
+      if (name == "concat")
+        assert(seqs * 256L == total + pad, "concat: seqs*L == total+pad")
+      else assert(r.getLong(2) == 0L, s"$name must not mix documents")
+    }
+    // the strategy ordering that motivates the audit: concat pads least,
+    // pad-to-max pads most, pow2 bucketing sits between
+    assert(rows("concat").getLong(3) <= rows("bucket_pow2").getLong(3))
+    assert(rows("bucket_pow2").getLong(3) <= rows("pad_max").getLong(3))
+    // pad_max and bucket_pow2 cut per doc: same sequence count
+    assert(rows("pad_max").getLong(1) == rows("bucket_pow2").getLong(1))
+    // concat mixes at least one sequence on a 500-doc fixture with
+    // avg doc length well under L
+    assert(rows("concat").getLong(2) > 0L)
+  }
+
+  test("lengthCurriculum: schedules partition the corpus; curriculum pads less") {
+    val out = TrainerOps.lengthCurriculum(docs).collect()
+    val bySched = out.groupBy(_.getString(0))
+    assert(bySched.keySet == Set("curriculum", "arrival"))
+    val nDocs = docs.count()
+    for ((sched, rows) <- bySched) {
+      assert(rows.map(_.getLong(2)).sum == nDocs, s"$sched drops docs")
+      assert(rows.forall(_.getLong(2) <= 32L), s"$sched oversized batch")
+      rows.foreach { r =>
+        assert(r.getLong(6) == r.getLong(4) * r.getLong(2) - r.getLong(5),
+          s"$sched pad formula")
+      }
+    }
+    // curriculum batches are length-contiguous: each batch's min >= the
+    // previous batch's max is too strong under ties split across batches,
+    // but min >= previous min always holds
+    val cur = bySched("curriculum").sortBy(_.getLong(1))
+    assert(cur.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // the point of the schedule, on this fixture: less padding than arrival
+    val padC = cur.map(_.getLong(6)).sum
+    val padA = bySched("arrival").map(_.getLong(6)).sum
+    assert(padC < padA, s"curriculum $padC should pad less than arrival $padA")
+  }
+
+  test("fimTransform: segment lengths re-assemble and an independent md5 replay agrees") {
+    val out = TrainerOps.fimTransform(docs).collect()
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    var applied = 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ws = texts(id).split(" ", -1)
+      val n = ws.length.toLong
+      val (fa, np, nm, ns) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(np + nm + ns == n, s"doc $id segments don't cover the text")
+      if (fa == 1L) {
+        applied += 1
+        val a = h32(s"fima:$id") % (n + 1)
+        val b = a + h32(s"fimb:$id") % (n - a + 1)
+        assert(np == a && nm == b - a && ns == n - b, s"doc $id cut points")
+        val psm = "<PRE> " + ws.slice(0, a.toInt).mkString(" ") +
+          " <SUF> " + ws.slice(b.toInt, n.toInt).mkString(" ") +
+          " <MID> " + ws.slice(a.toInt, b.toInt).mkString(" ")
+        assert(r.getString(5) == md5hex(psm), s"doc $id PSM md5 mismatch")
+      } else {
+        assert(h32(s"fim:$id") % 2 == 1, s"doc $id coin disagrees")
+        assert(r.getString(5) == md5hex(texts(id)), s"doc $id passthrough md5")
+      }
+    }
+    // the coin is a fair md5 bit: both arms populated on 500 docs
+    assert(applied > 100 && applied < 400, s"suspicious FIM rate: $applied/500")
+  }
+
+  test("packRepetitionMask: equals a brute-force in-memory replay") {
+    val k = 10
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    // corpus-granularity repeated windows (whole doc when n <= k)
+    val wins = texts.flatMap { case (id, ws) =>
+      if (ws.length <= k) Seq((id, 0, ws.mkString(" ")))
+      else (0 to ws.length - k).map(j => (id, j, ws.slice(j, j + k).mkString(" ")))
+    }
+    val dupChunks = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    // per-doc spans via islands, then global positions via offsets
+    val offsets = texts.scanLeft(0L) { case (acc, (_, ws)) => acc + ws.length }
+    val offByDoc = texts.map(_._1).zip(offsets).toMap
+    val positions = texts.flatMap { case (id, ws) =>
+      val hitWins = wins.filter(w => w._1 == id && dupChunks(w._3)).map(_._2).sorted
+      val covered = hitWins.flatMap(j => j to math.min(j + k - 1, ws.length - 1)).distinct.sorted
+      covered.map(offByDoc(id) + _)
+    }.sorted
+    // islands per 256-token sequence
+    val expected = positions.groupBy(_ / 256).toSeq.flatMap { case (seq, ps) =>
+      val sorted = ps.sorted
+      val islands = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+        if (acc.nonEmpty && p - acc.last.last == 1) acc.init :+ (acc.last :+ p)
+        else acc :+ Vector(p)
+      }
+      islands.map(is => (seq / 8, seq, is.head, is.last, is.length.toLong))
+    }.sortBy(t => (t._2, t._3))
+    val got = TrainerOps.packRepetitionMask(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty, "fixture has no repeated spans — pin is vacuous")
+    assert(got == expected)
+  }
+}
