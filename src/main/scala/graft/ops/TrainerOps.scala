@@ -367,6 +367,205 @@ object TrainerOps {
               CASE WHEN par = 0 THEN md5(psm) ELSE md5(text) END AS out_md5
        FROM r ORDER BY doc_id"""
 
+  /** First-fit-decreasing bin packing (packing WITHOUT splitting — the
+    * finetuning form: each sequence holds whole documents, padded to the
+    * cap). A truly global FFD is inherently sequential, so the honest
+    * distributed shape is FFD WITHIN deterministic md5 buckets: parallel
+    * across buckets, one bounded in-memory fold within each (the same
+    * parallel-across/sequential-within discipline as the union-find and
+    * O(1)-heap folds). `hexPrefix` sizes the buckets exactly like the
+    * epochShuffle layout knob — 16^hexPrefix buckets, so at the 10^11-doc
+    * design point hexPrefix=6 holds ~10^4 docs per fold. Docs longer
+    * than the cap truncate to it (one bin each). Output is one row per
+    * (bucket, bin) with its fill and padding — the sequence manifest a
+    * loader materializes. The DuckDB oracle replays the exact fold as a
+    * recursive CTE over per-bucket doc lists, so the greedy placement is
+    * hash-pinned end to end, not just sampled.
+    */
+  def packFirstFit(docs: DataFrame, cap: Long = 256L,
+      hexPrefix: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col("doc_id"),
+      least(size(split(col("text"), " ")).cast(LongType), lit(cap)).as("n"),
+      substring(md5(col("doc_id").cast(StringType)), 1, hexPrefix).as("bucket"))
+    sized
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("n"), col("doc_id"))).as("ds"))
+      .as[(String, Seq[(Long, Long)])]
+      .flatMap { case (bucket, ds) =>
+        // sort INSIDE the fold: the collect_list build order is
+        // partition-dependent, the (n desc, doc_id) fold order is not
+        val sorted = ds.sortBy { case (n, id) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.foreach { case (n, _) =>
+          val idx = fills.indexWhere(_ + n <= cap)
+          if (idx < 0) { fills += n; counts += 1L }
+          else { fills(idx) += n; counts(idx) += 1L }
+        }
+        fills.indices.map(i =>
+          (bucket, i.toLong, counts(i), fills(i), cap - fills(i)))
+      }
+      .toDF("bucket", "bin", "n_docs", "fill_tokens", "pad_tokens")
+      .orderBy(col("bucket"), col("bin"))
+  }
+
+  /** DuckDB oracle for [[packFirstFit]] at cap 256, hexPrefix 1: the FFD
+    * fold as a recursive CTE — per-bucket doc lists in (n desc, doc_id)
+    * order, one placement per iteration. `list_position` returns 0 (not
+    * NULL) on no-match in DuckDB, hence the `= 0` open-new-bin test; the
+    * first fitting bin's index comes from list_position over a boolean
+    * list_transform, and the in-place bin update is an indexed
+    * list_transform. Iteration count = largest bucket (~corpus/16),
+    * state rows = 16 buckets — sub-second at both gate SFs.
+    */
+  private val packFirstFitOracle: String =
+    """WITH RECURSIVE
+       s AS (SELECT doc_id, LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 256) AS n,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+             FROM documents),
+       barr AS (SELECT bucket, list(n ORDER BY n DESC, doc_id) AS docs FROM s GROUP BY 1),
+       rec(bucket, i, fills, counts) AS (
+         SELECT bucket, 0, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM barr
+         UNION ALL
+         SELECT rr.bucket, rr.i + 1,
+                CASE WHEN list_position(list_transform(rr.fills, f -> f + b.docs[rr.i + 1] <= 256), true) = 0
+                     THEN list_append(rr.fills, b.docs[rr.i + 1])
+                     ELSE list_transform(rr.fills,
+                            (f, j) -> CASE WHEN j = list_position(list_transform(rr.fills, g -> g + b.docs[rr.i + 1] <= 256), true)
+                                           THEN f + b.docs[rr.i + 1] ELSE f END) END,
+                CASE WHEN list_position(list_transform(rr.fills, f -> f + b.docs[rr.i + 1] <= 256), true) = 0
+                     THEN list_append(rr.counts, 1)
+                     ELSE list_transform(rr.counts,
+                            (c, j) -> CASE WHEN j = list_position(list_transform(rr.fills, g -> g + b.docs[rr.i + 1] <= 256), true)
+                                           THEN c + 1 ELSE c END) END
+         FROM rec rr JOIN barr b USING (bucket)
+         WHERE rr.i < len(b.docs)
+       ),
+       fin AS (SELECT r.bucket, r.fills, r.counts FROM rec r JOIN barr b USING (bucket)
+               WHERE r.i = len(b.docs))
+       SELECT bucket, CAST(bin - 1 AS BIGINT) AS bin, CAST(counts[bin] AS BIGINT) AS n_docs,
+              CAST(fills[bin] AS BIGINT) AS fill_tokens, CAST(256 - fills[bin] AS BIGINT) AS pad_tokens
+       FROM fin, LATERAL (SELECT unnest(range(1, len(fills) + 1)) AS bin)
+       ORDER BY bucket, bin"""
+
+  /** SFT prompt LOSS MASK over the packed stream: in instruction-tuning
+    * packs the prompt tokens of every example are masked out of the loss
+    * and only the response tokens train. Each document's prompt length
+    * is an md5-deterministic fraction (0.2–0.8) of its tokens (the
+    * fixture has no prompt/response field; the ARITHMETIC — interval
+    * placement, boundary splits, adjacent-interval merges — is the
+    * operator); its prompt occupies [offset, offset+p) of the
+    * q_pack_sequences layout, split at sequence boundaries and merged
+    * with adjacent neighbors. Unlike the hit-bounded contamination
+    * masks, prompt intervals cover ~half the corpus — so this NEVER
+    * explodes per-position rows: a doc emits one interval per touched
+    * sequence (O(docs + prompt_tokens/L) rows), and the island merge
+    * runs over INTERVALS (lag of the previous end), not positions.
+    */
+  def packSftMask(docs: DataFrame, budget: Long = 256L,
+      seqsPerShard: Long = 8L): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sft:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val withP = TextOps.tokenShards(docs, budget)
+      .withColumn("f", lit(0.2) + lit(0.6) *
+        (h.cast(DoubleType) / lit(4294967296.0)))
+      .withColumn("p", lit(1L) +
+        floor((col("n_tokens") - 1L).cast(DoubleType) * col("f")).cast(LongType))
+    val iv = withP.select(col("offset"), col("p"),
+        explode(expr(s"sequence(offset div ${budget}L, (offset + p - 1) div ${budget}L)"))
+          .as("seq"))
+      .select(col("seq"),
+        greatest(col("offset"), col("seq") * budget).as("s"),
+        least(col("offset") + col("p") - 1L, (col("seq") + 1L) * budget - 1L).as("e"))
+    val w = Window.partitionBy(col("seq")).orderBy(col("s"))
+    iv
+      .withColumn("pe", lag(col("e"), 1).over(w))
+      .withColumn("ni",
+        when(col("pe").isNull || col("s") > col("pe") + 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"),
+        col("island"))
+      .agg(min(col("s")).as("mask_start"), max(col("e")).as("mask_end"))
+      .select(col("shard"), col("seq"), col("mask_start"), col("mask_end"),
+        (col("mask_end") - col("mask_start") + 1L).as("mask_tokens"))
+      .orderBy(col("seq"), col("mask_start"))
+  }
+
+  /** DuckDB oracle for [[packSftMask]]: offsets cumsum, the same
+    * one-multiply-one-floor prompt length, per-touched-sequence interval
+    * clamps, and the interval-granularity island merge.
+    */
+  private val packSftMaskOracle: String =
+    """WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+       o AS (SELECT doc_id, n,
+                    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM s),
+       p AS (SELECT doc_id, n, off,
+                    1 + CAST(floor(CAST(n - 1 AS DOUBLE) *
+                      (0.2 + 0.6 * (CAST(('0x' || substr(md5('sft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0))) AS BIGINT) AS p
+             FROM o),
+       iv AS (SELECT CAST(seq AS BIGINT) AS seq,
+                     CAST(GREATEST(off, seq * 256) AS BIGINT) AS st,
+                     CAST(LEAST(off + p - 1, (seq + 1) * 256 - 1) AS BIGINT) AS e
+              FROM (SELECT off, p, unnest(range(off // 256, (off + p - 1) // 256 + 1)) AS seq
+                    FROM p)),
+       isl AS (SELECT seq, st, e,
+                      SUM(CASE WHEN pe IS NULL OR st > pe + 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY seq ORDER BY st) AS island
+               FROM (SELECT seq, st, e, lag(e) OVER (PARTITION BY seq ORDER BY st) AS pe
+                     FROM iv))
+       SELECT CAST(seq // 8 AS BIGINT) AS shard, seq,
+              CAST(MIN(st) AS BIGINT) AS mask_start,
+              CAST(MAX(e) AS BIGINT) AS mask_end,
+              CAST(MAX(e) - MIN(st) + 1 AS BIGINT) AS mask_tokens
+       FROM isl GROUP BY seq, island ORDER BY 2, 3"""
+
+  /** Per-source EPOCH accounting under a token budget: given temperature
+    * mixture weights (the q_temperature_mix sqrt/floor long-weight
+    * convention — no float pow parity risk) and a training budget of
+    * half the corpus tokens, how many epochs of each source will the
+    * run consume? epochs > 1 means the source repeats (the
+    * "4-epochs-of-wikipedia" accounting a mixture design publishes);
+    * epochs < 1 means subsampling. Source-cardinality aggregates only —
+    * one scan, broadcast totals, five output rows.
+    */
+  def sourceEpochs(docs: DataFrame): DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6)).cast(LongType))
+    val tots = stats.agg(sum(col("w")).as("tw"), sum(col("n_tokens")).as("tt"))
+    stats.crossJoin(broadcast(tots))
+      .withColumn("share", col("w").cast(DoubleType) / col("tw").cast(DoubleType))
+      .withColumn("budget_tokens",
+        floor(expr("tt div 2L").cast(DoubleType) * col("share")).cast(LongType))
+      .withColumn("epochs",
+        col("budget_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("budget_tokens"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceEpochsOracle: String =
+    """WITH stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY 1),
+       w AS (SELECT source, n_docs, n_tokens,
+                    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w
+             FROM stats),
+       tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w)
+       SELECT source, n_docs, n_tokens,
+              CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+              CAST(floor(CAST(tt // 2 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) AS budget_tokens,
+              CAST(floor(CAST(tt // 2 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) / CAST(n_tokens AS DOUBLE) AS epochs
+       FROM w, tot ORDER BY source"""
+
   val queries: Seq[Q] = Seq(
     Q("q_pack_efficiency",
       (s, dir) => packEfficiency(t(s, dir, "documents")),
@@ -379,5 +578,14 @@ object TrainerOps {
       Some(packRepetitionMaskOracle)),
     Q("q_fim_transform",
       (s, dir) => fimTransform(t(s, dir, "documents")),
-      Some(fimTransformOracle)))
+      Some(fimTransformOracle)),
+    Q("q_pack_firstfit",
+      (s, dir) => packFirstFit(t(s, dir, "documents")),
+      Some(packFirstFitOracle)),
+    Q("q_pack_sft_mask",
+      (s, dir) => packSftMask(t(s, dir, "documents")),
+      Some(packSftMaskOracle)),
+    Q("q_source_epochs",
+      (s, dir) => sourceEpochs(t(s, dir, "documents")),
+      Some(sourceEpochsOracle)))
 }

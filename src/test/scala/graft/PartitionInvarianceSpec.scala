@@ -53,7 +53,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-12 trainer family: the curriculum rank's two-phase spine
     // (per-length bases + within-length row_number) and the repetition
     // mask's span/offset/island arithmetic must agree at any parallelism
-    "q_length_curriculum" -> sf0001, "q_pack_repetition_mask" -> sf0001)
+    "q_length_curriculum" -> sf0001, "q_pack_repetition_mask" -> sf0001,
+    // the FFD fold sorts inside the bucket (collect_list build order is
+    // partition-dependent), and the SFT mask's interval islands ride the
+    // offset spine — both must not care how the input is split
+    "q_pack_firstfit" -> sf0001, "q_pack_sft_mask" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

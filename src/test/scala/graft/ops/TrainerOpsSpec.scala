@@ -129,4 +129,79 @@ class TrainerOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has no repeated spans — pin is vacuous")
     assert(got == expected)
   }
+
+  test("packFirstFit: equals an in-memory FFD replay; no bin overflows") {
+    val cap = 256L
+    val sized = docs.collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      (id, math.min(r.getAs[String]("text").split(" ", -1).length.toLong, cap),
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1))
+    }
+    val expected = sized.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (b, ds) =>
+      val sorted = ds.sortBy { case (id, n, _) => (-n, id) }
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      sorted.foreach { case (_, n, _) =>
+        val i = fills.indexWhere(_ + n <= cap)
+        if (i < 0) { fills += n; counts += 1L } else { fills(i) += n; counts(i) += 1L }
+      }
+      fills.indices.map(i => (b, i.toLong, counts(i), fills(i), cap - fills(i)))
+    }
+    val got = TrainerOps.packFirstFit(docs, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.forall(b => b._4 <= cap && b._5 >= 0))
+    // FFD never pads more than per-doc pad-to-max (each doc alone in a bin)
+    val effRows = TrainerOps.packEfficiency(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.map(_._5).sum <= effRows("pad_max"))
+  }
+
+  test("packSftMask: intervals match a brute-force per-position prompt mask") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val offsets = texts.scanLeft(0L)(_ + _._2)
+    val positions = texts.zip(offsets).flatMap { case ((id, n), off) =>
+      val f = 0.2 + 0.6 * (h32(s"sft:$id").toDouble / 4294967296.0)
+      val p = 1L + math.floor((n - 1).toDouble * f).toLong
+      (0L until p).map(off + _)
+    }.sorted
+    val expected = positions.groupBy(_ / 256).toSeq.flatMap { case (seq, ps) =>
+      val sorted = ps.sorted
+      val islands = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, x) =>
+        if (acc.nonEmpty && x - acc.last.last == 1) acc.init :+ (acc.last :+ x)
+        else acc :+ Vector(x)
+      }
+      islands.map(is => (seq / 8, seq, is.head, is.last, is.length.toLong))
+    }.sortBy(t => (t._2, t._3))
+    val got = TrainerOps.packSftMask(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // roughly half the corpus is prompt (fractions are uniform on 0.2-0.8)
+    val total = texts.map(_._2).sum
+    val masked = got.map(_._5).sum
+    assert(masked > total * 2 / 5 && masked < total * 3 / 5,
+      s"suspicious mask share: $masked of $total")
+  }
+
+  test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
+    val rows = TrainerOps.sourceEpochs(docs).collect()
+    assert(rows.length >= 2)
+    val tt = rows.map(_.getLong(2)).sum
+    val budget = rows.map(_.getLong(4)).sum
+    // per-source floors can each lose <1 token
+    assert(budget <= tt / 2 && budget >= tt / 2 - rows.length)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(2).toDouble)
+    }
+    // the temperature flattening: smaller sources get epochs above the
+    // 0.5 uniform rate, larger sources below — spread must be real
+    assert(rows.map(_.getDouble(5)).max > rows.map(_.getDouble(5)).min)
+  }
 }
