@@ -525,6 +525,58 @@ object TrainerOps {
               CAST(MAX(e) - MIN(st) + 1 AS BIGINT) AS mask_tokens
        FROM isl GROUP BY seq, island ORDER BY 2, 3"""
 
+  /** Cross-document ATTENTION audit of concat packing: in a GPT-style
+    * pack a causal-attention sequence mixes documents, and every
+    * (query token, key token) pair that crosses a document boundary is
+    * attention the model spends on unrelated context — the cost
+    * q_pack_efficiency counts sequences for, priced here in PAIRS. Per
+    * sequence: resident doc count, tokens, and
+    * cross_frac = (T² − Σtᵢ²)/T² where tᵢ are the per-doc token counts
+    * in the sequence — the fraction of attention pairs that are
+    * cross-document, the number a block-diagonal attention mask (or
+    * doc-boundary resets) would reclaim. Rides the q_pack_sequences
+    * overlap arithmetic: O(tokens/L) exploded rows, aggregate-only.
+    */
+  def packAttentionMix(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    val L = budget
+    TextOps.tokenShards(docs, budget = L)
+      .withColumn("seq_last", expr(s"(offset + n_tokens - 1) div ${L}L"))
+      .withColumn("seq", explode(expr("sequence(shard, seq_last)")))
+      .select(col("seq"),
+        (least(col("offset") + col("n_tokens"), (col("seq") + 1) * L)
+          - greatest(col("offset"), col("seq") * L)).as("t"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("seq_tokens"),
+        sum(col("t") * col("t")).as("ss"))
+      .withColumn("cross_pairs",
+        col("seq_tokens") * col("seq_tokens") - col("ss"))
+      .select(col("seq"), col("n_docs"), col("seq_tokens"), col("cross_pairs"),
+        (col("cross_pairs").cast(DoubleType) /
+          (col("seq_tokens") * col("seq_tokens")).cast(DoubleType))
+          .as("cross_frac"))
+      .orderBy(col("seq"))
+  }
+
+  private val packAttentionMixOracle: String =
+    """WITH o AS (SELECT doc_id, n,
+                    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                   FROM documents)),
+       ex AS (SELECT CAST(seq AS BIGINT) AS seq,
+                     CAST(LEAST(off + n, (seq + 1) * 256) - GREATEST(off, seq * 256) AS BIGINT) AS t
+              FROM (SELECT off, n, unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS seq
+                    FROM o)),
+       a AS (SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(t) AS BIGINT) AS seq_tokens,
+                    CAST(SUM(t * t) AS BIGINT) AS ss
+             FROM ex GROUP BY 1)
+       SELECT seq, n_docs, seq_tokens,
+              CAST(seq_tokens * seq_tokens - ss AS BIGINT) AS cross_pairs,
+              CAST(seq_tokens * seq_tokens - ss AS DOUBLE) /
+                CAST(seq_tokens * seq_tokens AS DOUBLE) AS cross_frac
+       FROM a ORDER BY seq"""
+
   /** Per-source EPOCH accounting under a token budget: given temperature
     * mixture weights (the q_temperature_mix sqrt/floor long-weight
     * convention — no float pow parity risk) and a training budget of
@@ -587,5 +639,8 @@ object TrainerOps {
       Some(packSftMaskOracle)),
     Q("q_source_epochs",
       (s, dir) => sourceEpochs(t(s, dir, "documents")),
-      Some(sourceEpochsOracle)))
+      Some(sourceEpochsOracle)),
+    Q("q_pack_attention_mix",
+      (s, dir) => packAttentionMix(t(s, dir, "documents")),
+      Some(packAttentionMixOracle)))
 }

@@ -189,6 +189,29 @@ class TrainerOpsSpec extends SparkSpec {
       s"suspicious mask share: $masked of $total")
   }
 
+  test("packAttentionMix: per-sequence pair accounting matches brute force") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    val offsets = texts.scanLeft(0L)(_ + _._2)
+    val perSeq = texts.zip(offsets).flatMap { case ((_, n), off) =>
+      (off / 256 to (off + n - 1) / 256).map { seq =>
+        seq -> (math.min(off + n, (seq + 1) * 256) - math.max(off, seq * 256))
+      }
+    }.groupBy(_._1)
+    val expected = perSeq.toSeq.map { case (seq, ts) =>
+      val t = ts.map(_._2)
+      val total = t.sum
+      val cross = total * total - t.map(x => x * x).sum
+      (seq, t.size.toLong, total, cross, cross.toDouble / (total * total).toDouble)
+    }.sortBy(_._1)
+    val got = TrainerOps.packAttentionMix(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the audit's point: most sequences mix docs on this fixture
+    assert(got.count(_._4 > 0) > got.size / 2)
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)
