@@ -577,6 +577,68 @@ object TrainerOps {
                 CAST(seq_tokens * seq_tokens AS DOUBLE) AS cross_frac
        FROM a ORDER BY seq"""
 
+  /** Interleaved MULTIMODAL pack accounting (the VLM training form):
+    * image-bearing documents charge the sequence budget with a fixed
+    * block of image-patch placeholder tokens (`imageTokens`, e.g. a
+    * 224² image at patch 28 → 64) PREPENDED to their text, and packing
+    * lays out the combined stream. Media attachment follows the
+    * multimodal fixture convention (doc_id % 3 == 0 carries an image —
+    * `multimodal.Multimodal.mediaTable`). One row per sequence: resident
+    * docs and the image/text token split — the modality-budget readout
+    * a VLM data pipeline publishes per shard. The image block is a pure
+    * function of doc_id, so no join touches the corpus: offsets ride
+    * the tokenShards spine with the combined count, and each doc emits
+    * one clamped interval pair per touched sequence.
+    */
+  def packMultimodal(docs: DataFrame, budget: Long = 256L,
+      imageTokens: Long = 64L): DataFrame = {
+    val L = budget
+    val imgOf = (c: org.apache.spark.sql.Column) =>
+      when(c % 3 === 0, lit(imageTokens)).otherwise(lit(0L))
+    TextOps.tokenShards(docs, budget = L,
+        nTokens = size(split(col("text"), " ")).cast(LongType)
+          + imgOf(col("doc_id")))
+      .withColumn("img", imgOf(col("doc_id")))
+      .withColumn("seq", explode(expr(
+        s"sequence(offset div ${L}L, (offset + n_tokens - 1) div ${L}L)")))
+      .select(col("seq"),
+        greatest(least(col("offset") + col("img"), (col("seq") + 1) * L)
+          - greatest(col("offset"), col("seq") * L), lit(0L)).as("img_t"),
+        greatest(least(col("offset") + col("n_tokens"), (col("seq") + 1) * L)
+          - greatest(col("offset") + col("img"), col("seq") * L), lit(0L)).as("txt_t"))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("img_t")).as("image_tokens"),
+        sum(col("txt_t")).as("text_tokens"))
+      .select(col("seq"), col("n_docs"), col("image_tokens"), col("text_tokens"),
+        (col("image_tokens").cast(DoubleType) /
+          (col("image_tokens") + col("text_tokens")).cast(DoubleType))
+          .as("image_frac"))
+      .orderBy(col("seq"))
+  }
+
+  private val packMultimodalOracle: String =
+    """WITH s AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+                    CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 0 END AS img
+             FROM documents),
+       o AS (SELECT doc_id, nt, img, nt + img AS ne,
+                    CAST(COALESCE(SUM(nt + img) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM s),
+       ex AS (SELECT CAST(seq AS BIGINT) AS seq,
+                     CAST(GREATEST(LEAST(off + img, (seq + 1) * 256) - GREATEST(off, seq * 256), 0) AS BIGINT) AS img_t,
+                     CAST(GREATEST(LEAST(off + ne, (seq + 1) * 256) - GREATEST(off + img, seq * 256), 0) AS BIGINT) AS txt_t
+              FROM (SELECT off, img, ne, unnest(range(off // 256, (off + ne - 1) // 256 + 1)) AS seq
+                    FROM o)),
+       a AS (SELECT seq, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(img_t) AS BIGINT) AS image_tokens,
+                    CAST(SUM(txt_t) AS BIGINT) AS text_tokens
+             FROM ex GROUP BY 1)
+       SELECT seq, n_docs, image_tokens, text_tokens,
+              CAST(image_tokens AS DOUBLE) / CAST(image_tokens + text_tokens AS DOUBLE) AS image_frac
+       FROM a ORDER BY seq"""
+
   /** Per-source EPOCH accounting under a token budget: given temperature
     * mixture weights (the q_temperature_mix sqrt/floor long-weight
     * convention — no float pow parity risk) and a training budget of
@@ -642,5 +704,8 @@ object TrainerOps {
       Some(sourceEpochsOracle)),
     Q("q_pack_attention_mix",
       (s, dir) => packAttentionMix(t(s, dir, "documents")),
-      Some(packAttentionMixOracle)))
+      Some(packAttentionMixOracle)),
+    Q("q_pack_multimodal",
+      (s, dir) => packMultimodal(t(s, dir, "documents")),
+      Some(packMultimodalOracle)))
 }

@@ -212,6 +212,34 @@ class TrainerOpsSpec extends SparkSpec {
     assert(got.count(_._4 > 0) > got.size / 2)
   }
 
+  test("packMultimodal: modality split matches brute force and conserves tokens") {
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    val sized = texts.map { case (id, nt) =>
+      (id, nt, if (id % 3 == 0) 64L else 0L)
+    }
+    val offsets = sized.scanLeft(0L) { case (acc, (_, nt, img)) => acc + nt + img }
+    val perSeq = sized.zip(offsets).flatMap { case ((_, nt, img), off) =>
+      val ne = nt + img
+      (off / 256 to (off + ne - 1) / 256).map { seq =>
+        val it = math.max(math.min(off + img, (seq + 1) * 256) - math.max(off, seq * 256), 0L)
+        val tt = math.max(math.min(off + ne, (seq + 1) * 256) - math.max(off + img, seq * 256), 0L)
+        (seq, it, tt)
+      }
+    }.groupBy(_._1)
+    val expected = perSeq.toSeq.map { case (seq, xs) =>
+      val (it, tt) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      (seq, xs.size.toLong, it, tt, it.toDouble / (it + tt).toDouble)
+    }.sortBy(_._1)
+    val got = TrainerOps.packMultimodal(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    val totalEff = sized.map(t => t._2 + t._3).sum
+    assert(got.map(r => r._3 + r._4).sum == totalEff, "token conservation")
+    assert(got.exists(_._3 > 0) && got.forall(_._3 <= 256))
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)
