@@ -680,6 +680,62 @@ object TrainerOps {
               CAST(floor(CAST(tt // 2 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) / CAST(n_tokens AS DOUBLE) AS epochs
        FROM w, tot ORDER BY source"""
 
+  /** Span-corruption selection (the T5/UL2 denoising objective's data
+    * transform, completing the objective family next to [[fimTransform]]
+    * and [[packSftMask]]): each token position flips an independent
+    * md5-deterministic coin at `rate`, and adjacent corrupted positions
+    * merge into spans — the sentinel-replaced regions a denoising
+    * trainer reconstructs. Output per document (docs with ≥1 span):
+    * token count, corrupted count, span count, mean span length — the
+    * corruption-geometry readout (rate and mean span length are THE two
+    * knobs of the objective). Per-position coins need the exploded
+    * token index — O(tokens) rows, one pass, the q_explode_tokens
+    * class; islands partition per document.
+    */
+  def spanCorruption(docs: DataFrame, rate: Double = 0.15): DataFrame = {
+    val u = conv(substring(md5(concat(lit("corrupt:"),
+        col("doc_id").cast(StringType), lit(":"), col("i").cast(StringType))),
+        1, 8), 16, 10).cast(LongType).cast(DoubleType) / lit(4294967296.0)
+    val hits = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n"))
+      .select(col("doc_id"), col("n"), explode(expr("sequence(0L, n - 1L)")).as("i"))
+      .withColumn("u", u)
+      .filter(col("u") < rate)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hits
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("ni",
+        when(col("prev").isNull || col("i") - col("prev") > 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_corrupted"),
+        countDistinct(col("island")).as("n_spans"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_corrupted"),
+        col("n_spans"),
+        (col("n_corrupted").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .as("mean_span_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def spanCorruptionOracle(rate: Double): String =
+    s"""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+       pos AS (SELECT doc_id, n, CAST(i AS BIGINT) AS i
+               FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM s)),
+       hit AS (SELECT doc_id, n, i FROM pos
+               WHERE CAST(('0x' || substr(md5('corrupt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 < $rate),
+       isl AS (SELECT doc_id, n, i,
+                      SUM(CASE WHEN prev IS NULL OR i - prev > 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY i) AS island
+               FROM (SELECT doc_id, n, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                     FROM hit))
+       SELECT doc_id, n AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_corrupted,
+              CAST(count(DISTINCT island) AS BIGINT) AS n_spans,
+              CAST(count(*) AS DOUBLE) / count(DISTINCT island) AS mean_span_len
+       FROM isl GROUP BY doc_id, n ORDER BY doc_id"""
+
   val queries: Seq[Q] = Seq(
     Q("q_pack_efficiency",
       (s, dir) => packEfficiency(t(s, dir, "documents")),
@@ -707,5 +763,8 @@ object TrainerOps {
       Some(packAttentionMixOracle)),
     Q("q_pack_multimodal",
       (s, dir) => packMultimodal(t(s, dir, "documents")),
-      Some(packMultimodalOracle)))
+      Some(packMultimodalOracle)),
+    Q("q_span_corruption",
+      (s, dir) => spanCorruption(t(s, dir, "documents")),
+      Some(spanCorruptionOracle(0.15))))
 }

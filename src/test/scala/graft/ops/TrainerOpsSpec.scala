@@ -240,6 +240,32 @@ class TrainerOpsSpec extends SparkSpec {
     assert(got.exists(_._3 > 0) && got.forall(_._3 <= 256))
   }
 
+  test("spanCorruption: per-doc span geometry matches a JVM md5 replay") {
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+    val expected = texts.flatMap { case (id, n) =>
+      val hit = (0L until n).filter(i => h32(s"corrupt:$id:$i").toDouble / 4294967296.0 < 0.15)
+      if (hit.isEmpty) None
+      else {
+        val spans = hit.foldLeft(0L -> -2L) { case ((cnt, prev), i) =>
+          (if (i - prev > 1) cnt + 1 else cnt, i)
+        }._1
+        Some((id, n, hit.size.toLong, spans, hit.size.toDouble / spans.toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TrainerOps.spanCorruption(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // the corruption rate is real: ~15% of all tokens flip
+    val total = texts.map(_._2).sum
+    val corrupted = got.map(_._3).sum
+    assert(corrupted > total / 10 && corrupted < total / 5,
+      s"suspicious corruption rate: $corrupted of $total")
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)

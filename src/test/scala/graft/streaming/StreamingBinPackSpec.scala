@@ -95,6 +95,31 @@ class StreamingBinPackSpec extends SparkSpec {
     assert(got.forall(_.fill_after <= 8L))
   }
 
+  test("restart continues from checkpointed bins — same rows as an unbroken run") {
+    withRocksDBStateStore {
+      val dir = java.nio.file.Files.createTempDirectory("graft_binpack_r").toString
+      val in = MemoryStream[(Long, String)]
+      def start() = StreamingBinPack(in.toDF().toDF("doc_id", "text"), 8L,
+          hexPrefix = 1, maxOpen = 2)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      in.addData(docs.take(5))
+      q1.processAllAvailable()
+      q1.stop()
+      in.addData(docs.drop(5))
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val restarted = spark.read.parquet(s"$dir/out").as[BinAssignment]
+        .collect().toSeq.sortBy(_.doc_id)
+      val unbroken = mem(Seq(docs.take(5), docs.drop(5)), cap = 8L, maxOpen = 2)
+      assert(restarted == unbroken)
+    }
+  }
+
   test("maxOpen bounds concurrent bins; closing still packs every doc") {
     // 40 docs of 5 words at cap 8: nothing pairs (5+5>8), so bins close
     // constantly at maxOpen 2 — ids must keep increasing, docs all place
