@@ -62,6 +62,39 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("bigint").as("rank"), col("n_id"), col("cosine"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram decontaminate family (q_decontaminate / q_pack_decontaminate):
+    * paraphrased eval leakage that shares no token window still lands
+    * near the eval point in embedding space. Flags every train vector
+    * whose cosine to ANY eval vector (vec_id % 97 == 0, the family's
+    * split convention) reaches `minCos`, reporting the best-matching
+    * eval vector (argmax, ties to the lower eval id). Scale shape: the
+    * eval set is tiny by construction and BROADCASTS (the bruteForceTopK
+    * shape) — the corpus streams through once, nothing shuffles before
+    * the flag filter; for a fat eval set the bucketed paths (semDedup
+    * cells, lshTopK tables, the stored IVF index) bound candidates the
+    * same way they do for dedup.
+    */
+  def semanticDecontaminate(s: SparkSession, emb: DataFrame,
+      minCos: Double = 0.3): DataFrame = {
+    val e = withNorm(s, emb.filter(col("embedding").isNotNull))
+    val ev = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))
+    val tr = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("eval_id"))
+    tr.crossJoin(broadcast(ev))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1 && col("cosine") >= minCos)
+      .select(col("vec_id"), col("eval_id").as("best_eval_id"),
+        col("cosine").as("best_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-hyperplane LSH top-k — the 100 TB path. Rows with a null
     * embedding produce a null code and are EXCLUDED from candidates (a
     * vector that doesn't exist can't be a neighbor). `tables` independent
@@ -795,6 +828,19 @@ object Similarity {
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)), (acc, x) -> acc + x))"
 
   val queries: Seq[Q] = Seq(
+
+    Q("q_decontaminate_semantic",
+      (s, dir) => semanticDecontaminate(s, t(s, dir, "embeddings"), 0.3),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+               p AS (SELECT t.vec_id, q.vec_id AS eval_id,
+                            ${sqlDot("q", "t")} / (${sqlNorm("q")} * ${sqlNorm("t")}) AS cosine
+                     FROM e t, e q WHERE q.vec_id % 97 = 0 AND t.vec_id % 97 <> 0),
+               r AS (SELECT vec_id, eval_id, cosine,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, eval_id) AS rnk
+                     FROM p)
+               SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine
+               FROM r WHERE rnk = 1 AND cosine >= 0.3 ORDER BY vec_id""")),
 
     Q("q_embed_neardup",
       (s, dir) => cosinePairs(s, t(s, dir, "embeddings"), 0.5)

@@ -90,4 +90,26 @@ class SimilaritySpec extends SparkSpec {
     // every query answered with a full k
     assert(pq.size == bf.size)
   }
+
+  test("semanticDecontaminate: flags equal a JVM brute-force max-cosine replay") {
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val evs = vecs.filter(_._1 % 97 == 0)
+    val expected = vecs.filter(_._1 % 97 != 0).flatMap { case (id, v) =>
+      val nv = math.sqrt(dot(v, v))
+      val best = evs.map { case (eid, q) =>
+        (dot(q, v) / (math.sqrt(dot(q, q)) * nv), eid)
+      }.maxBy { case (c, eid) => (c, -eid) }
+      if (best._1 >= 0.3) Some((id, best._2, best._1)) else None
+    }.sortBy(_._1).toSeq
+    val got = Similarity.semanticDecontaminate(spark, emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
 }
