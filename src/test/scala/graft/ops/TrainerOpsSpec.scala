@@ -266,6 +266,40 @@ class TrainerOpsSpec extends SparkSpec {
       s"suspicious corruption rate: $corrupted of $total")
   }
 
+  test("fimTransform: adversarial texts (multi-space, Unicode, empties) replay exactly") {
+    // the fixture is clean prose; this pins the slice/join/md5 semantics
+    // where they could diverge — empty words from consecutive/leading/
+    // trailing spaces, multi-byte UTF-8, single-word docs
+    val words = Seq("", "a", "héllo", "日本", "x1", "..", "<PRE>")
+    val rng = new scala.util.Random(42)
+    val texts = (0L until 64L).map { id =>
+      val n = 1 + rng.nextInt(9)
+      id -> Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val df = texts.toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val got = TrainerOps.fimTransform(df).collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val ws = texts.find(_._1 == id).get._2.split(" ", -1)
+      val n = ws.length.toLong
+      if (r.getLong(1) == 1L) {
+        val a = h32(s"fima:$id") % (n + 1)
+        val b = a + h32(s"fimb:$id") % (n - a + 1)
+        val psm = "<PRE> " + ws.slice(0, a.toInt).mkString(" ") +
+          " <SUF> " + ws.slice(b.toInt, n.toInt).mkString(" ") +
+          " <MID> " + ws.slice(a.toInt, b.toInt).mkString(" ")
+        assert(r.getString(5) == md5hex(psm), s"adversarial doc $id")
+      } else assert(r.getString(5) == md5hex(texts.find(_._1 == id).get._2))
+    }
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)
