@@ -770,6 +770,13 @@ object BpeEncodeTokens {
   def bpeDecode(c: Column): Column =
     org.apache.spark.sql.graft.GraftSqlShims.column(
       BpeDecodeText(org.apache.spark.sql.graft.GraftSqlShims.expression(c)))
+
+  /** Detokenize a packed ID array ([[BpeDecodeIds]] — vocab inverse then
+    * [[BpeCodec.decodeTokens]]; byte-exact for exact-mode shards).
+    */
+  def bpeDecodeIds(c: Column, codecId: String = "fixture"): Column =
+    org.apache.spark.sql.graft.GraftSqlShims.column(
+      BpeDecodeIds(org.apache.spark.sql.graft.GraftSqlShims.expression(c), codecId))
 }
 
 /** string from array<string> of BPE tokens — [[BpeCodec.decodeTokens]]
@@ -804,6 +811,47 @@ case class BpeDecodeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "bpe_decode_text"
+}
+
+/** string from array<int> of packed token IDS — [[BpeVocab.token]]
+  * composed with [[BpeCodec.decodeTokens]] in one codegen'd expression:
+  * the reader-side seam that turns a shipped exact-mode shard's id
+  * stream back into corpus bytes without the ids ever leaving the
+  * executor (q_pack_detokenize). The vocab is rebuilt from the codec
+  * registry on each executor (tables are deterministic), exactly as the
+  * encode expressions resolve their codec.
+  */
+case class BpeDecodeIds(child: Expression, codecId: String = "fixture")
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val vocab =
+    new BpeVocab(BpeCodecs.byId(codecId).table)
+
+  def computeRow(a: ArrayData): UTF8String = {
+    val n = a.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = vocab.token(a.getInt(i)); i += 1 }
+    UTF8String.fromString(BpeCodec.decodeTokens(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val obj = ctx.addReferenceObj("bpeDecIds", this, classOf[BpeDecodeIds].getName)
+      s"${ev.value} = $obj.computeRow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_decode_ids"
 }
 
 /** BPE merge-table TRAINING (Sennrich et al. 2016, the other half of the

@@ -1750,6 +1750,41 @@ object TextOps {
       Some(s"${bpeCteExactOver(
         "SELECT doc_id, text AS t FROM documents")}$packShardsExactTailSql")),
 
+    // ARTIFACT-LEVEL detokenization round-trip — the strongest proof in
+    // the pack family: the corpus goes text → exact encode → pack →
+    // WRITE (real parquet shards) → READ BACK → per-doc reassembly from
+    // the span maps → vocab-inverse decode → md5, while the oracle never
+    // touches the artifact at all: it md5s the RAW documents. A hash
+    // match means the shipped shards carry every byte of every document
+    // and the (doc_id, start, len) span maps are exact — one wrong
+    // boundary, dropped token, or id collision anywhere in the
+    // write/read path moves some document's md5. Reader-side scale
+    // shape: spans slice each doc's ids out of its 1-2 sequences
+    // map-side; the groupBy(doc_id) shuffle carries exactly the corpus'
+    // token ids once — the inverse of the pack shuffle, which IS the
+    // detokenize semantics — and decode runs as one codegen call
+    // (BpeDecodeIds) so text is rebuilt executor-side and only the
+    // 16-byte md5 leaves.
+    Q("q_pack_detokenize",
+      (s, dir) => {
+        val out = graft.sources.Scratch.tempDir("graft_pack_detok") + "/shards"
+        graft.sources.PackedShards.writeBatch(s, t(s, dir, "documents"), out,
+            exact = true)
+          .select(col("seq"), col("tokens"),
+            explode(col("doc_spans")).as("sp"))
+          .select(col("sp.doc_id").as("doc_id"), col("seq"),
+            expr("slice(tokens, sp.start + 1, sp.len)").as("ids"))
+          .groupBy(col("doc_id"))
+          .agg(expr(
+            "flatten(transform(array_sort(collect_list(struct(seq, ids))), x -> x.ids))")
+            .as("ids"))
+          .select(col("doc_id"),
+            md5(graft.functions.BpeEncodeTokens.bpeDecodeIds(col("ids"))
+              .cast("binary")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id")),
+
     // Token-level decontamination of the packed ARTIFACT: eval docs
     // (doc_id % 97 == 0) are held out of the pack; every 5-token-id
     // window of the packed train stream that also occurs in an eval
