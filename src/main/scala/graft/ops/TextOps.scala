@@ -752,6 +752,27 @@ object TextOps {
     * counts plus the token-id sum — the numbers [[packShardsTailSql]]
     * rebuilds arithmetically without ever seeing the writer.
     */
+  /** Reader-side reassembly + decode of a written pack artifact
+    * (q_pack_detokenize / q_pack_detokenize_shuffled): spans slice each
+    * document's ids out of its sequences map-side, the one groupBy
+    * shuffle carries exactly the corpus' token ids (the inverse of the
+    * pack shuffle), and BpeDecodeIds rebuilds text executor-side so
+    * only 16-byte md5s leave.
+    */
+  private def detokenizeArtifact(artifact: DataFrame): DataFrame =
+    artifact
+      .select(col("seq"), col("tokens"), explode(col("doc_spans")).as("sp"))
+      .select(col("sp.doc_id").as("doc_id"), col("seq"),
+        expr("slice(tokens, sp.start + 1, sp.len)").as("ids"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(seq, ids))), x -> x.ids))")
+        .as("ids"))
+      .select(col("doc_id"),
+        md5(graft.functions.BpeEncodeTokens.bpeDecodeIds(col("ids"))
+          .cast("binary")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
   private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
       fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,
@@ -1768,20 +1789,26 @@ object TextOps {
     Q("q_pack_detokenize",
       (s, dir) => {
         val out = graft.sources.Scratch.tempDir("graft_pack_detok") + "/shards"
-        graft.sources.PackedShards.writeBatch(s, t(s, dir, "documents"), out,
-            exact = true)
-          .select(col("seq"), col("tokens"),
-            explode(col("doc_spans")).as("sp"))
-          .select(col("sp.doc_id").as("doc_id"), col("seq"),
-            expr("slice(tokens, sp.start + 1, sp.len)").as("ids"))
-          .groupBy(col("doc_id"))
-          .agg(expr(
-            "flatten(transform(array_sort(collect_list(struct(seq, ids))), x -> x.ids))")
-            .as("ids"))
-          .select(col("doc_id"),
-            md5(graft.functions.BpeEncodeTokens.bpeDecodeIds(col("ids"))
-              .cast("binary")).as("text_md5"))
-          .orderBy(col("doc_id"))
+        detokenizeArtifact(
+          graft.sources.PackedShards.writeBatch(s, t(s, dir, "documents"),
+            out, exact = true))
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id")),
+
+    // The same round-trip over the SHUFFLED artifact — the layout a
+    // training run actually ships (md5(seed:doc_id) permutation,
+    // q_pack_shards_shuffled). Detokenization is LAYOUT-INVARIANT by
+    // construction (the span maps name their documents, whatever order
+    // the stream packed them in), so the oracle is IDENTICAL to the
+    // plain row's: md5 of the raw documents. A hash match here pins
+    // that the permuted artifact, too, carries every byte — and that
+    // the reassembly path depends on nothing but the span maps.
+    Q("q_pack_detokenize_shuffled",
+      (s, dir) => {
+        val out = graft.sources.Scratch.tempDir("graft_pack_detok_sh") + "/shards"
+        detokenizeArtifact(
+          graft.sources.PackedShards.writeBatchShuffled(s,
+            t(s, dir, "documents"), out, "epoch1", exact = true))
       },
       Some("SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id")),
 
