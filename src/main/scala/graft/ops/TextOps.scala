@@ -746,12 +746,6 @@ object TextOps {
   private val TrainMinWordCount = 1L
   private val TrainMaxVocabWords = 100000
 
-  /** The reader-side per-shard audit (q_pack_shards / q_pipeline_pack):
-    * write `docs` (doc_id, text) as packed shards into a scratch dir,
-    * read the ARTIFACT back, and report per-shard sequence/token/full
-    * counts plus the token-id sum — the numbers [[packShardsTailSql]]
-    * rebuilds arithmetically without ever seeing the writer.
-    */
   /** Reader-side reassembly + decode of a written pack artifact
     * (q_pack_detokenize / q_pack_detokenize_shuffled): spans slice each
     * document's ids out of its sequences map-side, the one groupBy
@@ -773,6 +767,12 @@ object TextOps {
           .cast("binary")).as("text_md5"))
       .orderBy(col("doc_id"))
 
+  /** The reader-side per-shard audit (q_pack_shards / q_pipeline_pack):
+    * write `docs` (doc_id, text) as packed shards into a scratch dir,
+    * read the ARTIFACT back, and report per-shard sequence/token/full
+    * counts plus the token-id sum — the numbers [[packShardsTailSql]]
+    * rebuilds arithmetically without ever seeing the writer.
+    */
   private[ops] def packShardsAudit(s: SparkSession, docs: DataFrame,
       fullCharset: Boolean = false,
       idsExpr: Option[org.apache.spark.sql.Column] = None,

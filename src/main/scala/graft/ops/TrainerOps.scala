@@ -386,10 +386,7 @@ object TrainerOps {
       hexPrefix: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sized = docs.select(col("doc_id"),
-      least(size(split(col("text"), " ")).cast(LongType), lit(cap)).as("n"),
-      substring(md5(col("doc_id").cast(StringType)), 1, hexPrefix).as("bucket"))
-    sized
+    packBucketed(docs, cap, hexPrefix)
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("n"), col("doc_id"))).as("ds"))
       .as[(String, Seq[(Long, Long)])]
@@ -409,6 +406,27 @@ object TrainerOps {
       }
       .toDF("bucket", "bin", "n_docs", "fill_tokens", "pad_tokens")
       .orderBy(col("bucket"), col("bin"))
+  }
+
+  /** The shared (bucket, doc_id, n) projection of the bin-packing pair
+    * ([[packFirstFit]] and `streaming.StreamingBinPack`): the md5
+    * hex-prefix bucket (16^hexPrefix keys) and the whitespace token
+    * count truncated to the cap — ONE definition, so the batch and
+    * streaming twins cannot desynchronize on the convention their
+    * specs pin as agreeing. The guards live here so both forms fail at
+    * declaration, not deep inside an executor task: hexPrefix <= 0
+    * would silently collapse every document into one bucket (the
+    * single-task corpus fold the bucketing exists to prevent), and
+    * md5 has only 32 hex chars.
+    */
+  def packBucketed(docs: DataFrame, cap: Long, hexPrefix: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(hexPrefix >= 1 && hexPrefix <= 32,
+      s"hexPrefix must be in [1, 32], got $hexPrefix")
+    docs.select(
+      substring(md5(col("doc_id").cast(StringType)), 1, hexPrefix).as("bucket"),
+      col("doc_id"),
+      least(size(split(col("text"), " ")).cast(LongType), lit(cap)).as("n"))
   }
 
   /** DuckDB oracle for [[packFirstFit]] at cap 256, hexPrefix 1: the FFD

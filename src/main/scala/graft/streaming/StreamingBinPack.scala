@@ -80,14 +80,14 @@ object StreamingBinPack {
     */
   def apply(docs: DataFrame, cap: Long = 256L, hexPrefix: Int = 1,
       maxOpen: Int = 64): Dataset[BinAssignment] = {
+    require(maxOpen > 0, s"maxOpen must be positive, got $maxOpen")
     implicit val tupleEnc =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
     implicit val outEnc = Encoders.product[BinAssignment]
-    docs
-      .select(
-        substring(md5(col("doc_id").cast("string")), 1, hexPrefix).as("bucket"),
-        col("doc_id"),
-        least(size(split(col("text"), " ")).cast("long"), lit(cap)).as("n"))
+    // the (bucket, doc_id, n) projection is SHARED with the batch twin
+    // (TrainerOps.packBucketed) — one definition of the bucketing and
+    // cap-truncation convention, and its cap/hexPrefix guards
+    graft.ops.TrainerOps.packBucketed(docs, cap, hexPrefix)
       .as[(String, Long, Long)]
       .groupByKey(_._1)(Encoders.STRING)
       .transformWithState(new OnlineBinPackProcessor(cap, maxOpen),
