@@ -748,6 +748,52 @@ object TextDedup {
        SELECT doc_id, keeper_id FROM comp
        WHERE doc_id != keeper_id ORDER BY doc_id"""
 
+  /** LEAKAGE-SAFE train/val/test split (the grouped split, sklearn's
+    * GroupShuffleSplit discipline): assignment is a pure md5 function of
+    * the near-dup CLUSTER representative, not the document — so
+    * near-duplicate documents can never straddle a split boundary, the
+    * hygiene failure that silently inflates eval scores when a test
+    * doc's twin sits in train. Groups are the q_dedup_clusters
+    * components (3-gram Jaccard ≥ 0.6 pairs through
+    * [[connectedComponents]]); singletons group as themselves; the
+    * 80/10/10 md5-prefix thresholds are q_train_split's, so the
+    * doc-keyed vs group-keyed assignments are directly comparable.
+    * Output per (source, split): docs and GROUPS — the group count is
+    * what a leakage audit reads. Scale shape: the cluster machinery is
+    * the audited CC path (banded pairs + pre-contracted union-find);
+    * the split itself adds one broadcast-able left join against the
+    * clustered-docs relation (pair-bounded, tiny vs the corpus) and a
+    * source-cardinality aggregate.
+    */
+  def leakageSafeSplit(docs: DataFrame): DataFrame = {
+    val comp = connectedComponents(ngramJaccardPairsPrefix(docs, 0.6))
+    val g = docs.select(col("doc_id"), col("source"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keeper_id"), col("doc_id")))
+    val h = substring(md5(col("grp").cast(StringType)), 1, 2)
+    g.withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val leakageSafeSplitOracleSql: String =
+    clustersCtePrefix +
+      """,
+       g AS (SELECT d2.doc_id, d2.source, COALESCE(c.keeper_id, d2.doc_id) AS grp
+             FROM documents d2 LEFT JOIN comp c ON c.doc_id = d2.doc_id),
+       a AS (SELECT source,
+                    CASE WHEN h < 'cc' THEN 'train'
+                         WHEN h < 'e6' THEN 'val'
+                         ELSE 'test' END AS split, grp
+             FROM (SELECT source, grp, substr(md5(CAST(grp AS VARCHAR)), 1, 2) AS h
+                   FROM g))
+       SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+       FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // Cleaned corpus under cluster-best keeper selection: one keeper per
   // near-dup cluster chosen by quality (n_chars DESC, doc_id tie-break),
   // plus every singleton untouched.
@@ -1080,6 +1126,10 @@ object TextDedup {
         .filter(col("doc_id") =!= col("keeper_id"))
         .orderBy(col("doc_id")),
       Some(clustersOracleSql)),
+
+    Q("q_split_leakage_safe",
+      (s, dir) => leakageSafeSplit(t(s, dir, "documents")),
+      Some(leakageSafeSplitOracleSql)),
 
     Q("q_dedup_clusters_star",
       (s, dir) => connectedComponents(ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6),

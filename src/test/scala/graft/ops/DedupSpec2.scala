@@ -49,3 +49,42 @@ class CcRegimeSpec extends SparkSpec {
     assert(run(0L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 }
+
+/** The grouped-split hygiene pin: leakage-safe assignment keeps every
+  * near-dup pair on one side of the split, where the doc-keyed split
+  * (q_train_split's convention) provably does not on this fixture.
+  */
+class LeakageSafeSplitSpec extends SparkSpec {
+
+  test("no near-dup pair straddles a split; doc-keyed assignment would leak") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    def md5p(x: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(2)
+    def splitOf(key: Long): String = {
+      val h = md5p(key)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val pairs = TextDedup.ngramJaccardPairsPrefix(docs, 0.6)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs - pin is vacuous")
+    val comp = TextDedup.connectedComponents(
+        TextDedup.ngramJaccardPairsPrefix(docs, 0.6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def grp(id: Long): Long = comp.getOrElse(id, id)
+    // the property the operator exists for: zero straddling pairs
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(grp(a)) == splitOf(grp(b)),
+        s"pair ($a, $b) straddles the grouped split")
+    }
+    // and the doc-keyed split DOES leak on this fixture (so the pin bites)
+    assert(pairs.exists { case (a, b) => splitOf(a) != splitOf(b) },
+      "doc-keyed split leaks nothing here - fixture too weak to pin")
+    // aggregated output partitions the corpus
+    val out = TextDedup.leakageSafeSplit(docs).collect()
+    assert(out.map(_.getLong(2)).sum == docs.count())
+    assert(out.map(_.getString(1)).toSet == Set("train", "val", "test"))
+  }
+}
