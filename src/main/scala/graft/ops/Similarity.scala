@@ -72,26 +72,39 @@ object Similarity {
     * eval set is tiny by construction and BROADCASTS (the bruteForceTopK
     * shape) — the corpus streams through once, nothing shuffles before
     * the flag filter; for a fat eval set the bucketed paths (semDedup
-    * cells, lshTopK tables, the stored IVF index) bound candidates the
-    * same way they do for dedup.
+    * cells, lshTopK tables, the stored IVF index — wired as
+    * [[sources.VectorIndexStore.semanticDecontaminate]] /
+    * `q_decontaminate_semantic_ivf`) bound candidates the same way they
+    * do for dedup.
+    *
+    * The argmax is an AGGREGATE (`max(struct(cosine, -eval_id))` — ties
+    * to the lower eval id), never a window over the corpus×eval
+    * expansion: partial aggregation reduces map-side, so the shuffle
+    * carries at most one row per corpus vector per partition instead of
+    * the full n_corpus × n_eval expanded relation (at 10⁹ corpus × 10³
+    * eval vectors, 10⁹ shuffled rows instead of 10¹²; pinned by
+    * EngineMetricsSpec). Zero-norm embeddings are excluded on BOTH legs:
+    * cosine against a zero vector is x/0 = NaN/Inf, which would
+    * otherwise sort above every real match.
     */
   def semanticDecontaminate(s: SparkSession, emb: DataFrame,
       minCos: Double = 0.3): DataFrame = {
     val e = withNorm(s, emb.filter(col("embedding").isNotNull))
+      .filter(col("norm") > 0)
     val ev = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("eval_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm"))
     val tr = e.filter(col("vec_id") % 97 =!= 0)
       .select(col("vec_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("eval_id"))
     tr.crossJoin(broadcast(ev))
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1 && col("cosine") >= minCos)
-      .select(col("vec_id"), col("eval_id").as("best_eval_id"),
-        col("cosine").as("best_cosine"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval")))
+        .as("best"))
+      .filter(col("best.cosine") >= minCos)
+      .select(col("vec_id"), (-col("best.neg_eval")).as("best_eval_id"),
+        col("best.cosine").as("best_cosine"))
       .orderBy(col("vec_id"))
   }
 
@@ -821,6 +834,26 @@ object Similarity {
          FROM ($unions) ORDER BY rerank"""
   }
 
+  // DuckDB mirror of semanticDecontaminate — shared verbatim by the
+  // brute-force row and the stored-IVF row (the IVF row runs in the
+  // exact regime, nprobe = nlist: every cell is probed, so every
+  // (train, eval) pair is scored exactly once and the result set equals
+  // the brute force BY CONSTRUCTION — the q_hll_union convention).
+  // Zero-norm vectors are excluded on both legs, mirroring the NaN
+  // guard in the Spark code.
+  private def sqlSemanticDecon(minCos: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings z
+                   WHERE z.embedding IS NOT NULL AND ${sqlNorm("z")} > 0),
+               p AS (SELECT t.vec_id, q.vec_id AS eval_id,
+                            ${sqlDot("q", "t")} / (${sqlNorm("q")} * ${sqlNorm("t")}) AS cosine
+                     FROM e t, e q WHERE q.vec_id % 97 = 0 AND t.vec_id % 97 <> 0),
+               r AS (SELECT vec_id, eval_id, cosine,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, eval_id) AS rnk
+                     FROM p)
+               SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine
+               FROM r WHERE rnk = 1 AND cosine >= $minCos ORDER BY vec_id"""
+
   // DuckDB mirror of the double-promoted, index-ordered fold.
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)), (acc, x) -> acc + x)"
@@ -831,16 +864,28 @@ object Similarity {
 
     Q("q_decontaminate_semantic",
       (s, dir) => semanticDecontaminate(s, t(s, dir, "embeddings"), 0.3),
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-               p AS (SELECT t.vec_id, q.vec_id AS eval_id,
-                            ${sqlDot("q", "t")} / (${sqlNorm("q")} * ${sqlNorm("t")}) AS cosine
-                     FROM e t, e q WHERE q.vec_id % 97 = 0 AND t.vec_id % 97 <> 0),
-               r AS (SELECT vec_id, eval_id, cosine,
-                            row_number() OVER (PARTITION BY vec_id
-                              ORDER BY cosine DESC, eval_id) AS rnk
-                     FROM p)
-               SELECT vec_id, eval_id AS best_eval_id, cosine AS best_cosine
-               FROM r WHERE rnk = 1 AND cosine >= 0.3 ORDER BY vec_id""")),
+      Some(sqlSemanticDecon(0.3))),
+
+    // FAT-EVAL-SET semantic decontamination — the same flag/argmax
+    // semantics routed through the STORED IVF index
+    // (sources.VectorIndexStore): eval probes read their vectors and
+    // nprobe nearest cells from the index; candidates are a cell-PRUNED
+    // scan of the inverted lists, never a corpus pass. This is the shape
+    // for a real eval SUITE (MMLU+GSM8K+HumanEval can reach 10⁵–10⁶
+    // vectors — too fat to broadcast against every corpus partition
+    // without cell pruning). Declared in the EXACT REGIME (nprobe =
+    // nlist = all cells probed), where cell routing is provably lossless
+    // — every (train, eval) pair is scored exactly once — so the row
+    // shares the brute-force oracle verbatim; SimilaritySpec pins
+    // brute == indexed row-for-row on the fixture and the narrow-probe
+    // recall behavior.
+    Q("q_decontaminate_semantic_ivf",
+      (s, dir) => {
+        val idx = graft.sources.VectorIndexStore.ensure(s, dir)
+        graft.sources.VectorIndexStore.semanticDecontaminate(s, idx, 0.3,
+          nprobe = graft.sources.VectorIndexStore.NList)
+      },
+      Some(sqlSemanticDecon(0.3))),
 
     Q("q_embed_neardup",
       (s, dir) => cosinePairs(s, t(s, dir, "embeddings"), 0.5)

@@ -211,6 +211,55 @@ object VectorIndexStore {
         col("n_id"), col("cosine"))
   }
 
+  /** FAT-EVAL-SET semantic decontamination over the STORED index — the
+    * scale form of `ops.Similarity.semanticDecontaminate` (same
+    * flag/argmax semantics, same eval split convention vec_id % 97 == 0):
+    * every eval probe reads its vector and its `nprobe` nearest cells
+    * from the index; candidates are a cell-PRUNED scan of the inverted
+    * lists restricted to train vectors — the corpus file is never
+    * touched, and an eval suite too fat to broadcast against every
+    * corpus partition only meets the cells it probes. Each train vector
+    * lives in exactly ONE cell, so a (train, eval) pair is scored at most
+    * once; at nprobe = nlist every cell is probed and the pair coverage
+    * is provably complete — the EXACT REGIME the declared row runs in,
+    * sharing the brute-force oracle. The argmax is the same AGGREGATE
+    * (max(struct(cosine, -eval_id)), ties to the lower eval id) as the
+    * in-query form: partial aggregation means the shuffle carries at most
+    * one row per train vector per partition, never the train×eval
+    * expansion. Zero-norm vectors are excluded on both legs (cosine
+    * against a zero vector is NaN).
+    */
+  def semanticDecontaminate(spark: SparkSession, indexDir: String,
+      minCos: Double, nprobe: Int = 4): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("norm") > 0)
+    val ev = lists.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"),
+        explode(VectorFunctions.nearestCells(col("embedding"), cents, nprobe))
+          .as("cell"))
+    // literal IN list so the candidate scan partition-prunes at planning
+    // (the ivfTopK convention); bounded at <= nlist values
+    val probed = ev.select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted
+    val tr = lists.filter(col("vec_id") % 97 =!= 0 &&
+        col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cell"))
+    broadcast(ev).join(tr, Seq("cell"))
+      .withColumn("cosine",
+        VectorFunctions.floatDot(spark, col("a_emb"), col("b_emb"))
+          / (col("a_norm") * col("b_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval")))
+        .as("best"))
+      .filter(col("best.cosine") >= minCos)
+      .select(col("vec_id"), (-col("best.neg_eval")).as("best_eval_id"),
+        col("best.cosine").as("best_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-PQ top-k over the STORED index: candidates come from the
     * cell-pruned `codes` table (≈9 bytes/vector — the compressed shuffle
     * the in-query path documents), ADC-scored against a broadcast lookup

@@ -85,6 +85,26 @@ class EngineMetricsSpec extends SparkSpec {
     } finally ed.unpersist()
   }
 
+  test("q_decontaminate_semantic: the argmax shuffle never carries the corpus x eval expansion") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val nEval = emb.filter(col("vec_id") % 97 === 0).count()
+    val nTrain = emb.filter(col("vec_id") % 97 =!= 0).count()
+    assert(nEval >= 2 && nTrain > 100, s"fixture sanity: $nTrain train x $nEval eval")
+    val p = EngineMetrics.profile(
+      graft.SparkEntry.queries("q_decontaminate_semantic")(spark, sf001))
+    // the aggregate argmax reduces map-side: at most one partial row per
+    // train vector per map partition enters the shuffle (plus the flagged
+    // rows the final orderBy repartitions) — never the nTrain x nEval
+    // cross-join expansion a window-ranked argmax would shuffle
+    assert(p.shuffleRecords > 0, s"$p")
+    assert(p.shuffleRecords < nTrain * nEval / 2,
+      s"argmax must not shuffle the expanded relation ($nTrain x $nEval): $p")
+    assert(p.shuffleRecords <= 3 * nTrain,
+      s"shuffle must be bounded by train vectors, not scored pairs: $p")
+  }
+
   test("q1_agg: zero spill at test scale, one shuffle boundary pair") {
     val p = prof("q1_agg")
     assert(p.spillBytes == 0, s"hash agg must not spill at sf0.001: $p")

@@ -112,4 +112,53 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.nonEmpty && got == expected)
   }
+
+  test("semanticDecontaminate excludes zero-norm vectors on both legs (NaN guard)") {
+    import spark.implicits._
+    // vec 0: zero EVAL vector (0 % 97 == 0) — cosine against it is x/0 =
+    // NaN, which sorts above every real value and would silently win the
+    // argmax if not excluded. vec 97: real eval. vec 1: identical to the
+    // real eval (cosine 1). vec 2: orthogonal (cosine 0 < threshold).
+    // vec 3: zero TRAIN vector — must not appear at all.
+    val dim = 64
+    def v(hot: Int*): Seq[Float] =
+      (0 until dim).map(i => if (hot.contains(i)) 1f else 0f)
+    val zero = Seq.fill(dim)(0f)
+    val fx = Seq(
+      (0L, zero), (97L, v(0, 1)), (1L, v(0, 1)), (2L, v(5)), (3L, zero)
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = Similarity.semanticDecontaminate(spark, fx, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map { case (id, ev, c) => (id, ev, math.abs(c - 1.0) < 1e-12) }
+        == Seq((1L, 97L, true)),
+      s"zero-norm eval must not NaN-shadow the real match, zero-norm train must drop: $got")
+  }
+
+  test("stored-IVF semantic decontamination equals the brute force row-for-row (exact regime)") {
+    val idx = graft.sources.VectorIndexStore.ensure(spark, sf001)
+    val brute = Similarity.semanticDecontaminate(spark, emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ivf = graft.sources.VectorIndexStore
+      .semanticDecontaminate(spark, idx, 0.3,
+        nprobe = graft.sources.VectorIndexStore.NList)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(ivf.nonEmpty && ivf == brute,
+      s"exact regime (nprobe = nlist) must reproduce the brute force: ${ivf.size} vs ${brute.size}")
+  }
+
+  test("stored-IVF semantic decontamination at narrow nprobe: flags are a sound subset") {
+    val idx = graft.sources.VectorIndexStore.ensure(spark, sf001)
+    val brute = Similarity.semanticDecontaminate(spark, emb, 0.3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val narrow = graft.sources.VectorIndexStore
+      .semanticDecontaminate(spark, idx, 0.3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // a narrow probe can only MISS leaks, never invent one, and its best
+    // cosine never exceeds the full argmax
+    narrow.foreach { case (id, c) =>
+      assert(brute.contains(id), s"vec $id flagged at nprobe=4 but not by brute force")
+      assert(c <= brute(id) + 1e-12, s"vec $id: narrow cosine $c > brute ${brute(id)}")
+    }
+  }
 }
