@@ -76,7 +76,79 @@ object CorpusOps {
       }
     }
 
+  /** CROSS-SOURCE contamination matrix — the mixture-hygiene audit a
+    * team reads before weighting sources (q_temperature_mix /
+    * q_source_epochs decide HOW MUCH of each source; this reports how
+    * much of each source is ALREADY IN the others): for every source
+    * pair, the count of distinct 3-word shingles both contain and the
+    * Jaccard overlap of their shingle sets. High off-diagonal mass
+    * means the mixture double-counts content (mirrors of the same
+    * crawl, syndicated text) and the dedup pass should run ACROSS those
+    * sources, not within.
+    *
+    * Scale shape: one pass shingles the corpus; only DISTINCT
+    * (source, xxhash64) 16-byte rows survive to the self-join (the
+    * q_dedup_ngram hash-vs-string convention — the oracle decides on
+    * strings), and per-hash join fan-out is bounded by the SOURCE
+    * count, not the corpus (a shingle row exists once per source no
+    * matter how often the shingle repeats inside it), so the pair
+    * relation is at most sources² rows per shingle value and the
+    * output is the sources×sources matrix.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(graft.functions.TextFunctions.wordWindows(col("text"), k, 1))
+          .as("chunk"))
+      .select(col("source"), xxhash64(col("chunk")).as("h"))
+      .distinct()
+      .persist() // both sides of the pair join and the size aggregate
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  private val sourceOverlapOracle: String =
+    """WITH d AS (SELECT source, text, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+       sh AS (SELECT DISTINCT source, chunk FROM (
+                SELECT source,
+                       CASE WHEN n <= 3 THEN text
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM d, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j))),
+       sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+       pr AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh a JOIN sh b ON a.chunk = b.chunk AND a.source < b.source
+              GROUP BY 1, 2)
+       SELECT pr.source_a, pr.source_b, pr.n_shared,
+              za.n AS n_a, zb.n AS n_b,
+              CAST(pr.n_shared AS DOUBLE) / CAST(za.n + zb.n - pr.n_shared AS DOUBLE) AS jaccard
+       FROM pr JOIN sz za ON za.source = pr.source_a
+               JOIN sz zb ON zb.source = pr.source_b
+       ORDER BY 1, 2"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_source_overlap",
+      (s, dir) => sourceOverlap(t(s, dir, "documents")),
+      Some(sourceOverlapOracle)),
 
     // TF-IDF top-3 terms per document. Scoring uses ratio idf (tf * N/df)
     // rather than log idf: the ranking inputs stay integer-exact and the

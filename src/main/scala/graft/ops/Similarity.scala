@@ -108,6 +108,104 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SEMANTIC-DECONTAMINATION PROBE-DEPTH SWEEP — the calibration member
+    * for the fat-eval-set path (the q_ivf_recall discipline pointed at
+    * decontamination): per IVF probe depth, how many of the true leak
+    * flags the cell-routed pass recovers, and the candidate volume that
+    * depth pays — the recall×price table a team reads before fixing
+    * `nprobe` for an eval-suite decontamination run, where a missed
+    * flag is leaked eval data (so the acceptable recall floor is much
+    * higher than for search). ONE shared pass: centroids, train-side
+    * cell assignments and eval probes are computed once at the WIDEST
+    * depth; each candidate pair records `first_probe` (each train
+    * vector lives in exactly one cell, so a pair appears at most once)
+    * and every narrower depth is a filter over the same scored
+    * relation. At nprobe = nlist the sweep's own widest row IS the
+    * truth (coverage provably complete), so recall@max = 1 by
+    * construction — deterministic end-to-end, fully SQL-oracled.
+    */
+  def semanticDecontaminateSweep(s: SparkSession, embRaw: DataFrame,
+      minCos: Double = 0.3, nlist: Int = 16,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val maxP = probes.max
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val centroids = refinedCentroids(s, emb, nlist)
+    val e = withNorm(s, emb).filter(col("norm") > 0)
+    val tr = nearestCells(s, e.filter(col("vec_id") % 97 =!= 0), centroids, 1)
+      .select(col("vec_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cells")(0).as("cell"))
+    val ev = nearestCells(s, e.filter(col("vec_id") % 97 === 0), centroids, maxP)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"), posexplode(col("cells")).as(Seq("pos", "cell")))
+    val cand = broadcast(ev).join(tr, Seq("cell"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .select(col("vec_id"), col("eval_id"),
+        (col("pos") + 1).as("first_probe"), col("cosine"))
+      .persist() // every probe depth filters this one scored relation
+    cand.count()
+    val truth = cand.groupBy(col("vec_id"))
+      .agg(max(col("cosine")).as("mc")).filter(col("mc") >= minCos)
+      .agg(count(lit(1)).as("n_true"))
+    val rows = probes.map { p =>
+      val flags = cand.filter(col("first_probe") <= p)
+        .groupBy(col("vec_id")).agg(max(col("cosine")).as("mc"))
+        .filter(col("mc") >= minCos)
+        .agg(count(lit(1)).as("n_flagged"))
+      flags.crossJoin(cand.filter(col("first_probe") <= p)
+          .agg(count(lit(1)).as("n_cand")))
+        .select(lit(p).as("nprobe"), col("n_flagged"), col("n_cand"))
+    }
+    val out = rows.reduce(_ unionAll _).crossJoin(truth)
+      .select(col("nprobe"), col("n_flagged"), col("n_true"),
+        (col("n_flagged").cast(DoubleType) / col("n_true")).as("recall"),
+        col("n_cand"))
+      .orderBy(col("nprobe")).localCheckpoint()
+    cand.unpersist()
+    out
+  }
+
+  // DuckDB mirror of the decontamination probe sweep: shared kmeans CTEs,
+  // eval probes at the widest depth with rank kept, one scored candidate
+  // relation, per-depth flag counts as filters over it (the q_ivf_recall
+  // sharing discipline).
+  private def sqlSemanticDeconSweep(minCos: Double, nlist: Int,
+      probes: Seq[Int]): String = {
+    def dc(a: String, c: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $c.c[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val maxP = probes.max
+    val perP = probes.map { p =>
+      s"""f$p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT vec_id FROM sc WHERE first_probe <= $p
+                GROUP BY vec_id HAVING MAX(cosine) >= $minCos)),
+          r$p AS (SELECT CAST($p AS INT) AS nprobe,
+                   (SELECT n FROM f$p) AS n_flagged,
+                   CAST((SELECT count(*) FROM sc WHERE first_probe <= $p) AS BIGINT) AS n_cand)"""
+    }.mkString(",\n")
+    val unions = probes.map(p => s"SELECT * FROM r$p").mkString(" UNION ALL ")
+    s"""WITH ${sqlKmeansCtes(nlist)},
+           probe AS (SELECT vec_id AS eval_id, cell, rn FROM (
+                       SELECT a.vec_id, c.cell,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dc("a", "c")} DESC, c.cell DESC) AS rn
+                       FROM e a CROSS JOIN cent c
+                       WHERE a.vec_id % 97 = 0 AND ${sqlNorm("a")} > 0)
+                     WHERE rn <= $maxP),
+           sc AS (SELECT s.vec_id, p.eval_id, p.rn AS first_probe,
+                         ${sqlDot("a", "b")} / (${sqlNorm("a")} * ${sqlNorm("b")}) AS cosine
+                  FROM probe p JOIN asg s ON s.cell = p.cell
+                  JOIN embeddings a ON a.vec_id = p.eval_id
+                  JOIN embeddings b ON b.vec_id = s.vec_id
+                  WHERE s.vec_id % 97 <> 0 AND ${sqlNorm("b")} > 0),
+           truth AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM (
+                       SELECT vec_id FROM sc
+                       GROUP BY vec_id HAVING MAX(cosine) >= $minCos)),
+           $perP
+         SELECT nprobe, n_flagged, (SELECT n_true FROM truth) AS n_true,
+                CAST(n_flagged AS DOUBLE) / (SELECT n_true FROM truth) AS recall,
+                n_cand
+         FROM ($unions) ORDER BY nprobe"""
+  }
+
   /** Random-hyperplane LSH top-k — the 100 TB path. Rows with a null
     * embedding produce a null code and are EXCLUDED from candidates (a
     * vector that doesn't exist can't be a neighbor). `tables` independent
@@ -886,6 +984,15 @@ object Similarity {
           nprobe = graft.sources.VectorIndexStore.NList)
       },
       Some(sqlSemanticDecon(0.3))),
+
+    // Probe-depth calibration for the fat-eval decontamination path:
+    // measured flag recall + candidate volume per nprobe, one shared
+    // scored pass (see semanticDecontaminateSweep). matCtes: the shared
+    // relation feeds one leg per depth.
+    Q("q_decontaminate_semantic_sweep",
+      (s, dir) => semanticDecontaminateSweep(s, t(s, dir, "embeddings"), 0.3),
+      Some(matCtes(sqlSemanticDeconSweep(0.3, nlist = 16,
+        probes = Seq(1, 2, 4, 8, 16))))),
 
     Q("q_embed_neardup",
       (s, dir) => cosinePairs(s, t(s, dir, "embeddings"), 0.5)

@@ -610,6 +610,133 @@ object TextDedup {
     out
   }
 
+  /** EXACT corpus-level duplicated-substring spans at CHARACTER
+    * granularity — the suffix-array-grade upgrade of [[repeatedSpans]]
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — the ExactSubstr pass of deduplicate-text-datasets,
+    * public paper/repo, semantics only).
+    *
+    * Semantics (EXACT, provably equal to the suffix-array + LCP pass):
+    * character position p of a document is DUPLICATED iff some substring
+    * of length >= `minLen` covering p has a second occurrence in the
+    * corpus (crossDocOnly: in a DIFFERENT document). Output = the
+    * maximal contiguous runs of duplicated characters per document.
+    *
+    * Why this equals the suffix-array result: a repeated substring of
+    * length m >= L contains m-L+1 stride-1 windows of length exactly L,
+    * each repeated; conversely every repeated L-window IS a repeated
+    * substring of length L. So the covered-position union of repeats
+    * >= L equals the covered union of repeated exact-L windows — the
+    * same set SA+LCP computes via max-LCP(p) >= L. Unlike the word-
+    * shingle approximation, there is no hash trust and no word-boundary
+    * blindness: window equality is decided on the actual CHARACTERS, so
+    * repeats shorter than k words but >= L chars, and repeats starting
+    * mid-word, are all found (DedupExactSpansSpec proves both the
+    * equivalence against a brute-force all-pairs common-prefix
+    * enumeration and the approximation's misses).
+    *
+    * Scale shape (the reason this beats a distributed suffix array): the
+    * first pass shuffles ONLY (xxhash64, doc_id, pos) longs — linear in
+    * corpus characters, same bound as [[repeatedSpans]]. Content
+    * verification is hit-first (the decontaminate join-order
+    * discipline): the hash-candidate positions (16-byte rows) join the
+    * corpus on doc_id — the lake layout key, so at 100 TB the text side
+    * is zero-exchange under bucketing — and only the CANDIDATE windows'
+    * text (hit-bounded + ~n·2⁻⁶⁴ expected collision rows) ever shuffles,
+    * once, for the exact string group-by. A prefix-doubling suffix array
+    * would shuffle full-corpus rank rows log(n) times for the same
+    * answer.
+    *
+    * Documents shorter than `minLen` characters have no length-L window
+    * and can never be covered — they are excluded up front (the word
+    * form's whole-doc fallback is an approximation choice this exact
+    * pass deliberately does not copy). Offsets are in characters; the
+    * fixture corpus is ASCII so Spark and DuckDB character arithmetic
+    * agree byte-for-byte.
+    */
+  def repeatedSpansExact(docs: DataFrame, minLen: Int = 50,
+      crossDocOnly: Boolean = true): DataFrame = {
+    val L = minLen
+    // pass 1: hash every stride-1 L-char window; only longs shuffle
+    val winsH = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        expr(s"xxhash64(substring(text, pos + 1, $L))").as("h"))
+      .persist() // read by the hash histogram and the hit side
+    val dupH =
+      if (crossDocOnly)
+        winsH.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("h"))
+      else winsH.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+    // pass 2 (hit-first): candidate positions re-derive their window
+    // TEXT and the repeat test re-runs on actual characters — hashing is
+    // a prefilter, never the verdict, which is what makes this EXACT
+    val hitPos = winsH.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val cand = hitPos.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, CAST(pos AS INT) + 1, $L)").as("chunk"))
+    val dupChunk =
+      if (crossDocOnly)
+        cand.select(col("chunk"), col("doc_id")).distinct()
+          .groupBy(col("chunk")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("chunk"))
+      else cand.groupBy(col("chunk")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("chunk"))
+    val verified = cand.join(dupChunk, Seq("chunk"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // maximal runs of covered characters: window at p covers
+    // [p, p+L-1], so coverage is contiguous iff the next start is
+    // <= prev + L (note: the word form's `> k - 1` merges only
+    // OVERLAPPING windows and can split one contiguous covered run at a
+    // touching boundary — the exact pass merges touching coverage too)
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = verified
+      .withColumn("prev", lag(col("pos"), 1).over(w1))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+      .localCheckpoint()
+    winsH.unpersist()
+    out
+  }
+
+  /** DuckDB mirror of [[repeatedSpansExact]] (crossDocOnly = true) up to
+    * the span relation `spx` — shared by the spans row and the cut row.
+    * The oracle groups window STRINGS directly (DuckDB needs no hash
+    * prefilter at gate SF), which is the point: it replays the exact
+    * semantics, not the engine's two-pass plan.
+    */
+  private def exactSpansOracleCtes(l: Int): String =
+    s"""dx AS (SELECT doc_id, text, length(text) AS n FROM documents
+              WHERE length(text) >= $l),
+        winx AS (SELECT doc_id, i AS pos, substring(text, i + 1, $l) AS chunk
+                 FROM dx, LATERAL (SELECT unnest(range(0, n - $l + 1)) AS i)),
+        dupx AS (SELECT chunk FROM winx GROUP BY chunk
+                 HAVING count(DISTINCT doc_id) >= 2),
+        hitx AS (SELECT w.doc_id, w.pos FROM winx w
+                 WHERE w.chunk IN (SELECT chunk FROM dupx)),
+        islx AS (SELECT doc_id, pos,
+                        SUM(CASE WHEN prev IS NULL OR pos - prev > $l
+                            THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM (SELECT doc_id, pos,
+                              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                       FROM hitx)),
+        spx AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                       CAST(MAX(pos) + $l - 1 AS BIGINT) AS span_end
+                FROM islx GROUP BY doc_id, island)"""
+
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
       .select(col("doc_id"),
@@ -1297,6 +1424,102 @@ object TextDedup {
                      CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
                      md5(coalesce(string_agg(word, ' ' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
               FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // EXACT (suffix-array-grade) duplicated-substring spans at CHARACTER
+    // granularity — the upgrade q_repeated_spans_corpus approximates:
+    // window equality decided on actual characters (hashing is only a
+    // prefilter), threshold in chars not words, so repeats shorter than
+    // k words and repeats starting mid-word are found, and the reported
+    // spans are provably the maximal runs of positions covered by some
+    // cross-document repeat >= 50 chars — the exact set a suffix array +
+    // LCP pass computes (see repeatedSpansExact's equivalence argument;
+    // DedupExactSpansSpec proves it against a brute-force all-pairs
+    // common-prefix enumeration and exhibits repeats the word-shingle
+    // form misses). The oracle replays the semantics directly on window
+    // strings.
+    Q("q_repeated_spans_exact",
+      (s, dir) => repeatedSpansExact(t(s, dir, "documents"), 50,
+          crossDocOnly = true)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH ${exactSpansOracleCtes(50)}
+               SELECT doc_id, span_start, span_end,
+                      span_end - span_start + 1 AS span_chars
+               FROM spx ORDER BY doc_id, span_start""")),
+
+    // The ANY-OCCURRENCE exact variant (crossDocOnly = false): a window
+    // repeated ANYWHERE — a second document or the same one — marks its
+    // positions, the Lee-et-al within-corpus semantics that also catches
+    // periodic/self-repeating boilerplate inside one document (the
+    // cross-doc row deliberately ignores it). Same exactness argument,
+    // same two-pass hash-prefilter + string-verify plan; the spec
+    // exhibits a doc whose internal 50-char repeat only this row reports.
+    Q("q_repeated_spans_exact_any",
+      (s, dir) => repeatedSpansExact(t(s, dir, "documents"), 50,
+          crossDocOnly = false)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH dx AS (SELECT doc_id, text, length(text) AS n FROM documents
+                    WHERE length(text) >= 50),
+              winx AS (SELECT doc_id, i AS pos, substring(text, i + 1, 50) AS chunk
+                       FROM dx, LATERAL (SELECT unnest(range(0, n - 50 + 1)) AS i)),
+              dupx AS (SELECT chunk FROM winx GROUP BY chunk
+                       HAVING count(*) >= 2),
+              hitx AS (SELECT w.doc_id, w.pos FROM winx w
+                       WHERE w.chunk IN (SELECT chunk FROM dupx)),
+              islx AS (SELECT doc_id, pos,
+                              SUM(CASE WHEN prev IS NULL OR pos - prev > 50
+                                  THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                       FROM (SELECT doc_id, pos,
+                                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                             FROM hitx))
+              SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                     CAST(MAX(pos) + 49 AS BIGINT) AS span_end,
+                     CAST(MAX(pos) + 49 - MIN(pos) + 1 AS BIGINT) AS span_chars
+              FROM islx GROUP BY doc_id, island
+              ORDER BY doc_id, span_start""")),
+
+    // APPLYING the exact span cut — the q_span_removed_text composition
+    // re-run on the EXACT char-level spans (the pass Lee et al. actually
+    // ship): every character covered by a cross-document repeat >= 50
+    // chars is removed, and the doc's cleaned bytes are pinned by md5.
+    // Spans per doc are disjoint maximal islands and broadcast
+    // (hit-bounded); the cut itself is one per-doc codegen/HOF pass, no
+    // extra shuffle.
+    Q("q_repeated_spans_exact_cut",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perDoc = repeatedSpansExact(docs, 50, crossDocOnly = true)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+        docs.join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("clean_text",
+            when(length(col("text")) === 0, lit("")).otherwise(expr(
+              """array_join(transform(filter(transform(sequence(0, length(text) - 1),
+                   i -> struct(substring(text, i + 1, 1) AS ch, CAST(i AS BIGINT) AS i)),
+                   x -> spans IS NULL OR NOT exists(spans,
+                     sp -> x.i >= sp.span_start AND x.i <= sp.span_end)),
+                   y -> y.ch), '')""")))
+          .select(col("doc_id"),
+            length(col("text")).cast(LongType).as("n_chars_total"),
+            (length(col("text")) - length(col("clean_text"))).cast(LongType)
+              .as("n_removed"),
+            md5(col("clean_text").cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${exactSpansOracleCtes(50)},
+               wc AS (SELECT doc_id, i, substring(text, i + 1, 1) AS ch
+                      FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+                           LATERAL (SELECT unnest(range(0, n)) AS i)),
+               markedc AS (SELECT w.doc_id, w.i, w.ch,
+                                  EXISTS(SELECT 1 FROM spx
+                                         WHERE spx.doc_id = w.doc_id
+                                           AND w.i BETWEEN spx.span_start AND spx.span_end) AS rm
+                           FROM wc w)
+               SELECT doc_id,
+                      CAST(count(*) AS BIGINT) AS n_chars_total,
+                      CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                      md5(coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+               FROM markedc GROUP BY doc_id ORDER BY doc_id""")),
 
     // Content-defined chunk dedup (the rsync/CDC idea at word
     // granularity): a chunk boundary falls AFTER every trigger word

@@ -754,6 +754,214 @@ object TrainerOps {
               CAST(count(*) AS DOUBLE) / count(DISTINCT island) AS mean_span_len
        FROM isl GROUP BY doc_id, n ORDER BY doc_id"""
 
+  /** MULTI-TURN conversation SFT (the production generalization of
+    * [[packSftMask]]'s single prompt/response boundary): a chat-formatted
+    * document is a sequence of role-alternating turns, each rendered
+    * inside a chat template, and the loss trains ONLY on assistant
+    * CONTENT tokens plus the assistant turn's end-of-turn token — user
+    * turns and every template header are masked.
+    *
+    * Deterministic turn synthesis from the fixture (it has no chat
+    * field; the ARITHMETIC — per-turn template overhead, role-dependent
+    * mask intervals over the pack layout, boundary splits, adjacent-turn
+    * merges — is the operator): doc d has T = 2·(1 + md5("sft2:"+d) % 3)
+    * turns (2/4/6, user first, alternating); turn i's content is the
+    * word slice [⌊i·n/T⌋, ⌊(i+1)·n/T⌋) — integer `div` on both engines,
+    * no floats. The template charges 3 tokens per turn
+    * (<|im_start|>, role, <|im_end|>), so the doc occupies
+    * 3T + n tokens of the [[TextOps.tokenShards]] layout.
+    *
+    * Masked (loss = 0) intervals, doc-local: a user turn masks WHOLLY
+    * ([o_i, o_i + c_i + 2]); an assistant turn masks only its header
+    * ([o_i, o_i + 1]) — its content and <|im_end|> train. A user turn's
+    * mask is ADJACENT to the next assistant header's, so the island
+    * merge fuses them (per-turn intervals never explode per-position
+    * rows — the packSftMask interval discipline; O(docs·turns +
+    * masked_tokens/L) rows corpus-wide).
+    */
+  def packSftMaskMultiturn(docs: DataFrame, budget: Long = 256L,
+      seqsPerShard: Long = 8L): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sft2:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val turnsCol = lit(2L) * (lit(1L) + (h % 3))
+    val base = TextOps.tokenShards(docs, budget = budget,
+        nTokens = lit(3L) * turnsCol +
+          size(split(col("text"), " ")).cast(LongType))
+      .withColumn("t", turnsCol) // md5-recomputable from doc_id alone
+      .withColumn("n", col("n_tokens") - lit(3L) * col("t"))
+    val iv = base
+      .select(col("offset"), col("n"), col("t"),
+        explode(expr("sequence(0L, t - 1L)")).as("i"))
+      .withColumn("o_i", lit(3L) * col("i") + expr("(i * n) div t"))
+      .withColumn("c_i", expr("((i + 1) * n) div t - (i * n) div t"))
+      .select((col("offset") + col("o_i")).as("s"),
+        (col("offset") + col("o_i") +
+          when(col("i") % 2 === 0, col("c_i") + 2L).otherwise(lit(1L))).as("e"))
+    val split0 = iv
+      .select(col("s"), col("e"),
+        explode(expr(s"sequence(s div ${budget}L, e div ${budget}L)")).as("seq"))
+      .select(col("seq"),
+        greatest(col("s"), col("seq") * budget).as("s"),
+        least(col("e"), (col("seq") + 1L) * budget - 1L).as("e"))
+    val w = Window.partitionBy(col("seq")).orderBy(col("s"))
+    split0
+      .withColumn("pe", lag(col("e"), 1).over(w))
+      .withColumn("ni",
+        when(col("pe").isNull || col("s") > col("pe") + 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(expr(s"seq div ${seqsPerShard}L").as("shard"), col("seq"),
+        col("island"))
+      .agg(min(col("s")).as("mask_start"), max(col("e")).as("mask_end"))
+      .select(col("shard"), col("seq"), col("mask_start"), col("mask_end"),
+        (col("mask_end") - col("mask_start") + 1L).as("mask_tokens"))
+      .orderBy(col("seq"), col("mask_start"))
+  }
+
+  private val packSftMultiturnOracle: String =
+    """WITH s0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+       tt AS (SELECT doc_id, n,
+                     2 * (1 + (CAST(('0x' || substr(md5('sft2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3)) AS t
+              FROM s0),
+       o AS (SELECT doc_id, n, t,
+                    CAST(COALESCE(SUM(3 * t + n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM tt),
+       tu AS (SELECT off, i, 3 * i + (i * n) // t AS o_i,
+                     ((i + 1) * n) // t - (i * n) // t AS c_i,
+                     i % 2 = 0 AS is_user
+              FROM o, LATERAL (SELECT unnest(range(0, t)) AS i)),
+       mi AS (SELECT off + o_i AS s,
+                     off + o_i + CASE WHEN is_user THEN c_i + 2 ELSE 1 END AS e
+              FROM tu),
+       iv AS (SELECT CAST(seq AS BIGINT) AS seq,
+                     CAST(GREATEST(s, seq * 256) AS BIGINT) AS st,
+                     CAST(LEAST(e, (seq + 1) * 256 - 1) AS BIGINT) AS e
+              FROM (SELECT s, e, unnest(range(s // 256, e // 256 + 1)) AS seq
+                    FROM mi)),
+       isl AS (SELECT seq, st, e,
+                      SUM(CASE WHEN pe IS NULL OR st > pe + 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY seq ORDER BY st) AS island
+               FROM (SELECT seq, st, e, lag(e) OVER (PARTITION BY seq ORDER BY st) AS pe
+                     FROM iv))
+       SELECT CAST(seq // 8 AS BIGINT) AS shard, seq,
+              CAST(MIN(st) AS BIGINT) AS mask_start,
+              CAST(MAX(e) AS BIGINT) AS mask_end,
+              CAST(MAX(e) - MIN(st) + 1 AS BIGINT) AS mask_tokens
+       FROM isl GROUP BY seq, island ORDER BY 2, 3"""
+
+  /** The TEMPLATE-RENDERED form of the multi-turn synthesis — the bytes
+    * [[packSftMaskMultiturn]] masks over, pinned by md5: every turn
+    * renders as `<|im_start|> role content... <|im_end|>` and the doc is
+    * the turns joined in order (whitespace-token convention, so the
+    * rendered token count equals the mask row's 3T + n exactly). One
+    * codegen/HOF pass per doc, no shuffle beyond the final sort.
+    */
+  def sftRenderMultiturn(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sft2:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val turnsCol = lit(2L) * (lit(1L) + (h % 3))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        turnsCol.as("t"),
+        size(split(col("text"), " ")).cast(LongType).as("n"))
+      .withColumn("toks", expr(
+        """flatten(transform(sequence(0L, t - 1L), i ->
+             concat(array('<|im_start|>',
+                          CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END),
+                    slice(ws, CAST((i * n) div t AS INT) + 1,
+                          CAST(((i + 1) * n) div t - (i * n) div t AS INT)),
+                    array('<|im_end|>'))))"""))
+      .select(col("doc_id"), col("t").as("n_turns"),
+        (lit(3L) * col("t") + col("n")).as("n_tokens"),
+        md5(expr("array_join(toks, ' ')").cast("binary")).as("render_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sftRenderMultiturnOracle: String =
+    """WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+       tt AS (SELECT doc_id, ws, n,
+                     2 * (1 + (CAST(('0x' || substr(md5('sft2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3)) AS t
+              FROM s0),
+       tu AS (SELECT doc_id, t, n, i,
+                     list_concat(list_concat(
+                       ['<|im_start|>',
+                        CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END],
+                       ws[CAST((i * n) // t AS BIGINT) + 1 : CAST(((i + 1) * n) // t AS BIGINT)]),
+                       ['<|im_end|>']) AS toks
+              FROM tt, LATERAL (SELECT unnest(range(0, t)) AS i))
+       SELECT doc_id, CAST(t AS BIGINT) AS n_turns,
+              CAST(3 * t + n AS BIGINT) AS n_tokens,
+              md5(array_to_string(flatten(list(toks ORDER BY i)), ' ')) AS render_md5
+       FROM tu GROUP BY doc_id, t, n ORDER BY doc_id"""
+
+  /** PREFERENCE-PAIR construction — the RLHF/DPO data-prep step between
+    * a scored candidate pool and the (prompt, chosen, rejected) rows a
+    * reward model or DPO run trains on: group candidate responses by
+    * prompt, pick the best- and worst-scored response per prompt, emit
+    * the pair with its score margin, and drop degenerate prompts
+    * (fewer than two candidates, or no strict margin — a DPO pair with
+    * chosen == rejected teaches nothing).
+    *
+    * Deterministic synthesis from the fixture (it has no prompt field;
+    * the ARITHMETIC — grouping, per-group argmax/argmin with tie rules,
+    * margin filter — is the operator): prompt_id = md5("pref:"+doc_id)
+    * % nPrompts, score = type-token ratio (distinct words / words —
+    * integer inputs, so the double division is bit-identical on both
+    * engines). Argmax/argmin are AGGREGATES (max/min over (score, id)
+    * structs — ties to the LOWER doc id on both ends, the
+    * semanticDecontaminate discipline): partial aggregation reduces
+    * map-side, so the shuffle carries one row per (prompt, partition),
+    * never the candidate pool — at 10⁹ candidates over 10⁶ prompts the
+    * difference between shuffling 10⁶ rows and 10⁹.
+    */
+  def prefPairs(docs: DataFrame, nPrompts: Long = 97L): DataFrame = {
+    val h = conv(substring(md5(concat(lit("pref:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val scored = docs.select(col("doc_id"), (h % nPrompts).as("prompt_id"),
+      (size(array_distinct(split(col("text"), " "))).cast(DoubleType) /
+        size(split(col("text"), " ")).cast(DoubleType)).as("score"))
+    scored.groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),
+        min(struct(col("score"), col("doc_id").as("pid"))).as("worst"))
+      .filter(col("n_candidates") >= 2 &&
+        col("best.score") > col("worst.score"))
+      .select(col("prompt_id"),
+        (-col("best.nid")).as("chosen_id"), col("worst.pid").as("rejected_id"),
+        col("best.score").as("chosen_score"),
+        col("worst.score").as("rejected_score"),
+        (col("best.score") - col("worst.score")).as("margin"),
+        col("n_candidates"))
+      .orderBy(col("prompt_id"))
+  }
+
+  private val prefPairsOracle: String =
+    """WITH sc AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5('pref:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 97 AS prompt_id,
+                      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+               FROM documents),
+       r AS (SELECT prompt_id, doc_id, score,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY score DESC, doc_id) AS rb,
+                    row_number() OVER (PARTITION BY prompt_id
+                      ORDER BY score ASC, doc_id) AS rw
+             FROM sc),
+       cn AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates
+              FROM sc GROUP BY 1)
+       SELECT b.prompt_id, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+              b.score AS chosen_score, w.score AS rejected_score,
+              b.score - w.score AS margin, cn.n_candidates
+       FROM (SELECT * FROM r WHERE rb = 1) b
+       JOIN (SELECT * FROM r WHERE rw = 1) w USING (prompt_id)
+       JOIN cn USING (prompt_id)
+       WHERE cn.n_candidates >= 2 AND b.score > w.score
+       ORDER BY b.prompt_id"""
+
   val queries: Seq[Q] = Seq(
     Q("q_pack_efficiency",
       (s, dir) => packEfficiency(t(s, dir, "documents")),
@@ -784,5 +992,14 @@ object TrainerOps {
       Some(packMultimodalOracle)),
     Q("q_span_corruption",
       (s, dir) => spanCorruption(t(s, dir, "documents")),
-      Some(spanCorruptionOracle(0.15))))
+      Some(spanCorruptionOracle(0.15))),
+    Q("q_pack_sft_multiturn",
+      (s, dir) => packSftMaskMultiturn(t(s, dir, "documents")),
+      Some(packSftMultiturnOracle)),
+    Q("q_sft_render_multiturn",
+      (s, dir) => sftRenderMultiturn(t(s, dir, "documents")),
+      Some(sftRenderMultiturnOracle)),
+    Q("q_pref_pairs",
+      (s, dir) => prefPairs(t(s, dir, "documents")),
+      Some(prefPairsOracle)))
 }

@@ -49,6 +49,14 @@ class OnlineBinPackProcessor(cap: Long, maxOpen: Int)
     val fills = s.fills.toBuffer
     var next = s.nextBin
     val out = scala.collection.mutable.ArrayBuffer.empty[BinAssignment]
+    // The per-batch sort is REQUIRED by the determinism contract (micro-
+    // batch slicing must not reorder the fold), and it materializes this
+    // bucket's slice of the micro-batch in executor memory: at the
+    // default hexPrefix=1 one task holds ~1/16 of each batch. STATE stays
+    // O(maxOpen) regardless; the transient batch footprint is bounded by
+    // raising hexPrefix (more, smaller buckets — the same knob that
+    // parallelizes the batch FFD) or capping micro-batch size
+    // (maxOffsetsPerTrigger / maxFilesPerTrigger at the source).
     for ((_, docId, n0) <- rows.toArray.sortBy(_._2)) {
       val n = math.min(n0, cap)
       val i = fills.indexWhere(_ + n <= cap)

@@ -57,7 +57,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // the FFD fold sorts inside the bucket (collect_list build order is
     // partition-dependent), and the SFT mask's interval islands ride the
     // offset spine — both must not care how the input is split
-    "q_pack_firstfit" -> sf0001, "q_pack_sft_mask" -> sf0001)
+    "q_pack_firstfit" -> sf0001, "q_pack_sft_mask" -> sf0001,
+    // round-13: the exact-spans island merge over verified char windows
+    // (hash prefilter + content verify must not care how windows are
+    // split), and the aggregate argmax of the semantic decontaminator
+    // (partial max(struct) merges in scheduler order)
+    "q_repeated_spans_exact" -> sf0001, "q_decontaminate_semantic" -> sf001,
+    // the preference-pair argmax/argmin (partial struct-max merge order)
+    // and the probe-sweep counts over the persisted scored relation
+    "q_pref_pairs" -> sf0001, "q_decontaminate_semantic_sweep" -> sf001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -147,6 +147,25 @@ class SimilaritySpec extends SparkSpec {
       s"exact regime (nprobe = nlist) must reproduce the brute force: ${ivf.size} vs ${brute.size}")
   }
 
+  test("semanticDecontaminateSweep: recall 1.0 at full depth, truth equals brute, monotone depths") {
+    val sweep = Similarity.semanticDecontaminateSweep(spark, emb, 0.3)
+      .orderBy(col("nprobe")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    val brute = Similarity.semanticDecontaminate(spark, emb, 0.3).count()
+    sweep.foreach { case (_, nf, nt, rec, _) =>
+      assert(nt == brute, s"sweep truth $nt must equal the brute flag count $brute")
+      assert(rec == nf.toDouble / nt)
+    }
+    // nprobe = nlist probes every cell: coverage is complete by
+    // construction, so the widest row recovers every flag
+    assert(sweep.last._2 == brute && sweep.last._4 == 1.0)
+    // flags and candidate volume are monotone in depth (filters over one
+    // shared relation can only grow)
+    assert(sweep.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(sweep.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("stored-IVF semantic decontamination at narrow nprobe: flags are a sound subset") {
     val idx = graft.sources.VectorIndexStore.ensure(spark, sf001)
     val brute = Similarity.semanticDecontaminate(spark, emb, 0.3).collect()

@@ -300,6 +300,92 @@ class TrainerOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-turn SFT: mask intervals equal a per-position brute-force replay; render md5 pins the bytes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val B = 256
+    // brute force: materialize every token of every rendered doc with its
+    // masked flag, in global pack order
+    val masked = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val renders = scala.collection.mutable.Map[Long, (Long, Long, String)]()
+    local.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val n = ws.length
+      val t = (2L * (1L + coin(s"sft2:$id") % 3)).toInt
+      val toks = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until t).foreach { i =>
+        val role = if (i % 2 == 0) "user" else "assistant"
+        val content = ws.slice((i.toLong * n / t).toInt, ((i + 1).toLong * n / t).toInt)
+        toks ++= Seq("<|im_start|>", role); masked ++= Seq(true, true)
+        toks ++= content
+        toks += "<|im_end|>"
+        if (i % 2 == 0) masked ++= Seq.fill(content.length + 1)(true)
+        else masked ++= Seq.fill(content.length + 1)(false) // content + im_end train
+      }
+      renders(id) = (t.toLong, toks.length.toLong, md5hex(toks.mkString(" ")))
+      assert(toks.length == 3 * t + n, s"doc $id token accounting")
+    }
+    // expected intervals: maximal masked runs per sequence
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    var g = 0
+    while (g < masked.length) {
+      if (masked(g)) {
+        val seq = g / B
+        var e = g
+        while (e + 1 < masked.length && masked(e + 1) && (e + 1) / B == seq) e += 1
+        expected += ((seq / 8L, seq.toLong, g.toLong, e.toLong, (e - g + 1).toLong))
+        g = e + 1
+      } else g += 1
+    }
+    val got = TrainerOps.packSftMaskMultiturn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == expected.toSeq,
+      s"interval mismatch: got ${got.size}, expected ${expected.size}")
+    // render: md5 + counts pin every byte of the template rendering
+    val gotR = TrainerOps.sftRenderMultiturn(docs).collect()
+    assert(gotR.length == local.length)
+    gotR.foreach { r =>
+      val (t, nt, h) = renders(r.getLong(0))
+      assert(r.getLong(1) == t && r.getLong(2) == nt && r.getString(3) == h,
+        s"doc ${r.getLong(0)} render mismatch")
+    }
+    // both turn counts occur on 500 docs (the coin is md5-fair over 2/4/6)
+    assert(gotR.map(_.getLong(1)).distinct.length == 3)
+  }
+
+  test("prefPairs: equals a brute-force per-prompt argmax/argmin replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def coin(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val scored = local.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (coin(s"pref:$id") % 97, id, ws.distinct.length.toDouble / ws.length)
+    }
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (p, cands) =>
+      val best = cands.maxBy { case (_, id, sc) => (sc, -id) }
+      val worst = cands.minBy { case (_, id, sc) => (sc, id) }
+      if (cands.length >= 2 && best._3 > worst._3)
+        Some((p, best._2, worst._2, best._3, worst._3, best._3 - worst._3,
+          cands.length.toLong))
+      else None
+    }.sortBy(_._1)
+    val got = TrainerOps.prefPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"got ${got.size} pairs, expected ${expected.size}")
+    got.foreach { case (_, c, rj, cs, rs, m, n) =>
+      assert(c != rj && cs > rs && m > 0 && n >= 2)
+    }
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)
