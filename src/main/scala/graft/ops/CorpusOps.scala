@@ -145,7 +145,65 @@ object CorpusOps {
                JOIN sz zb ON zb.source = pr.source_b
        ORDER BY 1, 2"""
 
+  /** FIRST-OCCURRENCE NOVELTY score — the curation signal a dedup-aware
+    * sampler reads per document: the fraction of a doc's distinct
+    * 3-word shingles whose FIRST corpus occurrence (minimum doc_id — the
+    * arrival-order convention every incremental family here uses) is
+    * this document. A near-copy of earlier content scores near 0, fresh
+    * content near 1 — the per-DOC graded complement of the binary
+    * near-dup kill (q_dedup_minhash drops twins; this prices partial
+    * redundancy, the "soft dedup" weighting published crawl pipelines
+    * apply before sampling).
+    *
+    * Scale shape: distinct (doc, shingle-hash) 16-byte rows; the
+    * first-occurrence owner is an aggregate MIN per shingle (map-side
+    * partial — the argmax-discipline sibling), joined back on the
+    * 8-byte hash; nothing wider than ids ever shuffles (hash-vs-string
+    * oracle convention).
+    */
+  def docNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordWindows(col("text"), k, 1))
+          .as("chunk"))
+      .select(col("doc_id"), xxhash64(col("chunk")).as("h"))
+      .distinct()
+      .persist() // the first-owner aggregate and the join probe both read it
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val out = sh.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  private val docNoveltyOracle: String =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+       sh AS (SELECT DISTINCT doc_id, chunk FROM (
+                SELECT doc_id,
+                       CASE WHEN n <= 3 THEN text
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM d, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j))),
+       f AS (SELECT chunk, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS novelty
+       FROM sh s JOIN f USING (chunk) GROUP BY 1 ORDER BY 1"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_doc_novelty",
+      (s, dir) => docNovelty(t(s, dir, "documents")),
+      Some(docNoveltyOracle)),
     Q("q_source_overlap",
       (s, dir) => sourceOverlap(t(s, dir, "documents")),
       Some(sourceOverlapOracle)),

@@ -1492,13 +1492,19 @@ object TextDedup {
           .groupBy(col("doc_id"))
           .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
         docs.join(broadcast(perDoc), Seq("doc_id"), "left")
+          // spans are DISJOINT sorted islands, so the cut is an O(spans)
+          // substring stitch (keep the gaps between spans), never a
+          // per-character pass — at 100k-char docs the difference between
+          // touching each char and touching each island boundary
           .withColumn("clean_text",
-            when(length(col("text")) === 0, lit("")).otherwise(expr(
-              """array_join(transform(filter(transform(sequence(0, length(text) - 1),
-                   i -> struct(substring(text, i + 1, 1) AS ch, CAST(i AS BIGINT) AS i)),
-                   x -> spans IS NULL OR NOT exists(spans,
-                     sp -> x.i >= sp.span_start AND x.i <= sp.span_end)),
-                   y -> y.ch), '')""")))
+            when(col("spans").isNull, col("text")).otherwise(expr(
+              """aggregate(array_sort(spans),
+                   struct(CAST(0 AS BIGINT) AS prev, CAST('' AS STRING) AS acc),
+                   (st, sp) -> struct(sp.span_end + 1L AS prev,
+                     concat(st.acc, substring(text, CAST(st.prev AS INT) + 1,
+                       CAST(sp.span_start - st.prev AS INT))) AS acc),
+                   st -> concat(st.acc, substring(text, CAST(st.prev AS INT) + 1,
+                     CAST(length(text) - st.prev AS INT))))""")))
           .select(col("doc_id"),
             length(col("text")).cast(LongType).as("n_chars_total"),
             (length(col("text")) - length(col("clean_text"))).cast(LongType)

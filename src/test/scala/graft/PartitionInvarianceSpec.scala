@@ -65,7 +65,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_repeated_spans_exact" -> sf0001, "q_decontaminate_semantic" -> sf001,
     // the preference-pair argmax/argmin (partial struct-max merge order)
     // and the probe-sweep counts over the persisted scored relation
-    "q_pref_pairs" -> sf0001, "q_decontaminate_semantic_sweep" -> sf001)
+    "q_pref_pairs" -> sf0001, "q_decontaminate_semantic_sweep" -> sf001,
+    // first-owner MIN per shingle + the novelty ratio
+    "q_doc_novelty" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

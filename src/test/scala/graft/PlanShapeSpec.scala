@@ -305,4 +305,27 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "provenance must partial-aggregate before the exchange:\n" + p.take(800))
   }
+
+  test("q_decontaminate_semantic: aggregate argmax — no Window over the corpus x eval expansion") {
+    val p = plan("q_decontaminate_semantic")
+    // the round-12 verdict's finding: a row_number() window here forces
+    // the ENTIRE expanded relation through a shuffle; the argmax must be
+    // a two-phase hash aggregate over the broadcasted cross join instead
+    assert(!p.contains("Window"), "argmax must be an aggregate, not a window:\n" + p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the eval side must broadcast:\n" + p.take(800))
+    // max(struct) plans as SortAggregate (struct buffers aren't hash-agg
+    // mutable) — the scale property is the PARTIAL phase before the
+    // exchange: only one row per train vector per partition shuffles
+    assert(p.contains("partial_max"),
+      "the argmax must partial-aggregate before the exchange:\n" + p.take(800))
+  }
+
+  test("q_pref_pairs: per-prompt argmax/argmin as two-phase aggregation, join-free") {
+    val p = plan("q_pref_pairs")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "pair construction is one aggregation over the scan:\n" + p.take(800))
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      "both picks must partial-aggregate before the exchange:\n" + p.take(800))
+  }
 }

@@ -21,6 +21,28 @@ class SourceOverlapSpec extends SparkSpec {
     assert(got == Seq(("srcA", "srcB", 1L, 2L, 3L, 0.25)), s"$got")
   }
 
+  test("docNovelty: first doc scores 1.0, a near-copy scores near 0, invariants hold") {
+    import spark.implicits._
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (0L, a, "s"),                                  // all shingles first-owned
+      (1L, a + " tailx taily tailz", "s"),           // mostly a copy of doc 0
+      (2L, "fresh u1 u2 u3 u4 u5 u6 u7", "s")        // fully novel
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.docNovelty(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L)._3 == 1.0 && got(2L)._3 == 1.0)
+    // doc 1 = 11 words -> 9 shingles; the 8 from doc 0 are owned there;
+    // novel = the 3 crossing into the fresh tail... recompute honestly:
+    // shingles of doc1: w1w2w3..w8w9w10 (8, owned by doc 0) + w9w10tailx,
+    // w10tailxtaily, tailxtailytailz (3 novel) = 11 total, novelty 3/11
+    assert(got(1L)._1 == 11L && got(1L)._2 == 3L)
+    assert(math.abs(got(1L)._3 - 3.0 / 11.0) < 1e-15)
+    got.values.foreach { case (n, nov, f) =>
+      assert(nov >= 0 && nov <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
+
   test("sourceOverlap: matrix invariants hold on real docs") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = CorpusOps.sourceOverlap(docs).collect()
