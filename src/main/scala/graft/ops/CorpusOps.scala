@@ -200,7 +200,58 @@ object CorpusOps {
                 / CAST(count(*) AS DOUBLE) AS novelty
        FROM sh s JOIN f USING (chunk) GROUP BY 1 ORDER BY 1"""
 
+  /** PER-SOURCE GLOBAL UNIQUENESS — the corpus-wide complement of the
+    * pairwise [[sourceOverlap]] matrix: for each source, how many of its
+    * distinct 3-word shingles appear in NO other source (n_unique) and
+    * the resulting uniqueness fraction — the "effective contribution"
+    * input a dedup-aware mixture weighting reads (a source that is 90%
+    * syndicated content adds far fewer effective tokens than its raw
+    * size claims). Same distinct (source, hash) relation as the overlap
+    * matrix; the cross-source multiplicity is one aggregate COUNT per
+    * hash (map-side partial), joined back on the 8-byte key.
+    */
+  def sourceUniqueness(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(graft.functions.TextFunctions.wordWindows(col("text"), k, 1))
+          .as("chunk"))
+      .select(col("source"), xxhash64(col("chunk")).as("h"))
+      .distinct()
+      .persist() // the multiplicity aggregate and the probe side share it
+    val multi = sh.groupBy(col("h")).agg(count(lit(1)).as("ns"))
+    val out = sh.join(multi, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("uniq_frac"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    sh.unpersist()
+    out
+  }
+
+  private val sourceUniquenessOracle: String =
+    """WITH d AS (SELECT source, text, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+       sh AS (SELECT DISTINCT source, chunk FROM (
+                SELECT source,
+                       CASE WHEN n <= 3 THEN text
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM d, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j))),
+       m AS (SELECT chunk, count(*) AS ns FROM sh GROUP BY 1)
+       SELECT s.source, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+              CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS uniq_frac
+       FROM sh s JOIN m USING (chunk) GROUP BY 1 ORDER BY 1"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_source_uniqueness",
+      (s, dir) => sourceUniqueness(t(s, dir, "documents")),
+      Some(sourceUniquenessOracle)),
     Q("q_doc_novelty",
       (s, dir) => docNovelty(t(s, dir, "documents")),
       Some(docNoveltyOracle)),

@@ -921,6 +921,40 @@ object TextDedup {
               CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
        FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** DUPLICATION-RISK histogram — the memorization report a lab reads
+    * before (and after) a dedup pass: near-dup cluster sizes
+    * (q_dedup_clusters components, singletons counted as size-1
+    * clusters) rolled up to (cluster_size → n_clusters, n_docs).
+    * Duplicated training text is memorized disproportionately (the
+    * Lee/Carlini line of published results), so the mass sitting in
+    * large clusters IS the memorization exposure, and the n_docs column
+    * prices exactly how much corpus a keep-one-per-cluster pass would
+    * drop per tier. Rides the audited CC path; the rollup adds one
+    * broadcast left join and two count aggregates.
+    */
+  def dupClusterSizes(docs: DataFrame): DataFrame = {
+    val comp = connectedComponents(ngramJaccardPairsPrefix(docs, 0.6))
+    docs.select(col("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keeper_id"), col("doc_id")))
+      .groupBy(col("grp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val dupClusterSizesOracleSql: String =
+    clustersCtePrefix +
+      """,
+       g AS (SELECT d2.doc_id, COALESCE(c.keeper_id, d2.doc_id) AS grp
+             FROM documents d2 LEFT JOIN comp c ON c.doc_id = d2.doc_id),
+       cs AS (SELECT grp, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM g GROUP BY 1)
+       SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       FROM cs GROUP BY 1 ORDER BY 1"""
+
   // Cleaned corpus under cluster-best keeper selection: one keeper per
   // near-dup cluster chosen by quality (n_chars DESC, doc_id tie-break),
   // plus every singleton untouched.
@@ -1257,6 +1291,10 @@ object TextDedup {
     Q("q_split_leakage_safe",
       (s, dir) => leakageSafeSplit(t(s, dir, "documents")),
       Some(leakageSafeSplitOracleSql)),
+
+    Q("q_dup_cluster_sizes",
+      (s, dir) => dupClusterSizes(t(s, dir, "documents")),
+      Some(dupClusterSizesOracleSql)),
 
     Q("q_dedup_clusters_star",
       (s, dir) => connectedComponents(ngramJaccardPairsPrefix(t(s, dir, "documents"), 0.6),

@@ -43,6 +43,50 @@ class SourceOverlapSpec extends SparkSpec {
     }
   }
 
+  test("sourceUniqueness: known fixture fractions; consistent with the overlap matrix on real docs") {
+    import spark.implicits._
+    // srcA shingles: {alpha beta gamma, beta gamma delta} — 1 shared
+    // srcB shingles: {x1 alpha beta, alpha beta gamma, beta gamma x2} — 1 shared
+    val df = Seq(
+      (0L, "alpha beta gamma delta", "srcA"),
+      (1L, "x1 alpha beta gamma x2", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.sourceUniqueness(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(("srcA", 2L, 1L, 0.5), ("srcB", 3L, 2L, 2.0 / 3.0)), s"$got")
+
+    val docs = Tables.load(spark, sf0001, "documents")
+    val uniq = CorpusOps.sourceUniqueness(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-source shingle-set sizes must agree with the overlap matrix's
+    val ov = CorpusOps.sourceOverlap(docs).collect()
+    ov.foreach { r =>
+      assert(uniq(r.getString(0))._1 == r.getLong(3))
+      assert(uniq(r.getString(1))._1 == r.getLong(4))
+    }
+    // a source that appears in ANY overlap pair cannot be 100% unique
+    val inPairs = ov.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    inPairs.foreach(s => assert(uniq(s)._2 < uniq(s)._1, s"$s fully unique but overlaps"))
+  }
+
+  test("dupClusterSizes: fixture histogram exact; doc mass conserved on real docs") {
+    import spark.implicits._
+    val twin = "same words repeated here exactly for the pair of twins now"
+    val df = Seq(
+      (0L, twin, "s", twin.length.toLong),
+      (1L, twin, "s", twin.length.toLong),
+      (2L, "completely different content with no shared trigrams at all q", "s", 60L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = TextDedup.dupClusterSizes(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 2L)), s"$got")
+
+    val docs = Tables.load(spark, sf0001, "documents")
+    val rows = TextDedup.dupClusterSizes(docs).collect()
+    assert(rows.map(_.getLong(2)).sum == docs.count(), "every doc lands in exactly one cluster")
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+  }
+
   test("sourceOverlap: matrix invariants hold on real docs") {
     val docs = Tables.load(spark, sf0001, "documents")
     val rows = CorpusOps.sourceOverlap(docs).collect()
