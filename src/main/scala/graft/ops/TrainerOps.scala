@@ -698,6 +698,79 @@ object TrainerOps {
               CAST(floor(CAST(tt // 2 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS BIGINT) / CAST(n_tokens AS DOUBLE) AS epochs
        FROM w, tot ORDER BY source"""
 
+  /** TWO-PHASE (pretrain → anneal) mixture schedule — the staged data
+    * plan published two-stage pretraining recipes run (proportional
+    * sampling for the bulk of training, then a final anneal phase that
+    * FLATTENS the mixture so small curated sources get their epochs
+    * late in training where they matter most): phase budgets split the
+    * half-corpus token budget 80/20 by integer arithmetic
+    * (b1 = (tt div 2) · 4 div 5, b2 = rest); phase `pretrain` weights
+    * sources proportionally (w = n_tokens — temperature 1), phase
+    * `anneal` flattens with the q_temperature_mix sqrt/floor long-weight
+    * convention (w = ⌊√n_tokens · 10⁶⌋ — temperature 0.5). Output one
+    * row per (source, phase): share, phase budget, epochs — the
+    * schedule a trainer fixes before launch, with the same
+    * parity-safe arithmetic as [[sourceEpochs]] (integer weights,
+    * floor'd budgets, the only doubles are final ratios of exact
+    * integers). Source-cardinality aggregates + broadcast totals; zero
+    * corpus shuffles.
+    */
+  def annealMix(docs: DataFrame): DataFrame = {
+    // localCheckpoint: the totals and BOTH phase legs read this tiny
+    // source-cardinality relation — without it each leg of the union
+    // re-runs the corpus scan (3x the only expensive stage)
+    val stats = docs.groupBy(col("source")).agg(
+      sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .withColumn("w1", col("n_tokens"))
+      .withColumn("w2",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1e6)).cast(LongType))
+      .localCheckpoint()
+    val tots = stats.agg(sum(col("w1")).as("tw1"), sum(col("w2")).as("tw2"),
+      sum(col("n_tokens")).as("tt"))
+    val base = stats.crossJoin(broadcast(tots))
+      .withColumn("b1", expr("(tt div 2L) * 4L div 5L"))
+      .withColumn("b2", expr("tt div 2L - (tt div 2L) * 4L div 5L"))
+    val p1 = base
+      .withColumn("phase", lit("pretrain"))
+      .withColumn("share", col("w1").cast(DoubleType) / col("tw1").cast(DoubleType))
+      .withColumn("budget_tokens",
+        floor(col("b1").cast(DoubleType) * col("share")).cast(LongType))
+    val p2 = base
+      .withColumn("phase", lit("anneal"))
+      .withColumn("share", col("w2").cast(DoubleType) / col("tw2").cast(DoubleType))
+      .withColumn("budget_tokens",
+        floor(col("b2").cast(DoubleType) * col("share")).cast(LongType))
+    p1.unionAll(p2)
+      .withColumn("epochs",
+        col("budget_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select(col("source"), col("phase"), col("n_tokens"), col("share"),
+        col("budget_tokens"), col("epochs"))
+      .orderBy(col("source"), col("phase"))
+  }
+
+  private val annealMixOracle: String =
+    """WITH stats AS (SELECT source,
+                             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                      FROM documents GROUP BY 1),
+       w AS (SELECT source, n_tokens, n_tokens AS w1,
+                    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w2
+             FROM stats),
+       tot AS (SELECT CAST(SUM(w1) AS BIGINT) AS tw1, CAST(SUM(w2) AS BIGINT) AS tw2,
+                      CAST(SUM(n_tokens) AS BIGINT) AS tt FROM w),
+       b AS (SELECT (tt // 2) * 4 // 5 AS b1, tt // 2 - (tt // 2) * 4 // 5 AS b2 FROM tot),
+       p1 AS (SELECT source, 'pretrain' AS phase, n_tokens,
+                     CAST(w1 AS DOUBLE) / CAST(tw1 AS DOUBLE) AS share,
+                     CAST(floor(CAST(b1 AS DOUBLE) * (CAST(w1 AS DOUBLE) / CAST(tw1 AS DOUBLE))) AS BIGINT) AS budget_tokens
+              FROM w, tot, b),
+       p2 AS (SELECT source, 'anneal' AS phase, n_tokens,
+                     CAST(w2 AS DOUBLE) / CAST(tw2 AS DOUBLE) AS share,
+                     CAST(floor(CAST(b2 AS DOUBLE) * (CAST(w2 AS DOUBLE) / CAST(tw2 AS DOUBLE))) AS BIGINT) AS budget_tokens
+              FROM w, tot, b)
+       SELECT source, phase, n_tokens, share, budget_tokens,
+              CAST(budget_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+       FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+       ORDER BY source, phase"""
+
   /** Span-corruption selection (the T5/UL2 denoising objective's data
     * transform, completing the objective family next to [[fimTransform]]
     * and [[packSftMask]]): each token position flips an independent
@@ -1001,5 +1074,8 @@ object TrainerOps {
       Some(sftRenderMultiturnOracle)),
     Q("q_pref_pairs",
       (s, dir) => prefPairs(t(s, dir, "documents")),
-      Some(prefPairsOracle)))
+      Some(prefPairsOracle)),
+    Q("q_anneal_mix",
+      (s, dir) => annealMix(t(s, dir, "documents")),
+      Some(annealMixOracle)))
 }

@@ -386,6 +386,33 @@ class TrainerOpsSpec extends SparkSpec {
     }
   }
 
+  test("annealMix: phase budgets split 80/20; anneal flattens the mixture toward small sources") {
+    val rows = TrainerOps.annealMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val byPhase = rows.groupBy(_._2)
+    assert(byPhase.keySet == Set("pretrain", "anneal"))
+    val tt = byPhase("pretrain").map(_._3).sum
+    val b = tt / 2; val b1 = b * 4 / 5; val b2 = b - b1
+    // per-source floors each lose < 1 token
+    val s1 = byPhase("pretrain").map(_._5).sum
+    val s2 = byPhase("anneal").map(_._5).sum
+    assert(s1 <= b1 && s1 >= b1 - byPhase("pretrain").length)
+    assert(s2 <= b2 && s2 >= b2 - byPhase("anneal").length)
+    // shares sum to 1 within each phase
+    byPhase.values.foreach(p => assert(math.abs(p.map(_._4).sum - 1.0) < 1e-9))
+    // the flattening: in the anneal phase the SMALLEST source gets a
+    // larger share than in pretrain, the largest a smaller one
+    val p1 = byPhase("pretrain").map(r => r._1 -> r._4).toMap
+    val p2 = byPhase("anneal").map(r => r._1 -> r._4).toMap
+    val smallest = byPhase("pretrain").minBy(_._3)._1
+    val largest = byPhase("pretrain").maxBy(_._3)._1
+    assert(p2(smallest) > p1(smallest), s"anneal must upweight $smallest")
+    assert(p2(largest) < p1(largest), s"anneal must downweight $largest")
+    // epochs identity
+    rows.foreach { case (_, _, nt, _, bt, ep) => assert(ep == bt.toDouble / nt) }
+  }
+
   test("sourceEpochs: budget shares sum to ~tt/2 and epochs identity holds") {
     val rows = TrainerOps.sourceEpochs(docs).collect()
     assert(rows.length >= 2)
