@@ -279,6 +279,44 @@ object PipelineOps {
          SELECT doc_id, scrubbed AS text FROM cr
          WHERE score_int > 0 AND rn = 1"""
 
+  /** Dedup-aware (effective-contribution) temperature mix — the
+    * composition `q_source_uniqueness`'s docstring motivates: per-source
+    * mixture weight computed on the source's EFFECTIVE size, eff =
+    * (n_docs × n_unique_shingles) div n_shingles (integer-exact), then
+    * the q_temperature_mix convention (w = floor(sqrt(eff)·1e6), quota
+    * = half the effective corpus by tempered share, md5-deterministic
+    * per-doc draw against rate = quota/n_actual). A fully-syndicated
+    * source (n_unique = 0) rates 0. Scale shape: the uniqueness pass is
+    * the audited q_source_uniqueness plan; the mix adds
+    * source-cardinality broadcasts + one corpus scan.
+    */
+  def effectiveMix(docs: DataFrame): DataFrame = {
+    val uniq = graft.ops.CorpusOps.sourceUniqueness(docs)
+      .select(col("source"), col("n_shingles"), col("n_unique"))
+    val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .join(uniq, Seq("source"))
+      // MILLI-doc units: at corpus scale the uniqueness fraction is tiny
+      // (sf0.1: ~10 unique of ~10k shingles/source) and a plain integer
+      // div floors every source's effective size to 0, collapsing the
+      // mix; scaling by 1000 before the exact integer div keeps the
+      // arithmetic engine-identical AND non-degenerate
+      .withColumn("eff", expr("(n * n_unique * 1000) div n_shingles"))
+      .withColumn("w", floor(sqrt(col("eff")) * lit(1e6)).cast(LongType))
+    val tots = stats.agg(sum(col("w")).as("tw"), sum(col("eff")).as("te"))
+    docs.join(broadcast(stats), Seq("source"))
+      .crossJoin(broadcast(tots))
+      .withColumn("rate",
+        when(col("tw") === 0, lit(0.0)).otherwise(least(lit(1.0),
+          (lit(0.5) * col("te") *
+            (col("w").cast(DoubleType) / col("tw").cast(DoubleType)))
+            / (col("n") * lit(1000L)))))
+      .filter(
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType).cast(DoubleType) / lit(4294967296.0) < col("rate"))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Epoch shuffle: reproducible training order + loader shards. The
@@ -393,6 +431,52 @@ object PipelineOps {
               WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
                     < least(1.0, (0.5 * tt * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / t)
               ORDER BY source, doc_id""")),
+
+    // DEDUP-AWARE (effective-contribution) temperature mixing — the
+    // composition q_source_uniqueness's docstring motivates: a source
+    // that is mostly syndicated content adds far fewer EFFECTIVE tokens
+    // than its raw size claims, so its mixture weight should be computed
+    // on its effective size, not its row count. Per source: eff =
+    // (n_docs × n_unique_shingles) div n_shingles (integer-exact on both
+    // engines — the uniqueness fraction applied to the doc count),
+    // temperature weight w = floor(sqrt(eff)·1e6) (the q_temperature_mix
+    // convention, T=2), quota targets half the EFFECTIVE corpus, and the
+    // keep rate divides by the source's ACTUAL doc count (rates are
+    // applied to real rows). A fully-syndicated source (n_unique = 0)
+    // gets rate 0 — a keep-one-per-cluster dedup would drop it anyway;
+    // PipelineOpsSpec pins that against the plain mix on a fixture with
+    // one syndicated source. Scale shape: the uniqueness pass is the
+    // audited q_source_uniqueness plan (distinct 16-byte rows, map-side
+    // MIN/COUNT); the mix itself adds source-cardinality broadcasts and
+    // one corpus scan with a per-row hash compare.
+    Q("q_effective_mix",
+      (s, dir) => effectiveMix(t(s, dir, "documents")),
+      Some("""WITH d AS (SELECT source, text, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n
+              FROM documents),
+       sh AS (SELECT DISTINCT source, chunk FROM (
+                SELECT source,
+                       CASE WHEN n <= 3 THEN text
+                            ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
+                FROM d, LATERAL (SELECT unnest(range(0,
+                       CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j))),
+       m AS (SELECT chunk, count(*) AS ns FROM sh GROUP BY 1),
+       u AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_shingles,
+                    CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+             FROM sh s JOIN m USING (chunk) GROUP BY 1),
+       st AS (SELECT dd.source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents dd GROUP BY 1),
+       ef AS (SELECT st.source, st.n,
+                     (st.n * u.n_unique * 1000) // u.n_shingles AS eff,
+                     CAST(floor(sqrt((st.n * u.n_unique * 1000) // u.n_shingles) * 1e6) AS BIGINT) AS w
+              FROM st JOIN u USING (source)),
+       tot AS (SELECT SUM(w) AS tw, SUM(eff) AS te FROM ef)
+       SELECT dd.source, dd.doc_id
+       FROM documents dd JOIN ef USING (source), tot
+       WHERE CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+             < CASE WHEN tw = 0 THEN 0.0
+                    ELSE least(1.0, (0.5 * te * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) / (n * 1000)) END
+       ORDER BY source, doc_id""")),
 
     // Deterministic WEIGHTED sampling without replacement (Efraimidis-
     // Spirakis A-ES): per source, keep the top-20 docs by the key

@@ -137,7 +137,11 @@ object Similarity {
     val ev = nearestCells(s, e.filter(col("vec_id") % 97 === 0), centroids, maxP)
       .select(col("vec_id").as("eval_id"), col("embedding").as("a_emb"),
         col("norm").as("a_norm"), posexplode(col("cells")).as(Seq("pos", "cell")))
-    val cand = broadcast(ev).join(tr, Seq("cell"))
+    // un-hinted on the cell key (the VectorIndexStore.semanticDecontaminate
+    // seam): AQE broadcasts a small eval suite at runtime and keeps a fat
+    // one (eval × maxP exploded embedding rows) shuffle-side — a forced
+    // broadcast here contradicted the fat-eval regime this sweep calibrates
+    val cand = ev.join(tr, Seq("cell"))
       .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
       .select(col("vec_id"), col("eval_id"),
         (col("pos") + 1).as("first_probe"), col("cosine"))
@@ -157,7 +161,12 @@ object Similarity {
     }
     val out = rows.reduce(_ unionAll _).crossJoin(truth)
       .select(col("nprobe"), col("n_flagged"), col("n_true"),
-        (col("n_flagged").cast(DoubleType) / col("n_true")).as("recall"),
+        // zero-guard: no pair reaching minCos means recall is undefined —
+        // NULL on both engines (Spark would emit NaN/Infinity, DuckDB
+        // errors int division by zero; the oracle mirrors with NULLIF)
+        when(col("n_true") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_flagged").cast(DoubleType) / col("n_true"))
+          .as("recall"),
         col("n_cand"))
       .orderBy(col("nprobe")).localCheckpoint()
     cand.unpersist()
@@ -182,6 +191,7 @@ object Similarity {
                    CAST((SELECT count(*) FROM sc WHERE first_probe <= $p) AS BIGINT) AS n_cand)"""
     }.mkString(",\n")
     val unions = probes.map(p => s"SELECT * FROM r$p").mkString(" UNION ALL ")
+    // recall division NULLIF-guarded to mirror the Spark-side zero guard
     s"""WITH ${sqlKmeansCtes(nlist)},
            probe AS (SELECT vec_id AS eval_id, cell, rn FROM (
                        SELECT a.vec_id, c.cell,
@@ -201,7 +211,8 @@ object Similarity {
                        GROUP BY vec_id HAVING MAX(cosine) >= $minCos)),
            $perP
          SELECT nprobe, n_flagged, (SELECT n_true FROM truth) AS n_true,
-                CAST(n_flagged AS DOUBLE) / (SELECT n_true FROM truth) AS recall,
+                CAST(n_flagged AS DOUBLE)
+                  / NULLIF((SELECT n_true FROM truth), 0) AS recall,
                 n_cand
          FROM ($unions) ORDER BY nprobe"""
   }

@@ -652,18 +652,59 @@ object TextDedup {
     * form's whole-doc fallback is an approximation choice this exact
     * pass deliberately does not copy). Offsets are in characters; the
     * fixture corpus is ASCII so Spark and DuckDB character arithmetic
-    * agree byte-for-byte.
+    * agree byte-for-byte — for multilingual corpora use
+    * [[repeatedSpansExactBytes]], the BYTE-offset convention Lee et
+    * al.'s ExactSubstr actually operates in.
+    *
+    * `cacheWindows` (default FALSE — recompute): the window relation is
+    * read twice (the hash histogram and the hit side). Caching it costs
+    * ~24 B per corpus CHARACTER of executor memory/disk ((8+8+8)-byte
+    * rows per position — >2 PB of cache pressure at 100 TB, all
+    * spilling), while recomputing costs one extra codegen
+    * window-hash pass over a scan the job reads anyway — at scale the
+    * 2× map compute is far cheaper than the cache. The knob exists for
+    * small-corpus interactive use; DedupExactSpansSpec pins the two
+    * settings result-identical.
     */
   def repeatedSpansExact(docs: DataFrame, minLen: Int = 50,
-      crossDocOnly: Boolean = true): DataFrame = {
+      crossDocOnly: Boolean = true, cacheWindows: Boolean = false): DataFrame =
+    repeatedSpansExactOn(
+      docs.select(col("doc_id"), col("text").as("content")),
+      minLen, crossDocOnly, cacheWindows, spanCol = "span_chars")
+
+  /** BYTE-granularity exact duplicated-substring spans — the convention
+    * Lee et al.'s ExactSubstr ships (it deduplicates UTF-8 BYTE
+    * sequences, not code points): identical semantics and plan as
+    * [[repeatedSpansExact]] but over `encode(text, 'UTF-8')`, with
+    * `minLen`, offsets and span lengths all in BYTES. For multilingual
+    * corpora this is the correct form — char-offset spans disagree with
+    * byte tooling (and with the tokenizer's byte-level convention,
+    * `functions/Bpe.scala`) as soon as a multi-byte code point appears;
+    * a byte window may also split a multi-byte character at its edge,
+    * which is inherent to the byte semantics and exactly what the
+    * published pass does. Window equality is decided on the actual
+    * BYTES (binary substring + binary group-by; hashing remains a
+    * prefilter), so the exactness argument carries over verbatim with
+    * "character" replaced by "byte". DedupExactSpansSpec proves
+    * byte-brute equivalence over supplementary-plane (4-byte) text.
+    */
+  def repeatedSpansExactBytes(docs: DataFrame, minLen: Int = 50,
+      crossDocOnly: Boolean = true, cacheWindows: Boolean = false): DataFrame =
+    repeatedSpansExactOn(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content")),
+      minLen, crossDocOnly, cacheWindows, spanCol = "span_bytes")
+
+  /** Shared core: `content` is (doc_id, content) where content is a
+    * STRING (char offsets) or BINARY (byte offsets) — length, substring,
+    * xxhash64 and group-by all operate natively on either type.
+    */
+  private def repeatedSpansExactOn(content: DataFrame, minLen: Int,
+      crossDocOnly: Boolean, cacheWindows: Boolean,
+      spanCol: String): DataFrame = {
     val L = minLen
-    // pass 1: hash every stride-1 L-char window; only longs shuffle
-    val winsH = docs.filter(length(col("text")) >= L)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        expr(s"xxhash64(substring(text, pos + 1, $L))").as("h"))
-      .persist() // read by the hash histogram and the hit side
+    // pass 1: hash every stride-1 L-unit window; only longs shuffle
+    val winsH0 = windowHashes(content, L)
+    val winsH = if (cacheWindows) winsH0.persist() else winsH0
     val dupH =
       if (crossDocOnly)
         winsH.select(col("h"), col("doc_id")).distinct()
@@ -671,14 +712,39 @@ object TextDedup {
           .filter(col("c") >= 2).select(col("h"))
       else winsH.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("h"))
-    // pass 2 (hit-first): candidate positions re-derive their window
-    // TEXT and the repeat test re-runs on actual characters — hashing is
-    // a prefilter, never the verdict, which is what makes this EXACT
     val hitPos = winsH.join(dupH, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    val cand = hitPos.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val out = spansFromHits(content, hitPos, L, crossDocOnly, spanCol)
+    if (cacheWindows) winsH.unpersist()
+    out
+  }
+
+  /** Pass 1 as a relation: every stride-1 length-L window's (doc_id,
+    * pos, xxhash64) — 24-byte rows, linear in corpus units. Shared by
+    * the in-query forms and the stored window-hash index BUILD
+    * ([[graft.sources.ExactSpanStore]]), so the store persists exactly
+    * the relation the in-query pass derives.
+    */
+  private[graft] def windowHashes(content: DataFrame, minLen: Int): DataFrame =
+    content.filter(length(col("content")) >= minLen)
+      .select(col("doc_id"), col("content"),
+        explode(expr(s"sequence(0, length(content) - $minLen)")).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        expr(s"xxhash64(substring(content, pos + 1, $minLen))").as("h"))
+
+  /** Pass 2 + island merge, shared by the in-query forms and the stored
+    * window-hash index probe ([[graft.sources.ExactSpanStore]]): given
+    * candidate hit positions (hash-prefiltered), re-derive the window
+    * CONTENT and re-run the repeat test on actual characters/bytes —
+    * hashing is a prefilter, never the verdict, which is what makes
+    * this EXACT — then merge covered positions into maximal runs.
+    */
+  private[graft] def spansFromHits(content: DataFrame, hitPos: DataFrame,
+      minLen: Int, crossDocOnly: Boolean, spanCol: String): DataFrame = {
+    val L = minLen
+    val cand = hitPos.join(content, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, CAST(pos AS INT) + 1, $L)").as("chunk"))
+        expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
     val dupChunk =
       if (crossDocOnly)
         cand.select(col("chunk"), col("doc_id")).distinct()
@@ -688,13 +754,20 @@ object TextDedup {
         .filter(col("c") >= 2).select(col("chunk"))
     val verified = cand.join(dupChunk, Seq("chunk"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    // maximal runs of covered characters: window at p covers
-    // [p, p+L-1], so coverage is contiguous iff the next start is
-    // <= prev + L (note: the word form's `> k - 1` merges only
-    // OVERLAPPING windows and can split one contiguous covered run at a
-    // touching boundary — the exact pass merges touching coverage too)
+    coveredRunsToSpans(verified, L, spanCol)
+  }
+
+  /** Maximal runs of covered positions: window at p covers [p, p+L-1],
+    * so coverage is contiguous iff the next start is <= prev + L (note:
+    * the word form's `> k - 1` merges only OVERLAPPING windows and can
+    * split one contiguous covered run at a touching boundary — the
+    * exact passes merge touching coverage too). Shared by the
+    * corpus-repeat and train↔eval exact forms.
+    */
+  private def coveredRunsToSpans(verified: DataFrame, L: Int,
+      spanCol: String): DataFrame = {
     val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val out = verified
+    verified
       .withColumn("prev", lag(col("pos"), 1).over(w1))
       .withColumn("ni",
         when(col("prev").isNull || col("pos") - col("prev") > L, 1L)
@@ -705,9 +778,62 @@ object TextDedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (L - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_chars"))
+        (col("span_end") - col("span_start") + 1).as(spanCol))
       .localCheckpoint()
-    winsH.unpersist()
+  }
+
+  /** EXACT (char-granularity) TRAIN↔EVAL substring decontamination —
+    * the decontamination use Lee et al. actually ship ExactSubstr for,
+    * complementing the word-window [[graft.ops.PipelineOps
+    * .decontaminateSpans]] (token-blind, finds mid-word and sub-k-word
+    * leaks) and the semantic form (paraphrase leaks): a TRAIN position
+    * is contaminated iff some substring of length >= `minLen` covering
+    * it also occurs in an EVAL document (any `isEval` split
+    * Column; the declared rows use % 10 — see the registration note). Output: maximal contaminated runs per
+    * train doc.
+    *
+    * Same two-pass discipline as [[repeatedSpansExact]]: pass 1
+    * shuffles only (hash, doc_id, pos) longs; verification is
+    * hit-first on BOTH legs — train candidates re-derive their window
+    * text on the doc_id layout key, and the eval chunk set is bounded
+    * to hashes that actually hit a train window (an eval suite's
+    * windows are small, but the hit-bound means even that set never
+    * materializes beyond the candidates) — and the verdict is decided
+    * on actual CHARACTERS (string semi-join), never the hash.
+    */
+  def decontaminateSpansExact(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, minLen: Int = 50,
+      cacheWindows: Boolean = false): DataFrame = {
+    val L = minLen
+    val content = docs.select(col("doc_id"), isEval.as("is_eval"),
+      col("text").as("content"))
+    val wins0 = content.filter(length(col("content")) >= L)
+      .select(col("doc_id"), col("is_eval"), col("content"),
+        explode(expr(s"sequence(0, length(content) - $L)")).as("pos"))
+      .select(col("doc_id"), col("is_eval"),
+        col("pos").cast(LongType).as("pos"),
+        expr(s"xxhash64(substring(content, pos + 1, $L))").as("h"))
+    val wins = if (cacheWindows) wins0.persist() else wins0
+    val evalH = wins.filter(col("is_eval")).select(col("h")).distinct()
+    val hitPos = wins.filter(!col("is_eval"))
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"), col("h"))
+    val trainH = hitPos.select(col("h")).distinct()
+    val textOf = content.select(col("doc_id"), col("content"))
+    val evalChunks = wins.filter(col("is_eval"))
+      .join(trainH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .join(textOf, Seq("doc_id"))
+      .select(expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
+      .distinct()
+    val cand = hitPos.select(col("doc_id"), col("pos"))
+      .join(textOf, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
+    val verified = cand.join(evalChunks, Seq("chunk"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val out = coveredRunsToSpans(verified, L, spanCol = "span_chars")
+    if (cacheWindows) wins.unpersist()
     out
   }
 
@@ -736,6 +862,78 @@ object TextDedup {
         spx AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
                        CAST(MAX(pos) + $l - 1 AS BIGINT) AS span_end
                 FROM islx GROUP BY doc_id, island)"""
+
+  /** The cross-doc exact-spans oracle — shared VERBATIM by
+    * q_repeated_spans_exact, q_repeated_spans_stored and
+    * q_repeated_spans_incr: the stored/incremental forms change where
+    * the window-hash relation comes from, never the span semantics.
+    */
+  private val exactSpansOracle: String =
+    s"""WITH ${exactSpansOracleCtes(50)}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_chars
+        FROM spx ORDER BY doc_id, span_start"""
+
+  /** DuckDB mirror of [[repeatedSpansExactBytes]] over the é-translated
+    * fixture. DuckDB 1.0 has no BLOB substring/group-by, so the oracle
+    * works in the HEX image of the UTF-8 bytes (hex is a bijection on
+    * byte strings: the window at byte i is the hex substring at 2i of
+    * length 2L, so hex-chunk equality IS byte-window equality); offsets
+    * and span lengths stay in bytes.
+    */
+  private def exactSpansBytesCtes(l: Int): String =
+    s"""db0 AS (SELECT doc_id, hex(encode(replace(text, 'e', 'é'))) AS hx,
+                       octet_length(encode(replace(text, 'e', 'é'))) AS n
+                FROM documents),
+        db AS (SELECT * FROM db0 WHERE n >= $l),
+        winb AS (SELECT doc_id, i AS pos, substring(hx, 2 * i + 1, ${2 * l}) AS chunk
+                 FROM db, LATERAL (SELECT unnest(range(0, n - $l + 1)) AS i)),
+        dupb AS (SELECT chunk FROM winb GROUP BY chunk
+                 HAVING count(DISTINCT doc_id) >= 2),
+        hitb AS (SELECT w.doc_id, w.pos FROM winb w
+                 WHERE w.chunk IN (SELECT chunk FROM dupb)),
+        islb AS (SELECT doc_id, pos,
+                        SUM(CASE WHEN prev IS NULL OR pos - prev > $l
+                            THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM (SELECT doc_id, pos,
+                              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                       FROM hitb)),
+        spb AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                       CAST(MAX(pos) + $l - 1 AS BIGINT) AS span_end
+                FROM islb GROUP BY doc_id, island)"""
+
+  private def exactSpansBytesOracle(l: Int): String =
+    s"""WITH ${exactSpansBytesCtes(l)}
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_bytes
+        FROM spb ORDER BY doc_id, span_start"""
+
+  /** Train↔eval exact-decontamination oracle CTEs (the % 10 split):
+    * contaminated train positions = windows whose STRING also occurs in
+    * an eval doc; spans = maximal covered runs. Shared by the spans row
+    * and the applied cut.
+    */
+  private def decontaminateExactCtes(l: Int): String =
+    s"""dxe AS (SELECT doc_id, text, length(text) AS n,
+                       doc_id % 10 = 0 AS is_eval
+                FROM documents WHERE length(text) >= $l),
+        wine AS (SELECT doc_id, is_eval, i AS pos,
+                        substring(text, i + 1, $l) AS chunk
+                 FROM dxe, LATERAL (SELECT unnest(range(0, n - $l + 1)) AS i)),
+        ece AS (SELECT DISTINCT chunk FROM wine WHERE is_eval),
+        hite AS (SELECT doc_id, pos FROM wine
+                 WHERE NOT is_eval AND chunk IN (SELECT chunk FROM ece)),
+        isle AS (SELECT doc_id, pos,
+                        SUM(CASE WHEN prev IS NULL OR pos - prev > $l
+                            THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM (SELECT doc_id, pos,
+                              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                       FROM hite)),
+        spe AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                       CAST(MAX(pos) + $l - 1 AS BIGINT) AS span_end
+                FROM isle GROUP BY doc_id, island)"""
 
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
@@ -1479,10 +1677,142 @@ object TextDedup {
       (s, dir) => repeatedSpansExact(t(s, dir, "documents"), 50,
           crossDocOnly = true)
         .orderBy(col("doc_id"), col("span_start")),
-      Some(s"""WITH ${exactSpansOracleCtes(50)}
+      Some(exactSpansOracle)),
+
+    // BYTE-granularity exact spans over a MULTI-BYTE corpus — the
+    // convention Lee et al.'s ExactSubstr ships (UTF-8 bytes, not code
+    // points). The fixture is ASCII, so the row derives a genuinely
+    // multilingual corpus on BOTH engines: replace(text, 'e', 'é') makes
+    // every 'e' a 2-byte code point, shifting byte offsets away from
+    // char offsets in every document. Threshold, offsets and span
+    // lengths are in BYTES; the oracle replays the same windows in the
+    // hex image of the bytes (DuckDB 1.0 has no BLOB substring).
+    // DedupExactSpansSpec proves byte-brute equivalence over
+    // supplementary-plane (4-byte) text and exhibits byte-vs-char
+    // divergence.
+    Q("q_repeated_spans_exact_bytes",
+      (s, dir) => repeatedSpansExactBytes(
+          t(s, dir, "documents")
+            .withColumn("text", expr("replace(text, 'e', 'é')")),
+          50, crossDocOnly = true)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(exactSpansBytesOracle(50))),
+
+    // The exact spans computed from the STORED window-hash index
+    // (sources.ExactSpanStore — the exact-substring cell of the
+    // index-once-query-many grid, previously the only dedup modality
+    // without one): pass 1 (hash every stride-1 window of the corpus)
+    // is paid at BUILD time and persisted bucket-partitioned on
+    // pmod(h, 64); the probe derives the duplicated-hash set and the
+    // candidate positions from the store alone — the corpus text is
+    // touched only by the hit-first verify (which re-decides every
+    // repeat on actual characters, so the stored form stays EXACT and
+    // shares q_repeated_spans_exact's oracle VERBATIM).
+    Q("q_repeated_spans_stored",
+      (s, dir) => {
+        val idx = graft.sources.ExactSpanStore.ensure(s, dir, minLen = 50)
+        graft.sources.ExactSpanStore.spans(s, idx,
+            t(s, dir, "documents"), minLen = 50, crossDocOnly = true)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(exactSpansOracle)),
+
+    // Exact spans over the INCREMENTALLY MAINTAINED window-hash store
+    // (sources.IncrementalExactSpanStore): the corpus windows land in
+    // TWO append layers (even then odd doc ids — the per-micro-batch
+    // maintainer shape) and the probe reads the merge-on-read union.
+    // Cross-layer repeats are found because the duplicated-hash set
+    // groups over ALL layers; shares the oracle VERBATIM — incremental
+    // maintenance changes bytes-read, never spans (ExactSpanStoreSpec
+    // pins bit-identity against the batch-built store).
+    Q("q_repeated_spans_incr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val idx = graft.sources.Scratch.tempDir("graft_spans_incr") + "/idx"
+        graft.sources.IncrementalExactSpanStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 === 0), 0L, idx, minLen = 50)
+        graft.sources.IncrementalExactSpanStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 =!= 0), 1L, idx, minLen = 50)
+        graft.sources.IncrementalExactSpanStore.spans(s, idx,
+            docs, minLen = 50, crossDocOnly = true)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(exactSpansOracle)),
+
+    // EXACT (char-granularity) TRAIN↔EVAL substring decontamination —
+    // the decontamination use ExactSubstr ships for: a train position is
+    // contaminated iff a >= 50-char substring covering it also occurs in
+    // an EVAL doc. The declared rows use the % 10 eval split (the
+    // q_train_split convention) rather than the semantic family's % 97:
+    // exact >= 50-char sharing is a much rarer event than shingle or
+    // cosine overlap, and at the gate SF the sparse % 97 split crosses
+    // no repeat cluster — a 0-row oracle would be vacuous. % 10 yields
+    // hits at every fixture SF (the operator itself takes any split
+    // Column). Complements the word-window
+    // q_decontaminate_spans (this one sees mid-word and sub-k-word
+    // leaks) and the semantic rows (paraphrase leaks). Hash-prefiltered,
+    // string-verified on both legs; spans are maximal contaminated runs
+    // per TRAIN doc.
+    Q("q_decontaminate_exact_spans",
+      (s, dir) => decontaminateSpansExact(t(s, dir, "documents"),
+          col("doc_id") % 10 === 0, 50)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(s"""WITH ${decontaminateExactCtes(50)}
                SELECT doc_id, span_start, span_end,
                       span_end - span_start + 1 AS span_chars
-               FROM spx ORDER BY doc_id, span_start""")),
+               FROM spe ORDER BY doc_id, span_start""")),
+
+    // The decontamination cut applied: every contaminated character
+    // removed from every TRAIN doc (eval docs are not training data and
+    // do not appear), cleaned bytes md5-pinned — the q_repeated_spans
+    // _exact_cut machinery pointed at the train↔eval spans, anchored on
+    // the train docs so unaffected and empty docs still yield rows.
+    Q("q_decontaminate_exact_cut",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val perDoc = decontaminateSpansExact(docs, col("doc_id") % 10 === 0, 50)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("clean_text",
+            when(col("spans").isNull, col("text")).otherwise(expr(
+              """aggregate(array_sort(spans),
+                   struct(CAST(0 AS BIGINT) AS prev, CAST('' AS STRING) AS acc),
+                   (st, sp) -> struct(sp.span_end + 1L AS prev,
+                     concat(st.acc, substring(text, CAST(st.prev AS INT) + 1,
+                       CAST(sp.span_start - st.prev AS INT))) AS acc),
+                   st -> concat(st.acc, substring(text, CAST(st.prev AS INT) + 1,
+                     CAST(length(text) - st.prev AS INT))))""")))
+          .select(col("doc_id"),
+            length(col("text")).cast(LongType).as("n_chars_total"),
+            (length(col("text")) - length(col("clean_text"))).cast(LongType)
+              .as("n_removed"),
+            md5(col("clean_text").cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${decontaminateExactCtes(50)},
+               wct AS (SELECT doc_id, i, substring(text, i + 1, 1) AS ch
+                       FROM (SELECT doc_id, text, length(text) AS n FROM documents
+                             WHERE doc_id % 10 <> 0),
+                            LATERAL (SELECT unnest(range(0, n)) AS i)),
+               mkt AS (SELECT w.doc_id, w.i, w.ch,
+                              EXISTS(SELECT 1 FROM spe
+                                     WHERE spe.doc_id = w.doc_id
+                                       AND w.i BETWEEN spe.span_start AND spe.span_end) AS rm
+                       FROM wct w),
+               aggt AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_chars_total,
+                               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                               md5(coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+                        FROM mkt GROUP BY doc_id)
+               SELECT d.doc_id,
+                      CAST(COALESCE(a.n_chars_total, 0) AS BIGINT) AS n_chars_total,
+                      CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+                      COALESCE(a.clean_md5, md5('')) AS clean_md5
+               FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+               LEFT JOIN aggt a USING (doc_id)
+               ORDER BY d.doc_id""")),
 
     // The ANY-OCCURRENCE exact variant (crossDocOnly = false): a window
     // repeated ANYWHERE — a second document or the same one — marks its
@@ -1550,6 +1880,10 @@ object TextDedup {
             md5(col("clean_text").cast("binary")).as("clean_md5"))
           .orderBy(col("doc_id"))
       },
+      // anchored on documents with a LEFT JOIN: the per-char wc relation
+      // (range(0, n)) yields no rows for a zero-length text, which would
+      // drop the doc while the Spark side still emits its
+      // (n_chars_total=0, md5('')) row
       Some(s"""WITH ${exactSpansOracleCtes(50)},
                wc AS (SELECT doc_id, i, substring(text, i + 1, 1) AS ch
                       FROM (SELECT doc_id, text, length(text) AS n FROM documents),
@@ -1558,12 +1892,71 @@ object TextDedup {
                                   EXISTS(SELECT 1 FROM spx
                                          WHERE spx.doc_id = w.doc_id
                                            AND w.i BETWEEN spx.span_start AND spx.span_end) AS rm
-                           FROM wc w)
-               SELECT doc_id,
-                      CAST(count(*) AS BIGINT) AS n_chars_total,
-                      CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-                      md5(coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
-               FROM markedc GROUP BY doc_id ORDER BY doc_id""")),
+                           FROM wc w),
+               aggc AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_chars_total,
+                               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                               md5(coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+                        FROM markedc GROUP BY doc_id)
+               SELECT d.doc_id,
+                      CAST(COALESCE(a.n_chars_total, 0) AS BIGINT) AS n_chars_total,
+                      CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+                      COALESCE(a.clean_md5, md5('')) AS clean_md5
+               FROM documents d LEFT JOIN aggc a USING (doc_id)
+               ORDER BY d.doc_id""")),
+
+    // The BYTE-granularity cut over the multi-byte corpus — the pass Lee
+    // et al. actually ship end-to-end (cut every byte covered by a
+    // cross-document repeat >= 50 BYTES; a cut may split a multi-byte
+    // character, which is inherent to the byte semantics). The cleaned
+    // BYTES are pinned via md5 of their hex image (the one canonical
+    // form both engines can hash: DuckDB 1.0 md5 takes VARCHAR only);
+    // same O(spans) binary substring stitch as the char cut, same
+    // documents-anchored LEFT JOIN so empty docs yield a row.
+    Q("q_repeated_spans_bytes_cut",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr("replace(text, 'e', 'é')"))
+        val perDoc = repeatedSpansExactBytes(docs, 50, crossDocOnly = true)
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+        docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("b"))
+          .join(broadcast(perDoc), Seq("doc_id"), "left")
+          .withColumn("clean",
+            when(col("spans").isNull, col("b")).otherwise(expr(
+              """aggregate(array_sort(spans),
+                   struct(CAST(0 AS BIGINT) AS prev, CAST('' AS BINARY) AS acc),
+                   (st, sp) -> struct(sp.span_end + 1L AS prev,
+                     concat(st.acc, substring(b, CAST(st.prev AS INT) + 1,
+                       CAST(sp.span_start - st.prev AS INT))) AS acc),
+                   st -> concat(st.acc, substring(b, CAST(st.prev AS INT) + 1,
+                     CAST(length(b) - st.prev AS INT))))""")))
+          .select(col("doc_id"),
+            length(col("b")).cast(LongType).as("n_bytes_total"),
+            (length(col("b")) - length(col("clean"))).cast(LongType)
+              .as("n_removed"),
+            md5(hex(col("clean")).cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${exactSpansBytesCtes(50)},
+               wcb AS (SELECT doc_id, i, substring(hx, 2 * i + 1, 2) AS ch
+                       FROM db0, LATERAL (SELECT unnest(range(0, n)) AS i)),
+               mkb AS (SELECT w.doc_id, w.i, w.ch,
+                              EXISTS(SELECT 1 FROM spb
+                                     WHERE spb.doc_id = w.doc_id
+                                       AND w.i BETWEEN spb.span_start AND spb.span_end) AS rm
+                       FROM wcb w),
+               aggb AS (SELECT doc_id,
+                               CAST(count(*) AS BIGINT) AS n_bytes_total,
+                               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                               md5(coalesce(string_agg(ch, '' ORDER BY i) FILTER (WHERE NOT rm), '')) AS clean_md5
+                        FROM mkb GROUP BY doc_id)
+               SELECT d.doc_id,
+                      CAST(COALESCE(a.n_bytes_total, 0) AS BIGINT) AS n_bytes_total,
+                      CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+                      COALESCE(a.clean_md5, md5('')) AS clean_md5
+               FROM documents d LEFT JOIN aggb a USING (doc_id)
+               ORDER BY d.doc_id""")),
 
     // Content-defined chunk dedup (the rsync/CDC idea at word
     // granularity): a chunk boundary falls AFTER every trigger word

@@ -870,6 +870,18 @@ object TrainerOps {
       .select((col("offset") + col("o_i")).as("s"),
         (col("offset") + col("o_i") +
           when(col("i") % 2 === 0, col("c_i") + 2L).otherwise(lit(1L))).as("e"))
+    maskRowsFromIntervals(iv, budget, seqsPerShard)
+  }
+
+  /** Shared interval → mask-row machinery (the packSftMask discipline),
+    * used by the synthesized multi-turn form and the parsed-messages
+    * seam: split doc-local global-offset mask intervals (s, e) at
+    * sequence boundaries, merge adjacent/overlapping intervals per
+    * sequence (island pass), emit (shard, seq, mask_start, mask_end,
+    * mask_tokens).
+    */
+  private def maskRowsFromIntervals(iv: DataFrame, budget: Long,
+      seqsPerShard: Long): DataFrame = {
     val split0 = iv
       .select(col("s"), col("e"),
         explode(expr(s"sequence(s div ${budget}L, e div ${budget}L)")).as("seq"))
@@ -890,6 +902,164 @@ object TrainerOps {
         (col("mask_end") - col("mask_start") + 1L).as("mask_tokens"))
       .orderBy(col("seq"), col("mask_start"))
   }
+
+  /** Deterministic nested-chat fixture synthesis — the SAME turn
+    * arithmetic as [[packSftMaskMultiturn]] materialized as the
+    * `messages: array<struct<role, content>>` column production SFT
+    * corpora actually carry (the fixture has no chat field), so the
+    * parser seam below can be oracled against a real list-of-struct
+    * relation and spec-pinned row-identical to the multiturn row.
+    */
+  def synthMessages(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sft2:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        (lit(2L) * (lit(1L) + (h % 3))).as("t"),
+        size(split(col("text"), " ")).cast(LongType).as("n"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0L, t - 1L), i -> named_struct(
+             'role', CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+             'content', array_join(slice(ws, CAST((i * n) div t AS INT) + 1,
+               CAST(((i + 1) * n) div t - (i * n) div t AS INT)), ' ')))""")
+        .as("messages"))
+  }
+
+  /** MULTI-TURN SFT masking from a REAL chat column — the ingestion
+    * seam [[packSftMaskMultiturn]]'s md5 synthesis stands in for: the
+    * input carries `messages: array<struct<role: string, content:
+    * string>>` (the production SFT corpus shape) and the turn
+    * structure is PARSED from it — turn count from the array, roles
+    * from the structs, per-turn token counts from the content strings
+    * (whitespace tokens; empty content = 0 tokens, both engines) —
+    * then flows into the SAME interval machinery: 3 template tokens
+    * per turn, any non-'assistant' role (user, system, tool, ...)
+    * loss-masked wholly, assistant headers masked, boundary splits and
+    * adjacent merges unchanged. Scale shape: O(docs·turns) interval
+    * rows, never per-position; offsets ride the tokenShards spine; one
+    * doc_id join (the lake layout key) attaches messages to offsets.
+    */
+  def packSftMaskMessages(msgs: DataFrame, budget: Long = 256L,
+      seqsPerShard: Long = 8L): DataFrame = {
+    val withTc = msgs.select(col("doc_id"), col("messages"))
+    val spine = TextOps.tokenShards(withTc, budget = budget,
+      nTokens = expr(
+        """3L * CAST(size(messages) AS BIGINT) +
+           aggregate(messages, 0L, (a, m) -> a +
+             CASE WHEN m.content = '' THEN 0L
+                  ELSE CAST(size(split(m.content, ' ')) AS BIGINT) END)"""))
+    val turns = spine.select(col("doc_id"), col("offset"))
+      .join(withTc, Seq("doc_id"))
+      .select(col("doc_id"), col("offset"),
+        posexplode(col("messages")).as(Seq("i", "m")))
+      .select(col("doc_id"), col("offset"), col("i").cast(LongType).as("i"),
+        col("m.role").as("role"),
+        when(col("m.content") === "", 0L)
+          .otherwise(size(split(col("m.content"), " ")).cast(LongType))
+          .as("c_i"))
+    val wT = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val iv = turns
+      .withColumn("o_i",
+        lit(3L) * col("i") + coalesce(sum(col("c_i")).over(wT), lit(0L)))
+      .select((col("offset") + col("o_i")).as("s"),
+        (col("offset") + col("o_i") +
+          when(col("role") === "assistant", lit(1L))
+            .otherwise(col("c_i") + 2L)).as("e"))
+    maskRowsFromIntervals(iv, budget, seqsPerShard)
+  }
+
+  /** Template render from the PARSED messages column — the
+    * [[sftRenderMultiturn]] pin computed through the ingestion seam:
+    * `<|im_start|> role content... <|im_end|>` per turn, content
+    * tokens verbatim (empty content renders zero tokens), md5 over the
+    * whitespace-joined token stream, so `n_tokens` equals the mask
+    * row's 3T + n exactly. One HOF pass per doc.
+    */
+  def sftRenderMessages(msgs: DataFrame): DataFrame =
+    msgs.select(col("doc_id"), col("messages"))
+      .withColumn("toks", expr(
+        """flatten(transform(messages, m ->
+             concat(array('<|im_start|>', m.role),
+                    CASE WHEN m.content = '' THEN array_remove(array(''), '')
+                         ELSE split(m.content, ' ') END,
+                    array('<|im_end|>'))))"""))
+      .select(col("doc_id"),
+        size(col("messages")).cast(LongType).as("n_turns"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        md5(expr("array_join(toks, ' ')").cast("binary")).as("render_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The synthesized list-of-struct chat relation, shared by both
+    * messages-seam oracles: built with struct_pack/list_transform and
+    * then PARSED back field-by-field — the oracle exercises the nested
+    * column, not the synthesis arithmetic shortcut.
+    */
+  private val messagesCtes: String =
+    """s0 AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+       tt AS (SELECT doc_id, ws, n,
+                     2 * (1 + (CAST(('0x' || substr(md5('sft2:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 3)) AS t
+              FROM s0),
+       msgs AS (SELECT doc_id,
+                       list_transform(range(0, t), i -> struct_pack(
+                         role := CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END,
+                         content := COALESCE(array_to_string(
+                           ws[CAST((i * n) // t AS BIGINT) + 1 : CAST(((i + 1) * n) // t AS BIGINT)], ' '), '')))
+                         AS messages
+                FROM tt),
+       tu AS (SELECT doc_id, i - 1 AS i, messages[i].role AS role,
+                     CASE WHEN messages[i].content = '' THEN 0
+                          ELSE len(string_split(messages[i].content, ' ')) END AS c_i
+              FROM msgs, LATERAL (SELECT unnest(range(1, len(messages) + 1)) AS i))"""
+
+  private val packSftMessagesOracle: String =
+    s"""WITH $messagesCtes,
+       tn AS (SELECT doc_id, CAST(3 * count(*) + SUM(c_i) AS BIGINT) AS ntok
+              FROM tu GROUP BY 1),
+       o AS (SELECT doc_id,
+                    CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+             FROM tn),
+       ti AS (SELECT u.doc_id, o.off, u.i, u.role, u.c_i,
+                     CAST(3 * u.i + COALESCE(SUM(u.c_i) OVER (PARTITION BY u.doc_id
+                       ORDER BY u.i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o_i
+              FROM tu u JOIN o ON o.doc_id = u.doc_id),
+       mi AS (SELECT off + o_i AS s,
+                     off + o_i + CASE WHEN role = 'assistant' THEN 1 ELSE c_i + 2 END AS e
+              FROM ti),
+       iv AS (SELECT CAST(seq AS BIGINT) AS seq,
+                     CAST(GREATEST(s, seq * 256) AS BIGINT) AS st,
+                     CAST(LEAST(e, (seq + 1) * 256 - 1) AS BIGINT) AS e
+              FROM (SELECT s, e, unnest(range(s // 256, e // 256 + 1)) AS seq
+                    FROM mi)),
+       isl AS (SELECT seq, st, e,
+                      SUM(CASE WHEN pe IS NULL OR st > pe + 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY seq ORDER BY st) AS island
+               FROM (SELECT seq, st, e, lag(e) OVER (PARTITION BY seq ORDER BY st) AS pe
+                     FROM iv))
+       SELECT CAST(seq // 8 AS BIGINT) AS shard, seq,
+              CAST(MIN(st) AS BIGINT) AS mask_start,
+              CAST(MAX(e) AS BIGINT) AS mask_end,
+              CAST(MAX(e) - MIN(st) + 1 AS BIGINT) AS mask_tokens
+       FROM isl GROUP BY seq, island ORDER BY 2, 3"""
+
+  private val sftRenderMessagesOracle: String =
+    s"""WITH $messagesCtes,
+       tr AS (SELECT doc_id, i - 1 AS i,
+                     list_concat(list_concat(
+                       ['<|im_start|>', messages[i].role],
+                       CASE WHEN messages[i].content = '' THEN []
+                            ELSE string_split(messages[i].content, ' ') END),
+                       ['<|im_end|>']) AS toks
+              FROM msgs, LATERAL (SELECT unnest(range(1, len(messages) + 1)) AS i))
+       SELECT r.doc_id,
+              CAST(max(len(m.messages)) AS BIGINT) AS n_turns,
+              CAST(sum(len(r.toks)) AS BIGINT) AS n_tokens,
+              md5(array_to_string(flatten(list(r.toks ORDER BY r.i)), ' ')) AS render_md5
+       FROM tr r JOIN msgs m ON m.doc_id = r.doc_id
+       GROUP BY r.doc_id ORDER BY r.doc_id"""
 
   private val packSftMultiturnOracle: String =
     """WITH s0 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -1072,6 +1242,12 @@ object TrainerOps {
     Q("q_sft_render_multiturn",
       (s, dir) => sftRenderMultiturn(t(s, dir, "documents")),
       Some(sftRenderMultiturnOracle)),
+    Q("q_pack_sft_messages",
+      (s, dir) => packSftMaskMessages(synthMessages(t(s, dir, "documents"))),
+      Some(packSftMessagesOracle)),
+    Q("q_sft_render_messages",
+      (s, dir) => sftRenderMessages(synthMessages(t(s, dir, "documents"))),
+      Some(sftRenderMessagesOracle)),
     Q("q_pref_pairs",
       (s, dir) => prefPairs(t(s, dir, "documents")),
       Some(prefPairsOracle)),

@@ -228,9 +228,24 @@ object VectorIndexStore {
     * one row per train vector per partition, never the train×eval
     * expansion. Zero-norm vectors are excluded on both legs (cosine
     * against a zero vector is NaN).
+    *
+    * Join strategy is SIZE-CONDITIONAL, never forced: the probe side is
+    * eval × nprobe exploded rows each carrying a 64-float embedding
+    * (~300 B/row), so at the 10⁵–10⁶-vector eval suites this row exists
+    * for, a forced broadcast would pin GBs on every executor — the
+    * bottleneck it is supposed to avoid. The same bounded job that
+    * collects the probed-cell IN list also counts the exploded probe
+    * rows; at or under `broadcastEvalRows` the small-suite plan keeps
+    * the explicit broadcast, above it the join is left un-hinted on its
+    * `cell` key (AQE picks shuffle-hash for a genuinely fat suite, or
+    * re-converts to broadcast if runtime stats say the probe side is
+    * small after all). Same results either way — VectorIndexSpec pins
+    * row equality across the seam and the un-hinted fat-regime plan
+    * shape.
     */
   def semanticDecontaminate(spark: SparkSession, indexDir: String,
-      minCos: Double, nprobe: Int = 4): DataFrame = {
+      minCos: Double, nprobe: Int = 4,
+      broadcastEvalRows: Long = 100000L): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
     val lists = spark.read.parquet(s"$indexDir/lists")
       .filter(col("norm") > 0)
@@ -239,15 +254,20 @@ object VectorIndexStore {
         col("norm").as("a_norm"),
         explode(VectorFunctions.nearestCells(col("embedding"), cents, nprobe))
           .as("cell"))
-    // literal IN list so the candidate scan partition-prunes at planning
-    // (the ivfTopK convention); bounded at <= nlist values
-    val probed = ev.select(col("cell")).distinct()
-      .collect().map(_.getInt(0).toLong).sorted
+    // ONE bounded job (<= nlist rows back) yields both the literal IN
+    // list that makes the candidate scan partition-prune at planning
+    // (the ivfTopK convention) and the exploded probe-row count that
+    // decides the join strategy
+    val cellCounts = ev.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val probed = cellCounts.map(_._1).sorted
+    val evRows = cellCounts.map(_._2).sum
     val tr = lists.filter(col("vec_id") % 97 =!= 0 &&
         col("cell").isin(probed: _*))
       .select(col("vec_id"), col("embedding").as("b_emb"),
         col("norm").as("b_norm"), col("cell"))
-    broadcast(ev).join(tr, Seq("cell"))
+    val evSide = if (evRows <= broadcastEvalRows) broadcast(ev) else ev
+    evSide.join(tr, Seq("cell"))
       .withColumn("cosine",
         VectorFunctions.floatDot(spark, col("a_emb"), col("b_emb"))
           / (col("a_norm") * col("b_norm")))

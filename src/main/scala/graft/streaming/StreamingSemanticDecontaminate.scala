@@ -74,7 +74,11 @@ object StreamingSemanticDecontaminate {
       if (v.embedding == null) ScoredVec(v.vec_id, -1L, Double.NaN, flagged = false)
       else {
         val n = math.sqrt(dot(v.embedding, v.embedding))
-        if (!(n > 0)) ScoredVec(v.vec_id, -1L, Double.NaN, flagged = false)
+        // an empty eval index scores nothing: same unscorable convention
+        // as null/zero-norm rows (NOT -Infinity/-1 from an empty scan),
+        // so "every scorable vector names its nearest eval point" holds
+        if (!(n > 0) || index.isEmpty)
+          ScoredVec(v.vec_id, -1L, Double.NaN, flagged = false)
         else {
           var bestC = Double.NegativeInfinity
           var bestId = -1L

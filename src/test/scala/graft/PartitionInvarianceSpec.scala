@@ -67,7 +67,15 @@ class PartitionInvarianceSpec extends SparkSpec {
     // and the probe-sweep counts over the persisted scored relation
     "q_pref_pairs" -> sf0001, "q_decontaminate_semantic_sweep" -> sf001,
     // first-owner MIN per shingle + the novelty ratio
-    "q_doc_novelty" -> sf0001)
+    "q_doc_novelty" -> sf0001,
+    // round-14: byte-offset spans (binary window islands), the parsed
+    // messages seam (per-doc turn cumsum + interval islands over the
+    // offset spine), and the uniqueness-weighted mix (distinct-shingle
+    // aggregates feeding broadcast rates)
+    "q_repeated_spans_exact_bytes" -> sf0001,
+    "q_pack_sft_messages" -> sf0001, "q_effective_mix" -> sf0001,
+    // train-eval exact decon: two hash-bounded semi-joins + island merge
+    "q_decontaminate_exact_spans" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -107,6 +107,155 @@ class DedupExactSpansSpec extends SparkSpec {
     assert(exact == bruteSpans(Seq((0L, docA), (1L, docB)), 50))
   }
 
+  /** Byte-level ground truth: the same all-pairs common-prefix
+    * enumeration over the UTF-8 BYTES — the convention Lee et al.'s
+    * ExactSubstr ships. O(n²), small inputs only.
+    */
+  private def bruteSpansBytes(docs: Seq[(Long, Array[Byte])], L: Int): Seq[(Long, Long, Long, Long)] = {
+    val covered = scala.collection.mutable.Map[Long, scala.collection.mutable.BitSet]()
+    for {
+      (da, ta) <- docs; (db, tb) <- docs if da < db
+      i <- 0 until ta.length; j <- 0 until tb.length
+    } {
+      var m = 0
+      val max = math.min(ta.length - i, tb.length - j)
+      while (m < max && ta(i + m) == tb(j + m)) m += 1
+      if (m >= L) {
+        val ba = covered.getOrElseUpdate(da, scala.collection.mutable.BitSet())
+        val bb = covered.getOrElseUpdate(db, scala.collection.mutable.BitSet())
+        var p = i; while (p < i + m) { ba += p; p += 1 }
+        p = j; while (p < j + m) { bb += p; p += 1 }
+      }
+    }
+    covered.toSeq.flatMap { case (d, bs) =>
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      bs.toSeq.sorted.foreach { p =>
+        if (runs.nonEmpty && runs.last._2 + 1 == p)
+          runs(runs.length - 1) = (runs.last._1, p)
+        else runs += ((p, p))
+      }
+      runs.map { case (s, e) => (d, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }.sortBy(x => (x._1, x._2))
+  }
+
+  private def runExactBytes(df: org.apache.spark.sql.DataFrame, l: Int) =
+    TextDedup.repeatedSpansExactBytes(df, l, crossDocOnly = true)
+      .orderBy(col("doc_id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("byte-granularity spans equal the byte-level brute force over supplementary-plane text") {
+    import spark.implicits._
+    // the shared block mixes 1-byte (ASCII), 2-byte (é, à), 3-byte (€)
+    // and 4-byte supplementary-plane (😀 U+1F600) code points:
+    // 😀(4) d(1) é(2) j(1) à(2) €(3) = 13 bytes per unit
+    val block = "😀déjà€" * 8 // 104 bytes >= 50
+    assert(block.getBytes("UTF-8").length == 104)
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"uq$tag$i").mkString(" ")
+    val docA = s"${filler("a", 12)} $block ${filler("b", 12)}"
+    val docB = s"${filler("c", 12)} $block ${filler("d", 12)}"
+    val df = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+    val expected = bruteSpansBytes(
+      Seq((0L, docA.getBytes("UTF-8")), (1L, docB.getBytes("UTF-8"))), 50)
+    val got = runExactBytes(df, 50)
+    assert(got.nonEmpty, "the multi-byte block must be reported")
+    assert(got == expected,
+      s"byte spans must equal the byte-level ground truth:\n got=$got\n exp=$expected")
+  }
+
+  test("byte offsets diverge from char offsets on multi-byte text and agree on ASCII") {
+    import spark.implicits._
+    val block = "répéated-block-with-accénts!" * 3 // multi-byte, 84 chars / 93 bytes
+    assert(block.getBytes("UTF-8").length > block.length)
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"zf$tag$i").mkString(" ")
+    // the accented FILLER before the block shifts byte offsets past char
+    // offsets, so the two conventions must disagree on span_start
+    val docA = s"ééééé ${filler("a", 10)} $block ${filler("b", 10)}"
+    val docB = s"ààààà ${filler("c", 10)} $block ${filler("d", 10)}"
+    val df = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+    val chars = runExact(df, 50)
+    val bytes = runExactBytes(df, 50)
+    assert(chars.nonEmpty && bytes.nonEmpty)
+    assert(chars.map(_._2) != bytes.map(_._2),
+      s"multi-byte prefixes must shift byte offsets: chars=$chars bytes=$bytes")
+    // pure-ASCII corpus: the two conventions coincide exactly
+    val asciiA = s"${filler("e", 10)} ${"asciiblockrepeat" * 4} ${filler("f", 10)}"
+    val asciiB = s"${filler("g", 10)} ${"asciiblockrepeat" * 4} ${filler("h", 10)}"
+    val adf = Seq((0L, asciiA), (1L, asciiB)).toDF("doc_id", "text")
+    assert(runExact(adf, 50) == runExactBytes(adf, 50))
+  }
+
+  test("cacheWindows knob is result-identical (chars and bytes)") {
+    val ids = Seq(0L, 5L, 8L, 12L, 50L, 82L, 120L, 360L)
+    val slice = Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id").isin(ids: _*)).select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id"), col("span_start")).collect().toSeq
+    val recompute = rows(TextDedup.repeatedSpansExact(slice, 50, crossDocOnly = true))
+    val cached = rows(TextDedup.repeatedSpansExact(slice, 50, crossDocOnly = true,
+      cacheWindows = true))
+    assert(recompute.nonEmpty && recompute == cached)
+    val recB = rows(TextDedup.repeatedSpansExactBytes(slice, 50, crossDocOnly = true))
+    val cacB = rows(TextDedup.repeatedSpansExactBytes(slice, 50, crossDocOnly = true,
+      cacheWindows = true))
+    assert(recB.nonEmpty && recB == cacB)
+  }
+
+  /** Train↔eval decontamination ground truth: covered positions in
+    * TRAIN docs from >= L common extensions with EVAL docs only.
+    */
+  private def bruteDeconSpans(train: Seq[(Long, String)], eval: Seq[(Long, String)],
+      L: Int): Seq[(Long, Long, Long, Long)] = {
+    val covered = scala.collection.mutable.Map[Long, scala.collection.mutable.BitSet]()
+    for {
+      (dt, tt) <- train; (_, te) <- eval
+      i <- 0 until tt.length; j <- 0 until te.length
+    } {
+      var m = 0
+      val max = math.min(tt.length - i, te.length - j)
+      while (m < max && tt(i + m) == te(j + m)) m += 1
+      if (m >= L) {
+        val b = covered.getOrElseUpdate(dt, scala.collection.mutable.BitSet())
+        var p = i; while (p < i + m) { b += p; p += 1 }
+      }
+    }
+    covered.toSeq.flatMap { case (d, bs) =>
+      val runs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      bs.toSeq.sorted.foreach { p =>
+        if (runs.nonEmpty && runs.last._2 + 1 == p)
+          runs(runs.length - 1) = (runs.last._1, p)
+        else runs += ((p, p))
+      }
+      runs.map { case (s, e) => (d, s.toLong, e.toLong, (e - s + 1).toLong) }
+    }.sortBy(x => (x._1, x._2))
+  }
+
+  test("train-eval exact decontamination: equals brute force; train-train repeats not flagged; eval docs emit nothing") {
+    import spark.implicits._
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"dc$tag$i").mkString(" ")
+    val leak = "leakedevalanswerblock!" * 3 // 66 chars shared train<->eval
+    val tt = "traintrainsharedonly!" * 3 // 63 chars shared train<->train ONLY
+    // 0 and 97 are eval ids (% 97 == 0); others train
+    val docs = Seq(
+      (0L, s"${filler("a", 12)} $leak ${filler("b", 12)}"), // eval
+      (97L, s"${filler("c", 12)} $leak ${filler("d", 12)}"), // eval (same leak)
+      (1L, s"${filler("e", 12)} $leak ${filler("f", 12)} $tt"), // train: leaked + tt
+      (2L, s"${filler("g", 12)} $tt ${filler("h", 12)}")) // train: tt only
+    val df = docs.toDF("doc_id", "text")
+    val got = TextDedup.decontaminateSpansExact(df, col("doc_id") % 97 === 0, 50)
+      .orderBy(col("doc_id"), col("span_start")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = bruteDeconSpans(
+      docs.filter(_._1 % 97 != 0), docs.filter(_._1 % 97 == 0), 50)
+    assert(got.nonEmpty && got == expected,
+      s"decon spans must equal train-vs-eval ground truth:\n got=$got\n exp=$expected")
+    // only the train doc containing the LEAK is flagged; the train-train
+    // repeat (tt) is invisible to decontamination, and eval ids never appear
+    assert(got.map(_._1).toSet == Set(1L))
+    // ...while the corpus-repeat row sees the train-train repeat too
+    val corpus = runExact(df, 50)
+    assert(corpus.map(_._1).toSet.contains(2L))
+  }
+
   test("within-doc repeat: the cross-doc row ignores it, the any-occurrence row reports it") {
     import spark.implicits._
     val block = "selfrepeatblock!" * 4 // 64 chars, repeated twice inside ONE doc

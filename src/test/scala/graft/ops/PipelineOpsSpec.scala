@@ -76,6 +76,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.exists(_.getLong(1) == thr))
   }
 
+  test("effectiveMix down-weights a syndicated source vs the plain temperature mix") {
+    import spark.implicits._
+    // srcFresh: 40 docs, 30 of them globally unique (75% unique
+    // shingles). srcCopy: 10 docs, ALL verbatim copies of fresh docs ->
+    // n_unique = 0 -> eff = 0 -> rate 0, while a plain doc-count
+    // temperature mix would sample it in proportion to its row count.
+    val fresh = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => s"fresh${i}w$j").mkString(" "), "srcFresh")
+    }
+    val copied = (0 until 10).map { i =>
+      (100L + i, fresh(i)._2, "srcCopy") // verbatim copy of a fresh doc
+    }
+    val df = (fresh ++ copied).toDF("doc_id", "text", "source")
+    val eff = PipelineOps.effectiveMix(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(!eff.exists(_._1 == "srcCopy"),
+      s"a fully-syndicated source must rate 0: ${eff.filter(_._1 == "srcCopy").toSeq}")
+    assert(eff.count(_._1 == "srcFresh") > 0,
+      "the fresh source must still be sampled")
+    // determinism: same input -> same selection
+    val again = PipelineOps.effectiveMix(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(eff.toSeq == again.toSeq)
+  }
+
   test("uint8 quantization error is bounded by half a step") {
     val q = SparkEntry.queries("q_embed_quantize")(spark, sf001).collect()
     assert(q.nonEmpty)

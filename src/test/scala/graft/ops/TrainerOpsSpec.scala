@@ -357,6 +357,78 @@ class TrainerOpsSpec extends SparkSpec {
     assert(gotR.map(_.getLong(1)).distinct.length == 3)
   }
 
+  test("messages seam: parsed nested chat equals the synthesized multiturn rows") {
+    // the parser over the synthesized messages column must reproduce the
+    // md5-synthesis rows exactly — same turn counts, same offsets, same
+    // intervals, same render bytes — proving the seam parses rather than
+    // re-deriving
+    val msgs = TrainerOps.synthMessages(docs)
+    val viaMessages = TrainerOps.packSftMaskMessages(msgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val viaSynthesis = TrainerOps.packSftMaskMultiturn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(viaMessages.nonEmpty && viaMessages == viaSynthesis)
+    val rm = TrainerOps.sftRenderMessages(msgs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val rs = TrainerOps.sftRenderMultiturn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rm.nonEmpty && rm == rs)
+  }
+
+  test("messages seam: system roles and empty contents replay per-position (hand-built chat)") {
+    import spark.implicits._
+    // two hand-built conversations with a SYSTEM turn (masked wholly,
+    // like any non-assistant role) and an empty user content (0 tokens);
+    // budget 16 forces boundary splits
+    val convs = Seq(
+      (0L, Seq(("system", "be very helpful"), ("user", "hi there friend"),
+        ("assistant", "hello dear friend"), ("user", ""),
+        ("assistant", "ok then"))),
+      (1L, Seq(("user", "solve this now"), ("assistant", "the answer is four"))))
+    val df = convs.toDF("doc_id", "pairs")
+      .selectExpr("doc_id",
+        "transform(pairs, p -> named_struct('role', p._1, 'content', p._2)) AS messages")
+    val B = 16
+    val got = TrainerOps.packSftMaskMessages(df, budget = B.toLong, seqsPerShard = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // brute force: materialize every token with its masked flag in order
+    val masked = scala.collection.mutable.ArrayBuffer[Boolean]()
+    convs.sortBy(_._1).foreach { case (_, turns) =>
+      turns.foreach { case (role, content) =>
+        val c = if (content.isEmpty) 0 else content.split(" ", -1).length
+        val isA = role == "assistant"
+        masked ++= Seq(true, true) // <|im_start|>, role
+        masked ++= Seq.fill(c + 1)(!isA) // content + <|im_end|>
+      }
+    }
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+    var g = 0
+    while (g < masked.length) {
+      if (masked(g)) {
+        val seq = g / B
+        var e = g
+        while (e + 1 < masked.length && masked(e + 1) && (e + 1) / B == seq) e += 1
+        expected += ((seq / 2L, seq.toLong, g.toLong, e.toLong, (e - g + 1).toLong))
+        g = e + 1
+      } else g += 1
+    }
+    assert(got == expected.toSeq.sortBy(x => (x._2, x._3)),
+      s"got=$got\nexp=${expected.toSeq}")
+    // render accounting: empty content contributes 0 tokens
+    val byDoc = convs.map { case (id, turns) =>
+      (id, (turns.length.toLong,
+        turns.map { case (_, c) =>
+          3L + (if (c.isEmpty) 0L else c.split(" ", -1).length.toLong) }.sum))
+    }.toMap
+    val gotR = TrainerOps.sftRenderMessages(df).collect()
+    assert(gotR.nonEmpty)
+    gotR.foreach { r =>
+      val (t, nt) = byDoc(r.getLong(0))
+      assert(r.getLong(1) == t && r.getLong(2) == nt, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("prefPairs: equals a brute-force per-prompt argmax/argmin replay") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -84,6 +84,35 @@ class VectorIndexSpec extends SparkSpec {
     assert(stored == direct)
   }
 
+  test("fat-eval decontamination seam: broadcast is size-conditional, results identical") {
+    // small-suite regime (default threshold): the probe side broadcasts
+    val small = VectorIndexStore.semanticDecontaminate(spark, idx,
+      minCos = 0.2, nprobe = VectorIndexStore.NList)
+    assert(small.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "small eval suites should keep the explicit broadcast hint")
+    // fat regime (threshold 0): the HINT is gone — the size estimator /
+    // AQE own the choice (at fixture scale they still pick broadcast
+    // from size stats, which is the point: nothing FORCES eval x nprobe
+    // exploded embedding rows onto every executor). Pin it by disabling
+    // auto-broadcast: the un-hinted join must then plan shuffle-side,
+    // while the small-regime EXPLICIT hint would have overridden the
+    // threshold.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (preAqe, logical, b) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fat = VectorIndexStore.semanticDecontaminate(spark, idx,
+        minCos = 0.2, nprobe = VectorIndexStore.NList, broadcastEvalRows = 0L)
+      (fat.queryExecution.sparkPlan.toString,
+        fat.queryExecution.optimizedPlan.toString,
+        fat.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!preAqe.contains("BroadcastHashJoin"),
+      s"fat regime must not force a broadcast join:\n$preAqe\nLOGICAL:\n$logical")
+    // same rows either side of the seam
+    val a = small.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("fingerprint keeps a fresh index; a stale fingerprint rebuilds") {
     val listsPath = new org.apache.hadoop.fs.Path(s"$idx/lists")
     val fs = listsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

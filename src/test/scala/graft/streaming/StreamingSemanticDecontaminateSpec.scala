@@ -70,4 +70,21 @@ class StreamingSemanticDecontaminateSpec extends SparkSpec {
       .as[StreamingSemanticDecontaminate.ScoredVec].collect()
     assert(out.length == 2 && out.forall(s => !s.flagged && s.best_eval_id == -1L))
   }
+
+  test("empty eval index: every vector is unscorable (NaN convention), never -Infinity") {
+    val empty = Array.empty[(Long, Array[Float], Double)]
+    val vecs = Seq(
+      StreamingSemanticDecontaminate.IncomingVec(1L, Array.fill(64)(1f)),
+      StreamingSemanticDecontaminate.IncomingVec(2L, Array.fill(64)(0.5f)))
+    val in = MemoryStream[StreamingSemanticDecontaminate.IncomingVec]
+    val q = StreamingSemanticDecontaminate(in.toDS(), empty, minCos = 0.3)
+      .writeStream.format("memory").queryName("sem_empty")
+      .outputMode("append").start()
+    in.addData(vecs: _*); q.processAllAvailable(); q.stop()
+    val out = spark.table("sem_empty")
+      .as[StreamingSemanticDecontaminate.ScoredVec].collect()
+    assert(out.length == 2 && out.forall(s =>
+      !s.flagged && s.best_eval_id == -1L && s.best_cosine.isNaN),
+      s"empty index must use the unscorable convention: ${out.toSeq}")
+  }
 }
