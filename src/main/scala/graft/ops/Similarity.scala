@@ -969,11 +969,85 @@ object Similarity {
   private def sqlNorm(a: String): String =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE)), (acc, x) -> acc + x))"
 
+  /** IN-CONTEXT PRETRAINING pack layout + coherence readout (Shi et al.
+    * 2023, "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries" — public paper, semantics only): instead of packing
+    * documents in arrival order, order them by semantic CLUSTER so each
+    * packed context window holds related documents — the model learns
+    * cross-document attention over genuinely related neighbors. The
+    * layout here is the deterministic cluster-sort form: assign every
+    * vector its kmeans cell (the q_kmeans machinery — seeded,
+    * decimal-exact refinement), order by (cell, vec_id), cut packs of
+    * `docsPerPack`. Output per pack: doc count, DISTINCT cells, and the
+    * majority cell + its doc count — the coherence readout a data team
+    * inspects before committing the layout (a pack spanning many cells
+    * defeats the purpose; majority share near 1 is the goal).
+    *
+    * Scale shape: the global (cell, vec_id) ordering is computed WITHOUT
+    * a single-partition global window — per-cell bases (nlist rows,
+    * broadcast — the chunkOffsetSpine discipline) + a within-cell
+    * row_number, then two bounded aggregates; nothing wider than
+    * (vec_id, cell, seq) longs shuffles.
+    */
+  def inContextPack(s: SparkSession, embRaw: DataFrame, nlist: Int = 16,
+      docsPerPack: Long = 64L): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val centroids = refinedCentroids(s, emb, nlist)
+    val asg = nearestCells(s, emb, centroids, 1)
+      .select(col("vec_id"), col("cells")(0).as("cell"))
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+    // nlist rows: the bounded global window is the spine, not the corpus
+    val wCell = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sizes
+      .withColumn("base", coalesce(sum(col("cn")).over(wCell), lit(0L)))
+      .select(col("cell"), col("base"))
+    val wIn = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val packed = asg.join(broadcast(bases), Seq("cell"))
+      .withColumn("seq", col("base") + row_number().over(wIn) - 1)
+      .withColumn("pack", expr(s"seq div ${docsPerPack}L"))
+    val pc = packed.groupBy(col("pack"), col("cell")).agg(count(lit(1)).as("c"))
+    pc.groupBy(col("pack"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_cells"),
+        max(struct(col("c"), (-col("cell")).cast(LongType).as("nc"))).as("m"))
+      .select(col("pack"), col("n_docs"), col("n_cells"),
+        (-col("m.nc")).as("majority_cell"), col("m.c").as("majority_docs"))
+      .orderBy(col("pack"))
+  }
+
+  private def sqlInContextPack(nlist: Int, docsPerPack: Int): String =
+    s"""WITH ${sqlKmeansCtes(nlist)},
+        sq AS (SELECT vec_id, cell,
+                      row_number() OVER (ORDER BY cell, vec_id) - 1 AS seq
+               FROM asg),
+        pk AS (SELECT seq // $docsPerPack AS pack, cell FROM sq),
+        pc AS (SELECT pack, cell, count(*) AS c FROM pk GROUP BY 1, 2),
+        agg AS (SELECT pack, CAST(SUM(c) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_cells
+                FROM pc GROUP BY 1),
+        mj AS (SELECT pack, cell, c,
+                      row_number() OVER (PARTITION BY pack
+                        ORDER BY c DESC, cell) AS rn
+               FROM pc)
+        SELECT a.pack, a.n_docs, a.n_cells,
+               CAST(mj.cell AS BIGINT) AS majority_cell,
+               CAST(mj.c AS BIGINT) AS majority_docs
+        FROM agg a JOIN mj ON mj.pack = a.pack AND mj.rn = 1
+        ORDER BY a.pack"""
+
   val queries: Seq[Q] = Seq(
 
     Q("q_decontaminate_semantic",
       (s, dir) => semanticDecontaminate(s, t(s, dir, "embeddings"), 0.3),
       Some(sqlSemanticDecon(0.3))),
+
+    // In-context pretraining layout: packs cut from the (cell, vec_id)
+    // cluster-sorted order, per-pack coherence readout (distinct cells +
+    // majority share). SimilaritySpec pins that the layout beats the
+    // arrival-order baseline on coherence.
+    Q("q_pack_incontext",
+      (s, dir) => inContextPack(s, t(s, dir, "embeddings")),
+      Some(sqlInContextPack(16, 64))),
 
     // FAT-EVAL-SET semantic decontamination — the same flag/argmax
     // semantics routed through the STORED IVF index

@@ -180,4 +180,32 @@ class SimilaritySpec extends SparkSpec {
       assert(c <= brute(id) + 1e-12, s"vec $id: narrow cosine $c > brute ${brute(id)}")
     }
   }
+
+  test("inContextPack: cluster-sorted packs beat arrival order on coherence; accounting holds") {
+    val embS = Tables.load(spark, sf0001, "embeddings")
+    val packs = Similarity.inContextPack(spark, embS).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packs.nonEmpty)
+    val nVec = embS.filter(col("embedding").isNotNull).count()
+    assert(packs.map(_._2).sum == nVec, "packs must partition the corpus")
+    packs.foreach { case (_, nd, nc, _, md) =>
+      assert(nc >= 1 && md <= nd && md >= (nd + nc - 1) / nc)
+    }
+    // baseline: the SAME cells packed in ARRIVAL (vec_id) order
+    val cells = Similarity.kmeansAssign(spark, embS, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = cells.grouped(64).map(_.map(_._2).distinct.length).toSeq
+    val baseMaj = cells.grouped(64).map(g =>
+      g.groupBy(_._2).values.map(_.length).max).toSeq
+    // doc-weighted coherence: cluster order needs FEWER distinct cells
+    // per pack and a LARGER majority share than arrival order
+    val inCells = packs.map(_._3.toDouble).sum / packs.length
+    val baseCells = base.map(_.toDouble).sum / base.length
+    assert(inCells < baseCells,
+      s"cluster order must be more coherent: $inCells vs $baseCells")
+    val inMaj = packs.map(_._5).sum.toDouble / nVec
+    val baseMajFrac = baseMaj.sum.toDouble / nVec
+    assert(inMaj > baseMajFrac,
+      s"majority share must improve: $inMaj vs $baseMajFrac")
+  }
 }

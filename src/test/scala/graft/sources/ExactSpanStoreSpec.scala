@@ -58,6 +58,23 @@ class ExactSpanStoreSpec extends SparkSpec {
     assert(rows(IncrementalExactSpanStore.spans(spark, idx, docs, 50)) == inQuery)
   }
 
+  test("streaming job maintains the window-hash store across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("span_stream").toString
+    val corpus = docs.as[(Long, String)].collect().toSeq
+    val (b1, b2) = corpus.partition(_._1 % 2 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IncrementalExactSpanStore.start(
+      in.toDF().toDF("doc_id", "text"), s"$dir/idx", s"$dir/ckpt", minLen = 50)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // the stream-maintained store spans identically to the in-query pass
+    assert(rows(IncrementalExactSpanStore.spans(spark, s"$dir/idx", docs, 50))
+      == inQuery)
+  }
+
   test("ensure is idempotent: a fresh store is not rebuilt") {
     val idx = ExactSpanStore.ensure(spark, sf0001, minLen = 50)
     val fp = new java.io.File(s"$idx/_FINGERPRINT")
