@@ -1739,6 +1739,31 @@ object TextDedup {
       },
       Some(exactSpansOracle)),
 
+    // The BYTE-granularity family's index-backed form: the incremental
+    // window-hash store built in BYTE mode over the é-translated corpus
+    // (two merge-on-read layers, the per-micro-batch maintainer shape) —
+    // byte windows hashed at append time, probe re-verifies on actual
+    // BYTES, so it shares q_repeated_spans_exact_bytes' hex-image oracle
+    // VERBATIM: every granularity of the exact-substring family now has
+    // an index-once-query-many path.
+    Q("q_repeated_spans_bytes_incr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("text", expr("replace(text, 'e', 'é')"))
+          .select(col("doc_id"), col("text"))
+        val idx = graft.sources.Scratch.tempDir("graft_spans_bincr") + "/idx"
+        graft.sources.IncrementalExactSpanStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 === 0), 0L, idx, minLen = 50,
+          bytes = true)
+        graft.sources.IncrementalExactSpanStore.appendBatch(
+          s, docs.filter(col("doc_id") % 2 =!= 0), 1L, idx, minLen = 50,
+          bytes = true)
+        graft.sources.IncrementalExactSpanStore.spans(s, idx,
+            docs, minLen = 50, crossDocOnly = true, bytes = true)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(exactSpansBytesOracle(50))),
+
     // EXACT (char-granularity) TRAIN↔EVAL substring decontamination —
     // the decontamination use ExactSubstr ships for: a train position is
     // contaminated iff a >= 50-char substring covering it also occurs in

@@ -72,12 +72,22 @@ object ExactSpanStore {
     s"v$FormatVersion|L$minLen|${p.toString}|${st.getLen}|${st.getModificationTime}"
   }
 
+  /** The per-granularity content projection: chars = the text column,
+    * bytes = its UTF-8 encoding (the repeatedSpansExactBytes
+    * convention — length/substring/xxhash64/group-by operate natively
+    * on BinaryType).
+    */
+  private[sources] def contentOf(docs: DataFrame, bytes: Boolean): DataFrame =
+    if (bytes)
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    else docs.select(col("doc_id"), col("text").as("content"))
+
   /** The window-hash relation for a document batch — the in-query pass 1
     * verbatim (shared code), bucketed for the store layout.
     */
-  private[sources] def bucketedWindows(docs: DataFrame, minLen: Int): DataFrame =
-    graft.ops.TextDedup.windowHashes(
-        docs.select(col("doc_id"), col("text").as("content")), minLen)
+  private[sources] def bucketedWindows(docs: DataFrame, minLen: Int,
+      bytes: Boolean = false): DataFrame =
+    graft.ops.TextDedup.windowHashes(contentOf(docs, bytes), minLen)
       .withColumn("bucket", pmod(col("h"), lit(Buckets.toLong)))
 
   /** Build (or rebuild): ONE window-hash pass over the corpus, staged +
@@ -140,10 +150,12 @@ object ExactSpanStore {
       docs, minLen, crossDocOnly)
 
   /** Probe core shared with [[IncrementalExactSpanStore]]: `wins` is
-    * the (doc_id, pos, h) window relation however it is stored.
+    * the (doc_id, pos, h) window relation however it is stored; `bytes`
+    * selects the granularity the store was built in (the verify pass
+    * must re-derive windows in the SAME units the positions mean).
     */
   private[sources] def spansFromWindows(wins: DataFrame, docs: DataFrame,
-      minLen: Int, crossDocOnly: Boolean): DataFrame = {
+      minLen: Int, crossDocOnly: Boolean, bytes: Boolean = false): DataFrame = {
     val dupH =
       if (crossDocOnly)
         wins.select(col("h"), col("doc_id")).distinct()
@@ -153,8 +165,8 @@ object ExactSpanStore {
         .filter(col("c") >= 2).select(col("h"))
     val hitPos = wins.join(dupH, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
-    graft.ops.TextDedup.spansFromHits(
-      docs.select(col("doc_id"), col("text").as("content")),
-      hitPos, minLen, crossDocOnly, spanCol = "span_chars")
+    graft.ops.TextDedup.spansFromHits(contentOf(docs, bytes),
+      hitPos, minLen, crossDocOnly,
+      spanCol = if (bytes) "span_bytes" else "span_chars")
   }
 }

@@ -31,10 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalExactSpanStore {
 
-  /** Index one document batch. Idempotent per (batchId, batch). */
+  /** Index one document batch. Idempotent per (batchId, batch).
+    * `bytes` selects the granularity (UTF-8 byte windows — the
+    * repeatedSpansExactBytes convention — vs char windows); a store is
+    * built and probed in ONE granularity.
+    */
   def appendBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      indexDir: String, minLen: Int): Unit = {
-    ExactSpanStore.bucketedWindows(batch, minLen)
+      indexDir: String, minLen: Int, bytes: Boolean = false): Unit = {
+    ExactSpanStore.bucketedWindows(batch, minLen, bytes)
       .withColumn("__batch_id", lit(batchId))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("h"), col("doc_id"), col("pos"))
@@ -50,10 +54,11 @@ object IncrementalExactSpanStore {
     * column is dropped on read).
     */
   def spans(spark: SparkSession, indexDir: String, docs: DataFrame,
-      minLen: Int, crossDocOnly: Boolean = true): DataFrame =
+      minLen: Int, crossDocOnly: Boolean = true,
+      bytes: Boolean = false): DataFrame =
     ExactSpanStore.spansFromWindows(
       spark.read.parquet(s"$indexDir/wins").select("doc_id", "pos", "h"),
-      docs, minLen, crossDocOnly)
+      docs, minLen, crossDocOnly, bytes)
 
   /** Run the maintainer as a streaming job: every micro-batch of
     * (doc_id, text) appends its own layer — foreachBatch + checkpoint
@@ -61,11 +66,12 @@ object IncrementalExactSpanStore {
     * the [[IncrementalSignatureStore.start]] wiring.
     */
   def start(docs: DataFrame, indexDir: String, checkpoint: String,
-      minLen: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      minLen: Int,
+      bytes: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch.sparkSession, batch, id, indexDir, minLen)
+        appendBatch(batch.sparkSession, batch, id, indexDir, minLen, bytes)
         ()
       }
       .start()

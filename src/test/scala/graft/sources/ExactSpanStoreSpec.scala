@@ -58,6 +58,24 @@ class ExactSpanStoreSpec extends SparkSpec {
     assert(rows(IncrementalExactSpanStore.spans(spark, idx, docs, 50)) == inQuery)
   }
 
+  test("byte-mode two-layer store equals the in-query byte pass on multi-byte text") {
+    val multi = docs.withColumn("text",
+      org.apache.spark.sql.functions.expr("replace(text, 'e', 'é')"))
+      .select(col("doc_id"), col("text"))
+    val idx = Scratch.tempDir("graft_spanstore_spec") + "/bincr"
+    IncrementalExactSpanStore.appendBatch(
+      spark, multi.filter(col("doc_id") % 2 === 0), 0L, idx, minLen = 50,
+      bytes = true)
+    IncrementalExactSpanStore.appendBatch(
+      spark, multi.filter(col("doc_id") % 2 =!= 0), 1L, idx, minLen = 50,
+      bytes = true)
+    val stored = rows(IncrementalExactSpanStore.spans(spark, idx, multi, 50,
+      bytes = true))
+    val inQ = rows(graft.ops.TextDedup.repeatedSpansExactBytes(multi, 50,
+      crossDocOnly = true))
+    assert(inQ.nonEmpty && stored == inQ)
+  }
+
   test("streaming job maintains the window-hash store across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
