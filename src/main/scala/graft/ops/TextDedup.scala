@@ -789,7 +789,10 @@ object TextDedup {
     * leaks) and the semantic form (paraphrase leaks): a TRAIN position
     * is contaminated iff some substring of length >= `minLen` covering
     * it also occurs in an EVAL document (any `isEval` split
-    * Column; the declared rows use % 10 — see the registration note). Output: maximal contaminated runs per
+    * Column; the declared rows use % 10 — see the registration note),
+    * with EVAL ATTRIBUTION per span (distinct eval docs matched by any
+    * of its windows + the smallest eval id — the word-form
+    * decontaminateSpans columns, so triage works the same way). Output: maximal contaminated runs per
     * train doc.
     *
     * Same two-pass discipline as [[repeatedSpansExact]]: pass 1
@@ -820,19 +823,43 @@ object TextDedup {
       .select(col("doc_id"), col("pos"), col("h"))
     val trainH = hitPos.select(col("h")).distinct()
     val textOf = content.select(col("doc_id"), col("content"))
+    // eval chunk OWNERS, hit-bounded: (chunk, eval_id) distinct — the
+    // attribution carrier (the decontaminateSpans word-form convention)
     val evalChunks = wins.filter(col("is_eval"))
       .join(trainH, Seq("h"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-      .join(textOf, Seq("doc_id"))
-      .select(expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
+      .select(col("doc_id").as("eval_id"), col("pos"))
+      .join(textOf.select(col("doc_id").as("eval_id"), col("content")),
+        Seq("eval_id"))
+      .select(expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"),
+        col("eval_id"))
       .distinct()
     val cand = hitPos.select(col("doc_id"), col("pos"))
       .join(textOf, Seq("doc_id"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
-    val verified = cand.join(evalChunks, Seq("chunk"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-    val out = coveredRunsToSpans(verified, L, spanCol = "span_chars")
+    // inner join carries WHICH eval docs matched: (doc, pos, eval_id)
+    // triples are unique (cand unique per (doc,pos); owners distinct)
+    val hits = cand.join(evalChunks, Seq("chunk"))
+      .select(col("doc_id"), col("pos"), col("eval_id"))
+    val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits.select(col("doc_id"), col("pos")).distinct()
+      .withColumn("prev", lag(col("pos"), 1).over(w1))
+      .withColumn("ni",
+        when(col("prev").isNull || col("pos") - col("prev") > L, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(w1.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("doc_id"), col("pos"), col("island"))
+    val out = hits.join(islands, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        min(col("eval_id")).as("min_eval_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"),
+        col("n_eval_docs"), col("min_eval_id"))
+      .localCheckpoint()
     if (cacheWindows) wins.unpersist()
     out
   }
@@ -921,19 +948,22 @@ object TextDedup {
         wine AS (SELECT doc_id, is_eval, i AS pos,
                         substring(text, i + 1, $l) AS chunk
                  FROM dxe, LATERAL (SELECT unnest(range(0, n - $l + 1)) AS i)),
-        ece AS (SELECT DISTINCT chunk FROM wine WHERE is_eval),
-        hite AS (SELECT doc_id, pos FROM wine
-                 WHERE NOT is_eval AND chunk IN (SELECT chunk FROM ece)),
+        ece AS (SELECT DISTINCT chunk, doc_id AS eval_id FROM wine WHERE is_eval),
+        hite AS (SELECT w.doc_id, w.pos, e.eval_id FROM wine w
+                 JOIN ece e ON e.chunk = w.chunk WHERE NOT w.is_eval),
         isle AS (SELECT doc_id, pos,
                         SUM(CASE WHEN prev IS NULL OR pos - prev > $l
                             THEN 1 ELSE 0 END)
                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
                  FROM (SELECT doc_id, pos,
                               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-                       FROM hite)),
-        spe AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-                       CAST(MAX(pos) + $l - 1 AS BIGINT) AS span_end
-                FROM isle GROUP BY doc_id, island)"""
+                       FROM (SELECT DISTINCT doc_id, pos FROM hite))),
+        spe AS (SELECT i.doc_id, CAST(MIN(i.pos) AS BIGINT) AS span_start,
+                       CAST(MAX(i.pos) + $l - 1 AS BIGINT) AS span_end,
+                       CAST(count(DISTINCT h.eval_id) AS BIGINT) AS n_eval_docs,
+                       CAST(MIN(h.eval_id) AS BIGINT) AS min_eval_id
+                FROM isle i JOIN hite h ON h.doc_id = i.doc_id AND h.pos = i.pos
+                GROUP BY i.doc_id, i.island)"""
 
   def segmentDedup(docs: DataFrame, wordsPerSeg: Int = 20): DataFrame = {
     val segs = docs
@@ -1784,7 +1814,8 @@ object TextDedup {
         .orderBy(col("doc_id"), col("span_start")),
       Some(s"""WITH ${decontaminateExactCtes(50)}
                SELECT doc_id, span_start, span_end,
-                      span_end - span_start + 1 AS span_chars
+                      span_end - span_start + 1 AS span_chars,
+                      n_eval_docs, min_eval_id
                FROM spe ORDER BY doc_id, span_start""")),
 
     // The decontamination cut applied: every contaminated character

@@ -241,8 +241,9 @@ class DedupExactSpansSpec extends SparkSpec {
       (1L, s"${filler("e", 12)} $leak ${filler("f", 12)} $tt"), // train: leaked + tt
       (2L, s"${filler("g", 12)} $tt ${filler("h", 12)}")) // train: tt only
     val df = docs.toDF("doc_id", "text")
-    val got = TextDedup.decontaminateSpansExact(df, col("doc_id") % 97 === 0, 50)
+    val gotFull = TextDedup.decontaminateSpansExact(df, col("doc_id") % 97 === 0, 50)
       .orderBy(col("doc_id"), col("span_start")).collect()
+    val got = gotFull
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val expected = bruteDeconSpans(
       docs.filter(_._1 % 97 != 0), docs.filter(_._1 % 97 == 0), 50)
@@ -251,6 +252,11 @@ class DedupExactSpansSpec extends SparkSpec {
     // only the train doc containing the LEAK is flagged; the train-train
     // repeat (tt) is invisible to decontamination, and eval ids never appear
     assert(got.map(_._1).toSet == Set(1L))
+    // attribution: BOTH eval docs (0 and 97) carry the leak, min id 0
+    gotFull.foreach { r =>
+      assert(r.getLong(4) == 2L && r.getLong(5) == 0L,
+        s"span must attribute to both eval docs: $r")
+    }
     // ...while the corpus-repeat row sees the train-train repeat too
     val corpus = runExact(df, 50)
     assert(corpus.map(_._1).toSet.contains(2L))
