@@ -1015,6 +1015,51 @@ object Similarity {
       .orderBy(col("pack"))
   }
 
+  /** The in-context layout COMPOSED with the pack spine: real token
+    * offsets for the embedded slice of the corpus (embeddings align
+    * with the first documents by id — the fixture's CLIP-style pairing,
+    * also used by q_caption_pairs/q_clip_gate), laid out in (cell,
+    * doc_id) order so the offsets are exactly what the shard writer
+    * would consume to pack related documents adjacently. Same two-level
+    * spine as [[inContextPack]] but in TOKENS: per-cell token bases
+    * (nlist rows, broadcast) + a within-cell cumulative token window —
+    * no global window, nothing wider than (doc_id, cell, n, offset)
+    * longs shuffles.
+    */
+  def inContextPackOffsets(s: SparkSession, emb: DataFrame, docs: DataFrame,
+      nlist: Int = 16, budget: Long = 256L): DataFrame = {
+    val asg = kmeansAssign(s, emb, nlist)
+    val sized = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(asg.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+    val cellTotals = sized.groupBy(col("cell")).agg(sum(col("n_tokens")).as("ct"))
+    val wCell = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = cellTotals
+      .withColumn("base", coalesce(sum(col("ct")).over(wCell), lit(0L)))
+      .select(col("cell"), col("base"))
+    val wIn = Window.partitionBy(col("cell")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sized.join(broadcast(bases), Seq("cell"))
+      .withColumn("offset",
+        col("base") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("cell"), col("n_tokens"), col("offset"),
+        expr(s"offset div ${budget}L").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def sqlInContextPackOffsets(nlist: Int, budget: Int): String =
+    s"""WITH ${sqlKmeansCtes(nlist)},
+        sz AS (SELECT d.doc_id, CAST(a.cell AS BIGINT) AS cell,
+                      CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents d JOIN asg a ON a.vec_id = d.doc_id),
+        o AS (SELECT doc_id, cell, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY cell, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM sz)
+        SELECT doc_id, cell, n_tokens, off AS offset, off // $budget AS shard
+        FROM o ORDER BY doc_id"""
+
   private def sqlInContextPack(nlist: Int, docsPerPack: Int): String =
     s"""WITH ${sqlKmeansCtes(nlist)},
         sq AS (SELECT vec_id, cell,
@@ -1048,6 +1093,14 @@ object Similarity {
     Q("q_pack_incontext",
       (s, dir) => inContextPack(s, t(s, dir, "embeddings")),
       Some(sqlInContextPack(16, 64))),
+
+    // The layout composed with the pack spine: real token offsets for
+    // the embedded slice in (cell, doc_id) order — exactly what the
+    // shard writer consumes to pack related documents adjacently.
+    Q("q_pack_incontext_offsets",
+      (s, dir) => inContextPackOffsets(s, t(s, dir, "embeddings"),
+        t(s, dir, "documents")),
+      Some(sqlInContextPackOffsets(16, 256))),
 
     // FAT-EVAL-SET semantic decontamination — the same flag/argmax
     // semantics routed through the STORED IVF index

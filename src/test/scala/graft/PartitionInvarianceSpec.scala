@@ -76,8 +76,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_pack_sft_messages" -> sf0001, "q_effective_mix" -> sf0001,
     // train-eval exact decon: two hash-bounded semi-joins + island merge
     "q_decontaminate_exact_spans" -> sf0001,
-    // in-context layout: per-cell base spine + within-cell row_number
-    "q_pack_incontext" -> sf0001)
+    // in-context layout: per-cell base spine + within-cell row_number,
+    // and the composed token-offset spine
+    "q_pack_incontext" -> sf0001, "q_pack_incontext_offsets" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -208,4 +208,21 @@ class SimilaritySpec extends SparkSpec {
     assert(inMaj > baseMajFrac,
       s"majority share must improve: $inMaj vs $baseMajFrac")
   }
+
+  test("inContextPackOffsets: offsets are the exact token cumsum in (cell, doc_id) order") {
+    val embS = Tables.load(spark, sf0001, "embeddings")
+    val docsS = Tables.load(spark, sf0001, "documents")
+    val got = Similarity.inContextPackOffsets(spark, embS, docsS).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // replay: sort by (cell, doc_id), cumsum token counts
+    val inOrder = got.sortBy(x => (x._2, x._1))
+    var off = 0L
+    inOrder.foreach { case (_, _, n, o, sh) =>
+      assert(o == off, s"offset drift at $o vs $off")
+      assert(sh == o / 256)
+      off += n
+    }
+    assert(off == got.map(_._3).sum)
+  }
 }
