@@ -1080,6 +1080,153 @@ object Similarity {
         FROM agg a JOIN mj ON mj.pack = a.pack AND mj.rn = 1
         ORDER BY a.pack"""
 
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * public paper, semantics only): align two embedding pools (source /
+    * target language sentences under a multilingual encoder — here the
+    * deterministic vec_id parity split) by MUTUAL nearest neighbors under
+    * the RATIO margin, not raw cosine. Raw-cosine thresholds fail because
+    * hubness makes some vectors near everything; the margin normalizes
+    * each pair's cosine by the mean cosine of both endpoints' k-NN
+    * neighborhoods:
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2)
+    *
+    * and a pair is MINED iff y is x's margin-argmax AND x is y's
+    * margin-argmax (mutual best) AND the margin clears `minMargin`.
+    * Output is therefore a partial MATCHING: every src_id and tgt_id
+    * appears at most once (spec-pinned).
+    *
+    * Determinism discipline: cosines are the index-ordered double fold
+    * (FloatDotProduct == the oracle's list_reduce); the k-NN averages sum
+    * the top-k cosines in ASCENDING VALUE order (sort_array fold — a
+    * plain avg(double) varies in the last bits with partial-agg order);
+    * both argmaxes are AGGREGATES `max(struct(margin, -id, cosine))`
+    * (ties to the lower id), never a window over the scored expansion,
+    * so partial aggregation reduces map-side. Zero-norm vectors are
+    * excluded on both legs (cosine = x/0).
+    *
+    * This brute form scores all src×tgt pairs — the exact-regime anchor
+    * (the q_embed_neardup discipline). The scale path is
+    * [[bitextMineIvf]]: candidates routed through shared k-means cells,
+    * declared at the exact regime (nprobe = nlist) where cell routing is
+    * provably lossless, so it shares THIS oracle verbatim.
+    */
+  def bitextMine(s: SparkSession, embRaw: DataFrame, k: Int = 4,
+      minMargin: Double = 1.05): DataFrame = {
+    val e = withNorm(s, embRaw.filter(col("embedding").isNotNull))
+      .filter(col("norm") > 0)
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"))
+    val tgt = e.filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"))
+    val scored = src.crossJoin(tgt)
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+    mineFromScored(scored, k, minMargin)
+  }
+
+  /** The margin/mutual-best tail shared by the brute and IVF-routed
+    * miners: per-side top-k neighborhood averages (ascending-value
+    * sorted fold), margin per scored pair, aggregate argmax both
+    * directions, mutual join + threshold.
+    */
+  private def mineFromScored(scored: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
+    def knnAvg(side: String, other: String): DataFrame = {
+      val w = Window.partitionBy(col(side))
+        .orderBy(col("cosine").desc, col(other))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col(side))
+        .agg(sort_array(collect_list(col("cosine"))).as("cs"))
+        .select(col(side),
+          (expr("aggregate(cs, 0.0D, (acc, x) -> acc + x)") / size(col("cs")))
+            .as(s"avg_$side"))
+    }
+    val m = scored
+      .join(knnAvg("src_id", "tgt_id"), Seq("src_id"))
+      .join(knnAvg("tgt_id", "src_id"), Seq("tgt_id"))
+      .withColumn("margin",
+        col("cosine") / ((col("avg_src_id") + col("avg_tgt_id")) / 2.0))
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+    val fbest = m.groupBy(col("src_id"))
+      .agg(max(struct(col("margin"), (-col("tgt_id")).as("nt"),
+        col("cosine").as("cos"))).as("b"))
+      .select(col("src_id"), (-col("b.nt")).as("tgt_id"),
+        col("b.cos").as("cosine"), col("b.margin").as("margin"))
+    val bbest = m.groupBy(col("tgt_id"))
+      .agg(max(struct(col("margin"), (-col("src_id")).as("ns"))).as("b"))
+      .select(col("tgt_id").as("bt_id"), (-col("b.ns")).as("bs_id"))
+    fbest.join(bbest,
+        fbest("tgt_id") === bbest("bt_id") && fbest("src_id") === bbest("bs_id"))
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("cosine"), col("margin"))
+      .orderBy(col("src_id"))
+  }
+
+  /** Bitext mining routed through shared k-means cells — the 100 TB
+    * shape: src probes its `nprobe` nearest cells, tgt lives in exactly
+    * one cell, candidates are the cell-join (never the src×tgt
+    * expansion). Declared at the EXACT regime (nprobe = nlist — every
+    * pair scored exactly once, coverage provably complete), so the row
+    * shares [[bitextMine]]'s oracle verbatim; SimilaritySpec pins
+    * brute == routed row-for-row and the narrow-probe matching
+    * property. The cell join is un-hinted (the semanticDecontaminate
+    * seam): AQE broadcasts a small probe side at runtime and keeps a
+    * fat one shuffle-side.
+    */
+  def bitextMineIvf(s: SparkSession, embRaw: DataFrame, k: Int = 4,
+      minMargin: Double = 1.05, nlist: Int = 16, nprobe: Int = 16): DataFrame = {
+    val emb = embRaw.filter(col("embedding").isNotNull)
+    val centroids = refinedCentroids(s, emb, nlist)
+    val e = withNorm(s, emb).filter(col("norm") > 0)
+    val src = nearestCells(s, e.filter(col("vec_id") % 2 === 0), centroids, nprobe)
+      .select(col("vec_id").as("src_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"), explode(col("cells")).as("cell"))
+    val tgt = nearestCells(s, e.filter(col("vec_id") % 2 =!= 0), centroids, 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cells")(0).as("cell"))
+    val scored = src.join(tgt, Seq("cell"))
+      .withColumn("cosine", dot(s) / (col("a_norm") * col("b_norm")))
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+    mineFromScored(scored, k, minMargin)
+  }
+
+  // DuckDB mirror of the miner: one scored CTE feeds the two k-NN
+  // average legs (ascending-value sorted fold), the margin relation and
+  // both argmax directions — matCtes so the shared pass runs once.
+  private def sqlBitextMine(k: Int, minMargin: Double): String = {
+    def knn(side: String, other: String) =
+      s"""(SELECT $side, list_reduce(list_prepend(0.0, list_sort(list(cosine))),
+                    (acc, x) -> acc + x) / len(list(cosine)) AS avg_$side
+           FROM (SELECT $side, $other, cosine, row_number() OVER (
+                   PARTITION BY $side ORDER BY cosine DESC, $other) AS rn
+                 FROM scored)
+           WHERE rn <= $k GROUP BY $side)"""
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings z
+                   WHERE z.embedding IS NOT NULL AND ${sqlNorm("z")} > 0),
+           scored AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                  ${sqlDot("s", "t")} / (${sqlNorm("s")} * ${sqlNorm("t")}) AS cosine
+                FROM e s, e t WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 <> 0),
+           fa AS ${knn("src_id", "tgt_id")},
+           ba AS ${knn("tgt_id", "src_id")},
+           m AS (SELECT sc.src_id, sc.tgt_id, sc.cosine,
+                        sc.cosine / ((fa.avg_src_id + ba.avg_tgt_id) / 2.0) AS margin
+                 FROM scored sc JOIN fa USING (src_id) JOIN ba USING (tgt_id)),
+           fb AS (SELECT src_id, tgt_id, cosine, margin, row_number() OVER (
+                    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+                  FROM m),
+           bb AS (SELECT src_id, tgt_id, row_number() OVER (
+                    PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn
+                  FROM m)
+         SELECT f.src_id, f.tgt_id, f.cosine, f.margin
+         FROM fb f JOIN bb b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+           AND b.rn = 1
+         WHERE f.rn = 1 AND f.margin >= $minMargin ORDER BY f.src_id"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     Q("q_decontaminate_semantic",
@@ -1131,6 +1278,22 @@ object Similarity {
       (s, dir) => semanticDecontaminateSweep(s, t(s, dir, "embeddings"), 0.3),
       Some(matCtes(sqlSemanticDeconSweep(0.3, nlist = 16,
         probes = Seq(1, 2, 4, 8, 16))))),
+
+    // Margin-based bitext mining (Artetxe & Schwenk): mutual
+    // margin-argmax pairs across the parity split. Brute all-pairs —
+    // the exact-regime anchor; matCtes so the scored pass feeds the
+    // two k-NN legs + margin relation once.
+    Q("q_bitext_mine",
+      (s, dir) => bitextMine(s, t(s, dir, "embeddings"), k = 4, minMargin = 1.05),
+      Some(matCtes(sqlBitextMine(k = 4, minMargin = 1.05)))),
+
+    // The same mining routed through shared k-means cells at the exact
+    // regime (nprobe = nlist) — provably lossless, shares the brute
+    // oracle verbatim; narrow-probe behavior spec-pinned.
+    Q("q_bitext_mine_ivf",
+      (s, dir) => bitextMineIvf(s, t(s, dir, "embeddings"), k = 4,
+        minMargin = 1.05, nlist = 16, nprobe = 16),
+      Some(matCtes(sqlBitextMine(k = 4, minMargin = 1.05)))),
 
     Q("q_embed_neardup",
       (s, dir) => cosinePairs(s, t(s, dir, "embeddings"), 0.5)

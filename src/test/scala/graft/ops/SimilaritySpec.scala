@@ -225,4 +225,67 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(off == got.map(_._3).sum)
   }
+
+  test("bitextMine: mined pairs equal a JVM brute-force margin replay") {
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val src = vecs.filter { case (id, _) => id % 2 == 0 && norm(id) > 0 }
+    val tgt = vecs.filter { case (id, _) => id % 2 != 0 && norm(id) > 0 }
+    val k = 4
+    val cos = (for ((si, sv) <- src; (ti, tv) <- tgt)
+      yield (si, ti) -> (dot(sv, tv) / (norm(si) * norm(ti)))).toMap
+    // k-NN averages: top-k by (cosine desc, id), summed in ASCENDING
+    // value order — the sort_array fold the engine and oracle share
+    def knnAvg(ids: Seq[Long], others: Seq[Long], key: (Long, Long) => (Long, Long)) =
+      ids.map { i =>
+        val top = others.map(o => (cos(key(i, o)), o)).sortBy { case (c, o) => (-c, o) }.take(k)
+        val s = top.map(_._1).sorted.foldLeft(0.0)(_ + _)
+        i -> s / top.size
+      }.toMap
+    val fa = knnAvg(src.map(_._1), tgt.map(_._1), (a, b) => (a, b))
+    val ba = knnAvg(tgt.map(_._1), src.map(_._1), (a, b) => (b, a))
+    def margin(s0: Long, t0: Long) = cos((s0, t0)) / ((fa(s0) + ba(t0)) / 2.0)
+    val fbest = src.map(_._1).map { s0 =>
+      s0 -> tgt.map(_._1).maxBy(t0 => (margin(s0, t0), -t0))
+    }.toMap
+    val bbest = tgt.map(_._1).map { t0 =>
+      t0 -> src.map(_._1).maxBy(s0 => (margin(s0, t0), -s0))
+    }.toMap
+    val expected = fbest.toSeq.collect {
+      case (s0, t0) if bbest(t0) == s0 && margin(s0, t0) >= 1.05 =>
+        (s0, t0, cos((s0, t0)), margin(s0, t0))
+    }.sortBy(_._1)
+    val got = Similarity.bitextMine(spark, emb, k = 4, minMargin = 1.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("bitextMine output is a partial matching above the margin floor") {
+    val rows = Similarity.bitextMine(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "src side not a matching")
+    assert(rows.map(_._2).distinct.length == rows.length, "tgt side not a matching")
+    assert(rows.forall(_._3 >= 1.05))
+    assert(rows.forall { case (s0, t0, _) => s0 % 2 == 0 && t0 % 2 != 0 })
+  }
+
+  test("bitextMineIvf: exact regime equals brute row-for-row; narrow probe stays a matching") {
+    val brute = Similarity.bitextMine(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val exact = Similarity.bitextMineIvf(spark, emb, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(exact == brute)
+    val narrow = Similarity.bitextMineIvf(spark, emb, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(narrow.map(_._1).distinct.length == narrow.length)
+    assert(narrow.map(_._2).distinct.length == narrow.length)
+  }
 }
