@@ -26,6 +26,52 @@ object StatsOps {
   private def tokens(docs: DataFrame, key: String): DataFrame =
     docs.select(col(key), explode(split(col("text"), " ")).as("token"))
 
+  /** (source, n_tokens, kl_nats): per-source unigram KL divergence
+    * against the corpus distribution — the drift relation q_kl_sources
+    * declares and TrainerOps.doremiMix consumes as its excess-loss
+    * proxy. Source-local and global token counts come from the same
+    * exploded pass; the small per-source totals and the single global
+    * total broadcast onto the (source, token) stream; per-token
+    * p*ln(p/q) terms are decimal-rounded then summed exactly
+    * (order-independent on both engines).
+    */
+  def klBySource(s: SparkSession, docs: DataFrame): DataFrame = {
+    val tok = tokens(docs, "source")
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val sn = st.groupBy(col("source"))
+      .agg(sum(col("c")).cast(LongType).as("n"))
+    val g = tok.groupBy(col("token")).agg(count(lit(1)).as("gc"))
+    val tot = g.agg(sum(col("gc")).cast(LongType).as("gn"))
+    val p = col("c").cast(DoubleType) / col("n")
+    val qq = col("gc").cast(DoubleType) / col("gn")
+    st.join(broadcast(sn), Seq("source"))
+      .join(g, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", (p * log(p / qq)).cast(DecimalType(24, 9)))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("term")).cast(DoubleType).as("kl_nats"))
+      .select(col("source"), col("n").as("n_tokens"), col("kl_nats"))
+  }
+
+  /** DuckDB CTE block defining relation kl(source, n_tokens, kl_nats) —
+    * the oracle twin of [[klBySource]], shared by q_kl_sources and
+    * q_doremi_mix. Starts after WITH.
+    */
+  val klCte: String =
+    """tok AS (
+         SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+       g AS (SELECT token, count(*) AS gc FROM tok GROUP BY 1),
+       tot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM g),
+       kl AS (SELECT st.source, sn.n AS n_tokens,
+                     CAST(SUM(CAST((CAST(st.c AS DOUBLE) / sn.n)
+                          * ln((CAST(st.c AS DOUBLE) / sn.n)
+                               / (CAST(g.gc AS DOUBLE) / tot.gn)) AS DECIMAL(24,9)))
+                       AS DOUBLE) AS kl_nats
+              FROM st JOIN sn USING (source) JOIN g USING (token) CROSS JOIN tot
+              GROUP BY st.source, sn.n)"""
+
   val queries: Seq[Q] = Seq(
 
     // URL component extraction (host / path / query param) over a
@@ -167,37 +213,9 @@ object StatsOps {
     // (source, token) stream, and the per-token p*ln(p/q) terms are
     // decimal-rounded then summed exactly.
     Q("q_kl_sources",
-      (s, dir) => {
-        val tok = tokens(t(s, dir, "documents"), "source")
-        val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-        val sn = st.groupBy(col("source"))
-          .agg(sum(col("c")).cast(LongType).as("n"))
-        val g = tok.groupBy(col("token")).agg(count(lit(1)).as("gc"))
-        val tot = g.agg(sum(col("gc")).cast(LongType).as("gn"))
-        val p = col("c").cast(DoubleType) / col("n")
-        val qq = col("gc").cast(DoubleType) / col("gn")
-        st.join(broadcast(sn), Seq("source"))
-          .join(g, Seq("token"))
-          .crossJoin(broadcast(tot))
-          .withColumn("term", (p * log(p / qq)).cast(DecimalType(24, 9)))
-          .groupBy(col("source"), col("n"))
-          .agg(sum(col("term")).cast(DoubleType).as("kl_nats"))
-          .select(col("source"), col("n").as("n_tokens"), col("kl_nats"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH tok AS (
-                SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
-              st AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
-              sn AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
-              g AS (SELECT token, count(*) AS gc FROM tok GROUP BY 1),
-              tot AS (SELECT CAST(sum(gc) AS BIGINT) AS gn FROM g)
-              SELECT st.source, sn.n AS n_tokens,
-                     CAST(SUM(CAST((CAST(st.c AS DOUBLE) / sn.n)
-                          * ln((CAST(st.c AS DOUBLE) / sn.n)
-                               / (CAST(g.gc AS DOUBLE) / tot.gn)) AS DECIMAL(24,9)))
-                       AS DOUBLE) AS kl_nats
-              FROM st JOIN sn USING (source) JOIN g USING (token) CROSS JOIN tot
-              GROUP BY st.source, sn.n ORDER BY source""")),
+      (s, dir) => klBySource(s, t(s, dir, "documents")).orderBy(col("source")),
+      Some(s"""WITH $klCte
+              SELECT source, n_tokens, kl_nats FROM kl ORDER BY source""")),
 
     // Per-group OLS fit (regr_slope / regr_intercept surface): price as a
     // linear function of quantity, from the same exact decimal moments as

@@ -771,6 +771,171 @@ object TrainerOps {
        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
        ORDER BY source, phase"""
 
+  /** DOREMI-STYLE mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * public paper, semantics only): one multiplicative-weights
+    * (Group-DRO) update step over the per-source EXCESS LOSS. DoReMi's
+    * excess loss is loss(proxy) − loss(reference) per domain; the
+    * static-data analog this engine can compute exactly is the
+    * per-source unigram cross-entropy under the CORPUS LM minus under
+    * the source's OWN LM — which is precisely KL(p_source ‖ p_corpus),
+    * the relation q_kl_sources already declares
+    * ([[StatsOps.klBySource]]). A source whose distribution the corpus
+    * mix models badly (high KL = high excess loss) gets upweighted:
+    *
+    *   w_s ∝ n_s · exp(η · KL_s),  normalized over sources
+    *
+    * Determinism discipline (the q_temperature_mix quantizer): the
+    * boosted weight is floor-quantized to a LONG — w = floor(n_s ·
+    * exp(η·KL_s) · 1e3) — so the normalizing sum is integer-exact and
+    * order-independent; `weight` is then a single IEEE division and
+    * `budget_tokens` pure integer arithmetic ((w · half) div tw). The
+    * exp input KL_s is itself deterministic (decimal-rounded term sums),
+    * and JVM Math.exp and DuckDB exp were verified bit-identical over
+    * the fixture's KL range. The 1e3 quantizer scale bounds w at
+    * n_s·e^(η·KL)·1e3 — at petatoken-scale sources drop the scale (or
+    * pre-divide n_s) to stay inside the long; the arithmetic is
+    * otherwise source-cardinality only.
+    *
+    * Scale shape: everything after the exploded token pass is
+    * source-cardinality (tiny) — the KL pass is the only corpus-sized
+    * stage, one explode + two aggregates with map-side partials.
+    */
+  def doremiMix(s: SparkSession, docs: DataFrame, eta: Double = 10.0): DataFrame = {
+    val kl = StatsOps.klBySource(s, docs)
+    val terms = kl.withColumn("w",
+      floor(col("n_tokens").cast(DoubleType) * exp(lit(eta) * col("kl_nats"))
+        * lit(1e3)).cast(LongType))
+    val tots = terms.agg(sum(col("w")).as("tw"),
+      sum(col("n_tokens")).as("tn"))
+    terms.crossJoin(broadcast(tots))
+      .withColumn("weight",
+        col("w").cast(DoubleType) / col("tw").cast(DoubleType))
+      .withColumn("budget_tokens", expr("(w * (tn div 2L)) div tw"))
+      .select(col("source"), col("n_tokens"), col("kl_nats"), col("weight"),
+        col("budget_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private def doremiMixOracle(eta: Double): String =
+    s"""WITH ${StatsOps.klCte},
+       terms AS (SELECT source, n_tokens, kl_nats,
+                        CAST(floor(CAST(n_tokens AS DOUBLE) * exp($eta * kl_nats)
+                          * 1e3) AS BIGINT) AS w
+                 FROM kl),
+       dtot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                       CAST(SUM(n_tokens) AS BIGINT) AS tn FROM terms)
+       SELECT source, n_tokens, kl_nats,
+              CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS weight,
+              (w * (tn // 2)) // tw AS budget_tokens
+       FROM terms, dtot ORDER BY source"""
+
+  /** LONG-CONTEXT UPSAMPLING mix (Fu et al. 2024, "Data Engineering for
+    * Scaling Language Models to 128K Context" — public paper, semantics
+    * only): context extension wants MORE long documents, but the paper's
+    * finding is to upsample long docs WITHIN each source and keep the
+    * domain mixture unchanged — naively filtering to long docs skews the
+    * domain mix and hurts short-context ability. This is the per-source
+    * accounting of that transform: docs ≥ `minLong` tokens get an
+    * integer repeat `factor`, and the per-source acceptance rate
+    * rescales the upsampled stream back to the source's ORIGINAL token
+    * budget (domain shares preserved by construction):
+    *
+    *   rate_s = tokens_s / (short_tokens_s + factor · long_tokens_s)
+    *
+    * All aggregates are longs (exact, order-independent); the three
+    * reported ratios are single IEEE divisions of exact integers.
+    */
+  def longCtxMix(docs: DataFrame, minLong: Long = 80L,
+      factor: Int = 3): DataFrame = {
+    val sized = docs.select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    sized.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= minLong, 1L).otherwise(0L)).cast(LongType)
+          .as("n_long"),
+        sum(col("n_tokens")).cast(LongType).as("tokens_total"),
+        sum(when(col("n_tokens") >= minLong, col("n_tokens")).otherwise(0L))
+          .cast(LongType).as("tokens_long"))
+      .withColumn("upsampled",
+        col("tokens_total") - col("tokens_long")
+          + lit(factor.toLong) * col("tokens_long"))
+      .select(col("source"), col("n_docs"), col("n_long"),
+        col("tokens_total"), col("tokens_long"),
+        (col("tokens_long").cast(DoubleType)
+          / col("tokens_total").cast(DoubleType)).as("long_share_before"),
+        ((lit(factor.toLong) * col("tokens_long")).cast(DoubleType)
+          / col("upsampled").cast(DoubleType)).as("long_share_after"),
+        (col("tokens_total").cast(DoubleType)
+          / col("upsampled").cast(DoubleType)).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  private def longCtxMixOracle(minLong: Long, factor: Int): String =
+    s"""WITH sized AS (SELECT source,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                       FROM documents),
+       a AS (SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(CASE WHEN n >= $minLong THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+                    CAST(SUM(n) AS BIGINT) AS tokens_total,
+                    CAST(SUM(CASE WHEN n >= $minLong THEN n ELSE 0 END) AS BIGINT) AS tokens_long
+             FROM sized GROUP BY 1)
+       SELECT source, n_docs, n_long, tokens_total, tokens_long,
+              CAST(tokens_long AS DOUBLE) / CAST(tokens_total AS DOUBLE)
+                AS long_share_before,
+              CAST($factor * tokens_long AS DOUBLE)
+                / CAST(tokens_total - tokens_long + $factor * tokens_long AS DOUBLE)
+                AS long_share_after,
+              CAST(tokens_total AS DOUBLE)
+                / CAST(tokens_total - tokens_long + $factor * tokens_long AS DOUBLE)
+                AS rate
+       FROM a ORDER BY source"""
+
+  /** The long-context layout itself, composed with the pack spine: the
+    * upsampled stream (each long doc repeated `factor` times, epoch
+    * index carried) laid out in (doc_id, epoch) order with REAL global
+    * token offsets and `budget`-token context-window assignment — what
+    * the shard writer consumes for a context-extension run. The global
+    * order key is gid = doc_id·factor + epoch (gaps are fine: the spine
+    * needs order, not density), and the offsets ride the two-level
+    * tokenShards spine — no global single-partition window.
+    */
+  def packLongCtx(docs: DataFrame, minLong: Long = 80L, factor: Int = 3,
+      budget: Long = 1024L): DataFrame = {
+    val rep = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("f",
+        when(col("n_tokens") >= minLong, lit(factor)).otherwise(lit(1)))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0), col("f") - 1)).as("epoch"))
+    val stream = rep.select(
+      (col("doc_id") * factor + col("epoch")).as("doc_id"),
+      col("n_tokens"))
+    TextOps.tokenShards(stream, budget, nTokens = col("n_tokens"))
+      .select(expr(s"doc_id div $factor").as("doc_id"),
+        (col("doc_id") % factor).as("epoch"),
+        col("n_tokens"), col("offset"), col("shard"))
+      .orderBy(col("offset"))
+  }
+
+  private def packLongCtxOracle(minLong: Long, factor: Int,
+      budget: Long): String =
+    s"""WITH sized AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                              CASE WHEN len(string_split(text, ' ')) >= $minLong
+                                   THEN $factor ELSE 1 END AS f
+                       FROM documents),
+       rep AS (SELECT doc_id, n, CAST(u.e AS BIGINT) AS epoch
+               FROM sized, LATERAL unnest(range(0, f)) AS u(e)),
+       o AS (SELECT doc_id, epoch, n,
+                    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id * $factor + epoch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS off
+             FROM rep)
+       SELECT doc_id, epoch, n AS n_tokens, off AS offset,
+              off // $budget AS shard
+       FROM o ORDER BY 4"""
+
   /** Span-corruption selection (the T5/UL2 denoising objective's data
     * transform, completing the objective family next to [[fimTransform]]
     * and [[packSftMask]]): each token position flips an independent
@@ -1253,5 +1418,20 @@ object TrainerOps {
       Some(prefPairsOracle)),
     Q("q_anneal_mix",
       (s, dir) => annealMix(t(s, dir, "documents")),
-      Some(annealMixOracle)))
+      Some(annealMixOracle)),
+    // One DoReMi (Group-DRO) reweighting step: per-source excess loss =
+    // KL(source ‖ corpus) from the q_kl_sources relation; w ∝ n·exp(η·KL)
+    // floor-quantized to longs so the normalization is integer-exact.
+    Q("q_doremi_mix",
+      (s, dir) => doremiMix(s, t(s, dir, "documents")),
+      Some(doremiMixOracle(10.0))),
+    // Long-context data engineering (Fu et al. 2024): upsample long docs
+    // within each source, preserve the domain mixture — the accounting
+    // report and the spine-composed layout.
+    Q("q_longctx_mix",
+      (s, dir) => longCtxMix(t(s, dir, "documents")),
+      Some(longCtxMixOracle(80L, 3))),
+    Q("q_pack_longctx",
+      (s, dir) => packLongCtx(t(s, dir, "documents")),
+      Some(packLongCtxOracle(80L, 3, 1024L))))
 }

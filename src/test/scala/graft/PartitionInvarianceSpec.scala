@@ -78,7 +78,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_decontaminate_exact_spans" -> sf0001,
     // in-context layout: per-cell base spine + within-cell row_number,
     // and the composed token-offset spine
-    "q_pack_incontext" -> sf0001, "q_pack_incontext_offsets" -> sf0001)
+    "q_pack_incontext" -> sf0001, "q_pack_incontext_offsets" -> sf0001,
+    // bitext mining: sorted-fold k-NN averages + double aggregate argmax
+    // (partial struct-max merge order), and the DoReMi step's quantized
+    // boost over the decimal-exact KL terms
+    "q_bitext_mine" -> sf0001, "q_doremi_mix" -> sf0001,
+    // long-context layout: repeat-exploded stream over the two-level
+    // offset spine (chunk bases + within-chunk windows)
+    "q_pack_longctx" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -500,4 +500,67 @@ class TrainerOpsSpec extends SparkSpec {
     // 0.5 uniform rate, larger sources below — spread must be real
     assert(rows.map(_.getDouble(5)).max > rows.map(_.getDouble(5)).min)
   }
+
+  test("doremiMix: arithmetic replays exactly from the KL relation; boost monotone in KL") {
+    val kl = StatsOps.klBySource(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(kl.length >= 2)
+    // exact JVM replay of the quantize/normalize/budget arithmetic
+    val terms = kl.map { case (src, n, k) =>
+      (src, n, k, math.floor(n.toDouble * math.exp(10.0 * k) * 1e3).toLong)
+    }
+    val tw = terms.map(_._4).sum
+    val tn = terms.map(_._2).sum
+    val expected = terms.map { case (src, n, k, w) =>
+      (src, n, k, w.toDouble / tw.toDouble, w * (tn / 2) / tw)
+    }.sortBy(_._1).toSeq
+    val got = TrainerOps.doremiMix(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // weights normalize; budgets never exceed the half-corpus target
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9)
+    assert(got.map(_._5).sum <= tn / 2)
+    // the DoReMi direction: weight/plain-share boost is monotone
+    // non-decreasing in excess loss (KL) — high-KL sources upweighted
+    // (tolerance covers the <1/n_s quantization slack of the long floor)
+    val boosts = got.map(r => (r._3, r._4 / (r._2.toDouble / tn))).sortBy(_._1)
+    assert(boosts.zip(boosts.tail).forall { case ((_, b1), (_, b2)) => b1 <= b2 + 0.02 })
+    assert(boosts.last._2 > boosts.head._2, "spread must be real")
+  }
+
+  test("longCtxMix: upsampling raises the long share but preserves the source token budget") {
+    val rows = TrainerOps.longCtxMix(docs).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    for ((src, nDocs, nLong, tt, tl, before, after, rate) <- rows) {
+      assert(nLong <= nDocs && tl <= tt)
+      assert(before == tl.toDouble / tt)
+      val up = tt - tl + 3L * tl
+      assert(after == (3L * tl).toDouble / up && rate == tt.toDouble / up)
+      // expected tokens after rate-thinning the upsampled stream == the
+      // original budget (the domain-mix preservation the paper demands)
+      assert(math.abs(rate * up - tt) < 1e-6, s"$src budget drift")
+      if (tl > 0 && tl < tt) assert(after > before, s"$src share must rise")
+    }
+  }
+
+  test("packLongCtx: offsets replay the (doc, epoch) cumsum; long docs appear factor times") {
+    val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val stream = lens.flatMap { case (d, n) =>
+      (0 until (if (n >= 80) 3 else 1)).map(e => (d, e.toLong, n))
+    }
+    var off = 0L
+    val expected = stream.map { case (d, e, n) =>
+      val r = (d, e, n, off, off / 1024L); off += n; r
+    }.toSeq
+    val got = TrainerOps.packLongCtx(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._2 == 2L), "fixture must contain long docs")
+  }
 }
