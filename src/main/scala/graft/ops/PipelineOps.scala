@@ -157,6 +157,81 @@ object PipelineOps {
         (sum(col("nll")).cast(DoubleType) / count(lit(1))).as("avg_nll"))
   }
 
+  /** CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * public paper, semantics only): per LANGUAGE, rank documents by LM
+    * surprisal and split into head/middle/tail thirds — the curation
+    * decision CCNet ships (keep head+middle, drop tail) and the mixture
+    * knob labs tune per language. The LM here is the corpus unigram LM
+    * ([[unigramLogprob]] — q_bigram_logprob is the order-up sibling);
+    * buckets are RANK thirds (rnk·3 ≤ n → head, ≤ 2n → middle), ties on
+    * equal surprisal broken by doc_id — integer-exact on both engines,
+    * no percentile-function boundary semantics to reconcile.
+    *
+    * Scale shape: the per-language rank does NOT use a per-lang global
+    * window (one language dominating a web crawl would serialize its
+    * whole slice through one partition). It rides the two-phase value
+    * spine: a coarse order-preserving surprisal bucket (floor(nll·100)),
+    * per-(lang, bucket) counts prefix-summed over the FEW bucket rows
+    * and broadcast back, then a within-bucket row_number — the
+    * epochShuffle/tokenShards discipline pointed at a value order.
+    * Bucket + within-bucket rank equals the global per-lang rank exactly
+    * because the bucket is an order-preserving prefix group of the sort
+    * key (equal surprisals share a bucket).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("vb", floor(col("avg_nll") * 100).cast(LongType))
+    val counts = scored.groupBy(col("lang"), col("vb"))
+      .agg(count(lit(1)).as("c"))
+    val wSpine = Window.partitionBy(col("lang")).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = counts
+      .withColumn("base", coalesce(sum(col("c")).over(wSpine), lit(0L)))
+      .select(col("lang"), col("vb"), col("base"))
+    val nLang = counts.groupBy(col("lang"))
+      .agg(sum(col("c")).cast(LongType).as("n"))
+    val wIn = Window.partitionBy(col("lang"), col("vb"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    scored.join(broadcast(bases), Seq("lang", "vb"))
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("rnk", col("base") + row_number().over(wIn))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_nll"),
+        col("rnk"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // oracle: the plain per-lang row_number is provably equal to the
+  // engine's two-phase spine rank (order-preserving prefix grouping)
+  private val ccnetBucketsOracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       sc AS (SELECT token,
+                     CAST(-ln(CAST(cnt AS DOUBLE) / (SELECT sum(cnt) FROM freq))
+                          AS DECIMAL(24,9)) AS nll
+              FROM freq),
+       d AS (SELECT doc_id, count(*) AS n_tokens,
+                    CAST(sum(nll) AS DOUBLE) / count(*) AS avg_nll
+             FROM tok JOIN sc USING (token) GROUP BY doc_id),
+       j AS (SELECT d.doc_id, doc.lang, d.n_tokens, d.avg_nll
+             FROM d JOIN documents doc USING (doc_id)),
+       r AS (SELECT *,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY avg_nll, doc_id) AS rnk,
+                    count(*) OVER (PARTITION BY lang) AS n
+             FROM j)
+       SELECT doc_id, lang, n_tokens, avg_nll, rnk,
+              CASE WHEN rnk * 3 <= n THEN 'head'
+                   WHEN rnk * 3 <= 2 * n THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM r ORDER BY doc_id"""
+
   /** Deterministic epoch shuffle + loader sharding: a reproducible
     * pseudorandom total order (md5 of seed:doc_id), each doc's global
     * position, and its (shard, pos_in_shard) assignment for an
@@ -622,6 +697,12 @@ object PipelineOps {
               SELECT doc_id, n_tokens FROM v
               WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.25) FROM v)
               ORDER BY doc_id""")),
+
+    // CCNet head/middle/tail perplexity buckets per language, rank-third
+    // split over the two-phase value spine.
+    Q("q_ccnet_buckets",
+      (s, dir) => ccnetBuckets(t(s, dir, "documents")),
+      Some(ccnetBucketsOracle)),
 
     // Unigram surprisal per doc (perplexity-filter proxy).
     Q("q_unigram_logprob",

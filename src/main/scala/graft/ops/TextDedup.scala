@@ -804,10 +804,17 @@ object TextDedup {
     * materializes beyond the candidates) — and the verdict is decided
     * on actual CHARACTERS (string semi-join), never the hash.
     */
-  def decontaminateSpansExact(docs: DataFrame,
-      isEval: org.apache.spark.sql.Column, minLen: Int = 50,
-      cacheWindows: Boolean = false): DataFrame = {
-    val L = minLen
+  /** The shared train↔eval exact-window machinery: hash-prefiltered,
+    * STRING-verified hits with eval attribution. Returns (wins, content,
+    * hits) where wins = every stride-1 window's (doc_id, is_eval, pos,
+    * hash), content = (doc_id, is_eval, content), and hits = verified
+    * (doc_id, pos, eval_id, chunk) triples over TRAIN docs. Consumed by
+    * [[decontaminateSpansExact]] (island merge → spans) and
+    * [[decontaminateScorecard]] (per-eval exposure aggregates).
+    */
+  private def exactEvalHitParts(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, L: Int, cacheWindows: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val content = docs.select(col("doc_id"), isEval.as("is_eval"),
       col("text").as("content"))
     val wins0 = content.filter(length(col("content")) >= L)
@@ -840,7 +847,16 @@ object TextDedup {
     // inner join carries WHICH eval docs matched: (doc, pos, eval_id)
     // triples are unique (cand unique per (doc,pos); owners distinct)
     val hits = cand.join(evalChunks, Seq("chunk"))
-      .select(col("doc_id"), col("pos"), col("eval_id"))
+      .select(col("doc_id"), col("pos"), col("eval_id"), col("chunk"))
+    (wins, content, hits)
+  }
+
+  def decontaminateSpansExact(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, minLen: Int = 50,
+      cacheWindows: Boolean = false): DataFrame = {
+    val L = minLen
+    val (wins, _, hits0) = exactEvalHitParts(docs, isEval, L, cacheWindows)
+    val hits = hits0.select(col("doc_id"), col("pos"), col("eval_id"))
     val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = hits.select(col("doc_id"), col("pos")).distinct()
       .withColumn("prev", lag(col("pos"), 1).over(w1))
@@ -862,6 +878,49 @@ object TextDedup {
       .localCheckpoint()
     if (cacheWindows) wins.unpersist()
     out
+  }
+
+  /** PER-EVAL-DOC CONTAMINATION SCORECARD — the triage view an eval
+    * owner reads after [[decontaminateSpansExact]] flags leakage: for
+    * each eval doc with any verified ≥`minLen`-char substring shared
+    * with the train split, how many train docs and train windows carry
+    * it (blast radius), the first offending train doc, and what
+    * FRACTION of the eval doc's own windows leaked (exposure — the
+    * number that decides whether the eval item is retired or the train
+    * docs are cut). Shares the hash-prefiltered string-verified hit
+    * machinery verbatim; everything past the window pass is
+    * eval-cardinality aggregates.
+    */
+  def decontaminateScorecard(docs: DataFrame,
+      isEval: org.apache.spark.sql.Column, minLen: Int = 50): DataFrame = {
+    val L = minLen
+    val (wins, content, hits) = exactEvalHitParts(docs, isEval, L, false)
+    // hits is unique on (doc_id, pos, eval_id) — cand is unique per
+    // (doc, pos) and owners are distinct — so within an eval group the
+    // (doc, pos) pairs are distinct and a plain count IS the window count
+    val perEvalTrain = hits.groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        count(lit(1)).as("n_train_windows"),
+        min(col("doc_id")).as("first_train_doc"))
+    val tchunks = hits.select(col("chunk")).distinct()
+    val evalWinChunks = wins.filter(col("is_eval"))
+      .join(content.select(col("doc_id"), col("content")), Seq("doc_id"))
+      .select(col("doc_id").as("eval_id"), col("pos"),
+        expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
+    val covered = evalWinChunks.join(tchunks, Seq("chunk"), "left_semi")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_eval_windows_hit"))
+    val evTot = wins.filter(col("is_eval"))
+      .groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_eval_windows"))
+    perEvalTrain.join(covered, Seq("eval_id")).join(evTot, Seq("eval_id"))
+      .withColumn("exposure",
+        col("n_eval_windows_hit").cast(DoubleType)
+          / col("n_eval_windows").cast(DoubleType))
+      .select(col("eval_id"), col("n_train_docs"), col("n_train_windows"),
+        col("first_train_doc"), col("n_eval_windows_hit"),
+        col("n_eval_windows"), col("exposure"))
+      .orderBy(col("eval_id"))
   }
 
   /** DuckDB mirror of [[repeatedSpansExact]] (crossDocOnly = true) up to
@@ -1869,6 +1928,38 @@ object TextDedup {
                FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
                LEFT JOIN aggt a USING (doc_id)
                ORDER BY d.doc_id""")),
+
+    // Per-eval-doc contamination scorecard: blast radius (train docs /
+    // windows carrying a verified shared substring) + exposure (the
+    // fraction of the eval doc's own windows that leaked) — the triage
+    // readout over the q_decontaminate_exact_spans machinery.
+    Q("q_contamination_scorecard",
+      (s, dir) => decontaminateScorecard(t(s, dir, "documents"),
+        col("doc_id") % 10 === 0, 50),
+      Some(s"""WITH ${decontaminateExactCtes(50)},
+               pet AS (SELECT eval_id,
+                              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+                              CAST(count(*) AS BIGINT) AS n_train_windows,
+                              CAST(min(doc_id) AS BIGINT) AS first_train_doc
+                       FROM hite GROUP BY eval_id),
+               tch AS (SELECT DISTINCT w.chunk FROM wine w
+                       WHERE NOT w.is_eval
+                         AND w.chunk IN (SELECT chunk FROM ece)),
+               cov AS (SELECT doc_id AS eval_id,
+                              CAST(count(*) AS BIGINT) AS n_eval_windows_hit
+                       FROM wine WHERE is_eval
+                         AND chunk IN (SELECT chunk FROM tch)
+                       GROUP BY doc_id),
+               evt AS (SELECT doc_id AS eval_id,
+                              CAST(count(*) AS BIGINT) AS n_eval_windows
+                       FROM wine WHERE is_eval GROUP BY doc_id)
+               SELECT p.eval_id, p.n_train_docs, p.n_train_windows,
+                      p.first_train_doc, c.n_eval_windows_hit,
+                      e.n_eval_windows,
+                      CAST(c.n_eval_windows_hit AS DOUBLE)
+                        / CAST(e.n_eval_windows AS DOUBLE) AS exposure
+               FROM pet p JOIN cov c USING (eval_id) JOIN evt e USING (eval_id)
+               ORDER BY p.eval_id""")),
 
     // The ANY-OCCURRENCE exact variant (crossDocOnly = false): a window
     // repeated ANYWHERE — a second document or the same one — marks its

@@ -262,6 +262,44 @@ class DedupExactSpansSpec extends SparkSpec {
     assert(corpus.map(_._1).toSet.contains(2L))
   }
 
+  test("contamination scorecard: blast radius and exposure equal a window-set brute force") {
+    import spark.implicits._
+    def filler(tag: String, n: Int) = (0 until n).map(i => s"sc$tag$i").mkString(" ")
+    val leak = "leakedevalanswerblock!" * 3
+    val L = 50
+    val docs = Seq(
+      (0L, s"${filler("a", 12)} $leak ${filler("b", 12)}"), // eval: partially leaked
+      (97L, s"$leak"), // eval: the leak IS the doc (high exposure)
+      (1L, s"${filler("e", 12)} $leak ${filler("f", 12)}"), // train carrier
+      (2L, s"${filler("g", 12)} $leak"), // second train carrier
+      (3L, filler("h", 30))) // clean train
+    val df = docs.toDF("doc_id", "text")
+    def winsOf(t: String) = (0 to t.length - L).map(i => (i.toLong, t.substring(i, i + L)))
+    val train = docs.filter(_._1 % 97 != 0)
+    val eval = docs.filter(_._1 % 97 == 0)
+    val trainWins = train.flatMap { case (d, t) => winsOf(t).map { case (p, c) => (d, p, c) } }
+    val evalChunkSet = eval.flatMap(e => winsOf(e._2).map(_._2)).toSet
+    val tchunkSet = trainWins.map(_._3).toSet.intersect(evalChunkSet)
+    val expected = eval.flatMap { case (eid, et) =>
+      val eset = winsOf(et).map(_._2).toSet
+      val hits = trainWins.filter(w => eset.contains(w._3))
+      if (hits.isEmpty) None else {
+        val covered = winsOf(et).count(w => tchunkSet.contains(w._2))
+        val total = et.length - L + 1
+        Some((eid, hits.map(_._1).distinct.size.toLong, hits.size.toLong,
+          hits.map(_._1).min, covered.toLong, total.toLong,
+          covered.toDouble / total))
+      }
+    }.sortBy(_._1)
+    val got = TextDedup.decontaminateScorecard(df, col("doc_id") % 97 === 0, L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expected, s"\n got=$got\n exp=$expected")
+    // the all-leak eval doc is fully exposed; the padded one only partly
+    val byId = got.map(r => r._1 -> r._7).toMap
+    assert(byId(97L) == 1.0 && byId(0L) > 0.0 && byId(0L) < 1.0)
+  }
+
   test("within-doc repeat: the cross-doc row ignores it, the any-occurrence row reports it") {
     import spark.implicits._
     val block = "selfrepeatblock!" * 4 // 64 chars, repeated twice inside ONE doc

@@ -258,4 +258,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(q.filter(col("n_removed") === 0L).join(orig, "doc_id")
       .where(col("clean_md5") =!= col("m")).count() == 0L)
   }
+
+  test("ccnetBuckets: spine rank equals a JVM per-lang sort; thirds split exactly") {
+    val got = PipelineOps.ccnetBuckets(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getLong(4),
+        r.getString(5)))
+    assert(got.nonEmpty)
+    for ((lang, rows) <- got.groupBy(_._2)) {
+      val n = rows.length
+      // the two-phase spine rank must equal the plain per-lang
+      // (avg_nll, doc_id) sort rank
+      val expected = rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> (i + 1L) }.toMap
+      rows.foreach { r => assert(r._4 == expected(r._1), s"$lang rank ${r._1}") }
+      // rank-third semantics: head = floor(n/3) docs, tail = the
+      // strictly-worst third, and buckets follow the rank order
+      val byB = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(byB.getOrElse("head", 0) == n / 3)
+      assert(byB.getOrElse("middle", 0) == 2 * n / 3 - n / 3)
+      assert(byB.getOrElse("tail", 0) == n - 2 * n / 3)
+      val worstHead = rows.filter(_._5 == "head").map(_._4).maxOption.getOrElse(0L)
+      val bestTail = rows.filter(_._5 == "tail").map(_._4).min
+      assert(worstHead < bestTail)
+    }
+  }
 }
