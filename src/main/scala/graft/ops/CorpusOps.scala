@@ -248,7 +248,161 @@ object CorpusOps {
                 / CAST(count(*) AS DOUBLE) AS uniq_frac
        FROM sh s JOIN m USING (chunk) GROUP BY 1 ORDER BY 1"""
 
+  /** RETRIEVAL-QUALITY METRICS (MRR / recall@k / nDCG@k) — the eval
+    * harness for the retrieval stack (q_bm25 / q_hybrid_rrf /
+    * q_passage_search build rankings; nothing measured them). Every eval
+    * doc (doc_id % 97 == 0, the family's split convention) is a QUERY;
+    * candidates are train docs sharing ≥ 1 term (the inverted-index
+    * contract — ranks are over the retrieved set); the ranking score is
+    * idf-weighted distinct-term overlap (Σ ln(n_docs/df) over shared
+    * terms — per-term values decimal-rounded then summed exactly, the
+    * q_kl_sources discipline); relevance labels are provenance-derived
+    * (same source AND lang as the query — weak supervision, fully
+    * deterministic). Per query:
+    *
+    *   first_rel_rank — rank of the first relevant hit in the top k
+    *     (NULL if none), mrr = 1/first_rel_rank else 0;
+    *   n_rel_top — relevant hits in the top k; recall@k = that over
+    *     n_rel_total (NULL when the label set is empty);
+    *   dcg/ndcg@k — binary gains, weight 1/log2(rank+1) computed as
+    *     ln(rank+1)/ln(2) IDENTICALLY on both engines (a direct log2
+    *     can differ from ln/ln in the last ulp), terms decimal-rounded
+    *     before the sum; idcg from the ideal prefix min(k, n_rel_total).
+    *
+    * Scale shape: the score join is an inverted-index join on term (the
+    * BM25 shape) — df/n_docs broadcast; the per-query top-k window
+    * partitions by query (queries are the tiny side by construction).
+    */
+  def retrievalMetrics(s: SparkSession, docs: DataFrame, k: Int = 10): DataFrame = {
+    val isQ = col("doc_id") % 97 === 0
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val nTot = docs.agg(count(lit(1)).as("n_docs"))
+    // NOTE on the join fan-out: a production corpus applies a stopword /
+    // df cut before the posting-list join (a term in >25% of docs
+    // carries ~no signal but its posting list is O(corpus)). The fixture
+    // has a 31-term vocabulary where every term fails that rule, so the
+    // declared row scores all shared terms — the exact-regime anchor
+    // convention; the cut is one integer-exact filter on dfT when the
+    // corpus supports it
+    val dfT = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qT = toks.filter(isQ).select(col("doc_id").as("q_id"), col("term"))
+    val cT = toks.filter(!isQ)
+    // df filter joins FIRST so stopword terms never reach the
+    // posting-list join (inner joins commute; the fan-out doesn't)
+    val scored = qT.join(broadcast(dfT), Seq("term"))
+      .join(cT, Seq("term"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("w",
+        log(col("n_docs").cast(DoubleType) / col("df")).cast(DecimalType(24, 9)))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w")).cast(DoubleType).as("score"))
+    val meta = docs.select(col("doc_id"), col("source"), col("lang"))
+    val nRel = meta.filter(!isQ)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("nr"))
+    val qMeta = meta.filter(isQ).select(col("doc_id").as("q_id"),
+        col("source"), col("lang"))
+      .join(broadcast(nRel), Seq("source", "lang"), "left")
+      .select(col("q_id"), col("source").as("q_source"),
+        col("lang").as("q_lang"), coalesce(col("nr"), lit(0L)).as("n_rel_total"))
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ln2 = log(lit(2.0))
+    val top = scored
+      .withColumn("rank", row_number().over(wQ).cast(LongType))
+      .filter(col("rank") <= k)
+      .join(meta, Seq("doc_id"))
+      .join(broadcast(qMeta), Seq("q_id"))
+      .withColumn("rel",
+        (col("source") === col("q_source") && col("lang") === col("q_lang"))
+          .cast("int"))
+      .groupBy(col("q_id"), col("n_rel_total"))
+      .agg(min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(col("rel")).cast(LongType).as("n_rel_top"),
+        sum((col("rel") / (log(col("rank").cast(DoubleType) + 1.0) / ln2))
+          .cast(DecimalType(24, 9))).cast(DoubleType).as("dcg"))
+    // ideal DCG over the prefix min(k, n_rel_total) — same rounded-term
+    // sum, built from an exploded rank sequence
+    val idcg = qMeta
+      .filter(col("n_rel_total") >= 1)
+      .select(col("q_id"),
+        explode(expr(s"sequence(1, least($k, n_rel_total))")).as("i"))
+      .groupBy(col("q_id"))
+      .agg(sum((lit(1.0) / (log(col("i").cast(DoubleType) + 1.0) / ln2))
+        .cast(DecimalType(24, 9))).cast(DoubleType).as("idcg"))
+    top.join(idcg, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel_total"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, 0.0)
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("mrr"),
+        col("n_rel_top"),
+        when(col("n_rel_total") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("n_rel_top").cast(DoubleType) / col("n_rel_total"))
+          .as("recall_k"),
+        col("dcg"),
+        when(col("idcg").isNull, lit(null).cast(DoubleType))
+          .otherwise(col("dcg") / col("idcg")).as("ndcg_k"))
+      .orderBy(col("q_id"))
+  }
+
+  private def retrievalMetricsOracle(k: Int): String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, t.term
+                      FROM documents,
+                        LATERAL unnest(string_split(text, ' ')) AS t(term)
+                      WHERE t.term <> ''),
+       ntot AS (SELECT count(*) AS n_docs FROM documents),
+       dft AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+       sc AS (SELECT q.doc_id AS q_id, c.doc_id,
+                     CAST(SUM(CAST(ln(CAST(n.n_docs AS DOUBLE) / d.df)
+                       AS DECIMAL(24,9))) AS DOUBLE) AS score
+              FROM toks q JOIN toks c USING (term)
+              JOIN dft d USING (term) CROSS JOIN ntot n
+              WHERE q.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
+              GROUP BY 1, 2),
+       meta AS (SELECT doc_id, source, lang FROM documents),
+       nrel AS (SELECT source, lang, count(*) AS nr FROM meta
+                WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+       qm AS (SELECT m.doc_id AS q_id, m.source AS q_source,
+                     m.lang AS q_lang, COALESCE(nrel.nr, 0) AS n_rel_total
+              FROM meta m LEFT JOIN nrel USING (source, lang)
+              WHERE m.doc_id % 97 = 0),
+       top AS (SELECT q_id, doc_id, rank FROM (
+                 SELECT q_id, doc_id, row_number() OVER (
+                   PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+                 FROM sc) WHERE rank <= $k),
+       lab AS (SELECT t.q_id, t.rank,
+                      CASE WHEN m.source = qm.q_source
+                           AND m.lang = qm.q_lang THEN 1 ELSE 0 END AS rel,
+                      qm.n_rel_total
+               FROM top t JOIN meta m USING (doc_id)
+               JOIN qm ON qm.q_id = t.q_id),
+       agg AS (SELECT q_id, n_rel_total,
+                      MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+                      CAST(SUM(rel) AS BIGINT) AS n_rel_top,
+                      CAST(SUM(CAST(rel / (ln(CAST(rank AS DOUBLE) + 1.0)
+                        / ln(2.0)) AS DECIMAL(24,9))) AS DOUBLE) AS dcg
+               FROM lab GROUP BY 1, 2),
+       idcg AS (SELECT q_id,
+                       CAST(SUM(CAST(1.0 / (ln(CAST(u.i AS DOUBLE) + 1.0)
+                         / ln(2.0)) AS DECIMAL(24,9))) AS DOUBLE) AS idcg
+                FROM qm, LATERAL unnest(range(1, least($k, n_rel_total) + 1)) AS u(i)
+                WHERE n_rel_total >= 1 GROUP BY 1)
+       SELECT a.q_id, a.n_rel_total, a.first_rel_rank,
+              CASE WHEN a.first_rel_rank IS NULL THEN 0.0
+                   ELSE 1.0 / a.first_rel_rank END AS mrr,
+              a.n_rel_top,
+              CASE WHEN a.n_rel_total = 0 THEN NULL
+                   ELSE CAST(a.n_rel_top AS DOUBLE) / a.n_rel_total END AS recall_k,
+              a.dcg,
+              CASE WHEN i.idcg IS NULL THEN NULL
+                   ELSE a.dcg / i.idcg END AS ndcg_k
+       FROM agg a LEFT JOIN idcg i USING (q_id)
+       ORDER BY a.q_id"""
+
   val queries: Seq[Q] = Seq(
+    Q("q_retrieval_metrics",
+      (s, dir) => retrievalMetrics(s, t(s, dir, "documents")),
+      Some(matCtes(retrievalMetricsOracle(10)))),
     Q("q_source_uniqueness",
       (s, dir) => sourceUniqueness(t(s, dir, "documents")),
       Some(sourceUniquenessOracle)),

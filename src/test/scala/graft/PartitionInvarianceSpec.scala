@@ -85,7 +85,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_bitext_mine" -> sf0001, "q_doremi_mix" -> sf0001,
     // long-context layout: repeat-exploded stream over the two-level
     // offset spine (chunk bases + within-chunk windows)
-    "q_pack_longctx" -> sf0001)
+    "q_pack_longctx" -> sf0001,
+    // retrieval metrics: decimal-rounded idf/dcg term sums + ranked
+    // window over exact-double scores
+    "q_retrieval_metrics" -> sf0001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -106,4 +106,60 @@ class SourceOverlapSpec extends SparkSpec {
       assert(vs.map(_._2).distinct.length == 1, s"size of $s inconsistent")
     }
   }
+
+  test("retrievalMetrics: equals a full JVM replay (idf scores, ranks, MRR/recall/nDCG)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val rows = docs.select(col("doc_id"), col("text"), col("source"),
+        col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val k = 10
+    def d9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val termSets = rows.map(r =>
+      r._1 -> r._2.split(" ").filter(_.nonEmpty).toSet).toMap
+    val n = rows.length
+    val dfT = rows.flatMap(r => termSets(r._1)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val queries = rows.filter(_._1 % 97 == 0)
+    val cands = rows.filter(_._1 % 97 != 0)
+    val meta = rows.map(r => r._1 -> (r._3, r._4)).toMap
+    val nRel = cands.groupBy(r => (r._3, r._4)).view.mapValues(_.size).toMap
+    val ln2 = math.log(2.0)
+    val expected = queries.map { q =>
+      val qs = termSets(q._1)
+      val scored = cands.flatMap { c =>
+        val shared = termSets(c._1).intersect(qs)
+        if (shared.isEmpty) None
+        else Some(c._1 ->
+          shared.toSeq.map(t => d9(math.log(n.toDouble / dfT(t)))).sum.toDouble)
+      }
+      val top = scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, _), i) => (id, i + 1L) }
+      val rels = top.filter { case (id, _) => meta(id) == (q._3, q._4) }
+      val nrt = nRel.getOrElse((q._3, q._4), 0).toLong
+      val first = rels.headOption.map(_._2)
+      val dcg = top.map { case (id, r) =>
+        val rel = if (meta(id) == (q._3, q._4)) 1 else 0
+        d9(rel / (math.log(r + 1.0) / ln2))
+      }.sum.toDouble
+      val idcg = if (nrt >= 1)
+        Some((1L to math.min(k.toLong, nrt))
+          .map(i => d9(1.0 / (math.log(i + 1.0) / ln2))).sum.toDouble)
+      else None
+      (q._1, nrt, first, first.map(1.0 / _).getOrElse(0.0), rels.size.toLong,
+        if (nrt == 0) None else Some(rels.size.toDouble / nrt),
+        dcg, idcg.map(dcg / _))
+    }.sortBy(_._1).toSeq
+    val got = CorpusOps.retrievalMetrics(spark, docs, k).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"\n got=${got.take(3)}\n exp=${expected.take(3)}")
+    // the weak labels must actually be retrievable: some query finds a
+    // relevant doc in its top k
+    assert(got.exists(_._5 > 0))
+  }
 }
