@@ -231,8 +231,13 @@ object CorpusOps {
     out
   }
 
-  private val sourceUniquenessOracle: String =
-    """WITH d AS (SELECT source, text, string_split(text, ' ') AS ws,
+  /** DuckDB CTE block defining relation su(source, n_shingles,
+    * n_unique, uniq_frac) — the oracle twin of [[sourceUniqueness]],
+    * shared by q_source_uniqueness and TrainerOps' q_epoch_cap_mix.
+    * Starts after WITH.
+    */
+  val sourceUniquenessCtes: String =
+    """d AS (SELECT source, text, string_split(text, ' ') AS ws,
                      len(string_split(text, ' ')) AS n
               FROM documents),
        sh AS (SELECT DISTINCT source, chunk FROM (
@@ -241,12 +246,16 @@ object CorpusOps {
                             ELSE array_to_string(ws[j+1 : j+3], ' ') END AS chunk
                 FROM d, LATERAL (SELECT unnest(range(0,
                        CASE WHEN n <= 3 THEN 1 ELSE n - 3 + 1 END)) AS j))),
-       m AS (SELECT chunk, count(*) AS ns FROM sh GROUP BY 1)
-       SELECT s.source, CAST(count(*) AS BIGINT) AS n_shingles,
-              CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-              CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                / CAST(count(*) AS DOUBLE) AS uniq_frac
-       FROM sh s JOIN m USING (chunk) GROUP BY 1 ORDER BY 1"""
+       m AS (SELECT chunk, count(*) AS ns FROM sh GROUP BY 1),
+       su AS (SELECT s.source, CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                     CAST(SUM(CASE WHEN m.ns = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS uniq_frac
+              FROM sh s JOIN m USING (chunk) GROUP BY 1)"""
+
+  private val sourceUniquenessOracle: String =
+    s"""WITH $sourceUniquenessCtes
+       SELECT source, n_shingles, n_unique, uniq_frac FROM su ORDER BY 1"""
 
   /** RETRIEVAL-QUALITY METRICS (MRR / recall@k / nDCG@k) — the eval
     * harness for the retrieval stack (q_bm25 / q_hybrid_rrf /

@@ -830,6 +830,105 @@ object TrainerOps {
               (w * (tn // 2)) // tw AS budget_tokens
        FROM terms, dtot ORDER BY source"""
 
+  /** DATA-CONSTRAINED mixture allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models" — public paper,
+    * semantics only): when the compute budget exceeds the corpus, data
+    * REPEATS — and repeated tokens decay in value, so each source gets
+    * an EPOCH CAP and the budget waterfills across sources up to their
+    * caps. The cap here is derived from the hygiene signal the engine
+    * already measures: a source full of unique content tolerates more
+    * epochs than a syndicated one —
+    *
+    *   cap_s = 1 + 4·uniq_frac_s epochs   (1000–5000 milli-epochs,
+    *   floor-quantized; the paper's ~4-epoch near-free-repeat window)
+    *
+    * EXACT waterfill, not one redistribution round: sources sorted by
+    * cap ascending; the first k* where B·1000 − C(k*−1) ≤ cap_k*·R(k*−1)
+    * (all longs — C = cumulative cap·tokens, R = suffix tokens) marks
+    * the water level θ = (B·1000 − C(k*−1)) div R(k*−1); sources below
+    * θ cap out, the rest train θ milli-epochs. Every decision is an
+    * integer comparison — no float water level until the reported
+    * epochs column. Budget B = 3× the corpus (the regime where the
+    * paper's caps bind). All arithmetic is source-cardinality; the one
+    * ordered window runs over |sources| rows. Long-arithmetic bound:
+    * B·1000 and cap·n·1000 must fit in 63 bits — fine to ~10^15 tokens;
+    * past that, scale milli to centi-epochs.
+    */
+  def epochCapMix(s: SparkSession, docs: DataFrame,
+      budgetMilliEpochs: Long = 2500L): DataFrame = {
+    val stats = docs.groupBy(col("source")).agg(
+      sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+    val uniq = graft.ops.CorpusOps.sourceUniqueness(docs)
+      .select(col("source"), col("uniq_frac"))
+    val src = stats.join(uniq, Seq("source"))
+      .withColumn("cap_m",
+        floor(lit(1000.0) + lit(4000.0) * col("uniq_frac")).cast(LongType))
+    val tot = src.agg(sum(col("n_tokens")).as("nt"))
+    val w = Window.orderBy(col("cap_m"), col("source"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    val ordered = src.crossJoin(broadcast(tot))
+      .withColumn("b1000", expr(s"nt * ${budgetMilliEpochs}L"))
+      .withColumn("cum_cn", sum(col("cap_m") * col("n_tokens")).over(wc))
+      .withColumn("cum_n", sum(col("n_tokens")).over(wc))
+      .withColumn("prev_c", col("cum_cn") - col("cap_m") * col("n_tokens"))
+      .withColumn("prev_r", col("nt") - col("cum_n") + col("n_tokens"))
+      // source k uncapped iff the water level before capping it already
+      // sits at or below its cap: B·1000 − C(k−1) ≤ cap_k · R(k−1)
+      .withColumn("uncapped",
+        col("b1000") - col("prev_c") <= col("cap_m") * col("prev_r"))
+    // the FIRST uncapped source in (cap, source) order fixes the level:
+    // one aggregate argmin over the (already tiny) source relation
+    val theta = ordered.filter(col("uncapped"))
+      .withColumn("th", expr("(b1000 - prev_c) div prev_r"))
+      .agg(min(struct(col("cap_m"), col("source"), col("th"))).as("f"))
+      .select(col("f.th").as("th"))
+      .filter(col("th").isNotNull)
+    val out = ordered.join(broadcast(theta), lit(true), "left")
+      .withColumn("alloc_m",
+        when(col("th").isNull, col("cap_m")) // budget exceeds every cap
+          .otherwise(least(col("cap_m"), col("th"))))
+      .select(col("source"), col("n_tokens"), col("uniq_frac"),
+        col("cap_m").as("cap_milliepochs"),
+        col("alloc_m").as("alloc_milliepochs"),
+        expr("n_tokens * alloc_m div 1000L").as("alloc_tokens"),
+        (col("alloc_m").cast(DoubleType) / 1000.0).as("alloc_epochs"))
+      .orderBy(col("source"))
+    out
+  }
+
+  private def epochCapMixOracle(budgetMilli: Long): String =
+    s"""WITH ${graft.ops.CorpusOps.sourceUniquenessCtes},
+       stats AS (SELECT source,
+                        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+       srcs AS (SELECT s.source, s.n_tokens, su.uniq_frac,
+                       CAST(floor(1000.0 + 4000.0 * su.uniq_frac) AS BIGINT) AS cap_m
+                FROM stats s JOIN su USING (source)),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS nt FROM srcs),
+       o AS (SELECT srcs.*, tot.nt, CAST(tot.nt * $budgetMilli AS BIGINT) AS b1000,
+                    CAST(SUM(cap_m * n_tokens) OVER win AS BIGINT) AS cum_cn,
+                    CAST(SUM(n_tokens) OVER win AS BIGINT) AS cum_n
+             FROM srcs, tot
+             WINDOW win AS (ORDER BY cap_m, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       o2 AS (SELECT *, cum_cn - cap_m * n_tokens AS prev_c,
+                     nt - cum_n + n_tokens AS prev_r,
+                     b1000 - (cum_cn - cap_m * n_tokens)
+                       <= cap_m * (nt - cum_n + n_tokens) AS uncapped
+              FROM o),
+       th AS (SELECT (b1000 - prev_c) // prev_r AS th FROM o2
+              WHERE uncapped ORDER BY cap_m, source LIMIT 1)
+       SELECT source, n_tokens, uniq_frac,
+              cap_m AS cap_milliepochs,
+              CASE WHEN (SELECT count(*) FROM th) = 0 THEN cap_m
+                   ELSE LEAST(cap_m, (SELECT th FROM th)) END AS alloc_milliepochs,
+              n_tokens * (CASE WHEN (SELECT count(*) FROM th) = 0 THEN cap_m
+                   ELSE LEAST(cap_m, (SELECT th FROM th)) END) // 1000 AS alloc_tokens,
+              CAST(CASE WHEN (SELECT count(*) FROM th) = 0 THEN cap_m
+                   ELSE LEAST(cap_m, (SELECT th FROM th)) END AS DOUBLE) / 1000.0
+                AS alloc_epochs
+       FROM o2 ORDER BY source"""
+
   /** LONG-CONTEXT UPSAMPLING mix (Fu et al. 2024, "Data Engineering for
     * Scaling Language Models to 128K Context" — public paper, semantics
     * only): context extension wants MORE long documents, but the paper's
@@ -1433,5 +1532,10 @@ object TrainerOps {
       Some(longCtxMixOracle(80L, 3))),
     Q("q_pack_longctx",
       (s, dir) => packLongCtx(t(s, dir, "documents")),
-      Some(packLongCtxOracle(80L, 3, 1024L))))
+      Some(packLongCtxOracle(80L, 3, 1024L))),
+    // Data-constrained waterfill: per-source epoch caps from the
+    // uniqueness signal, exact integer water level, 3x-corpus budget.
+    Q("q_epoch_cap_mix",
+      (s, dir) => epochCapMix(s, t(s, dir, "documents")),
+      Some(epochCapMixOracle(2500L))))
 }

@@ -88,7 +88,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_pack_longctx" -> sf0001,
     // retrieval metrics: decimal-rounded idf/dcg term sums + ranked
     // window over exact-double scores
-    "q_retrieval_metrics" -> sf0001)
+    "q_retrieval_metrics" -> sf0001,
+    // waterfill: ordered cumsums + integer level decisions over the
+    // uniqueness-derived caps (sf001 = the mixed regime)
+    "q_epoch_cap_mix" -> sf001)
 
   private def rows(name: String, dir: String, parts: Int): Seq[org.apache.spark.sql.Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -529,6 +529,42 @@ class TrainerOpsSpec extends SparkSpec {
     assert(boosts.last._2 > boosts.head._2, "spread must be real")
   }
 
+  test("epochCapMix: exact waterfill replay; budget conservation; caps respected") {
+    // sf0.01, not sf0.001: the gate fixture is where the cap band
+    // (2269–2705) straddles the 2500 budget and the level binds
+    val docs01 = Tables.load(spark, sf001, "documents")
+    val got = TrainerOps.epochCapMix(spark, docs01).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(got.length >= 2)
+    val nt = got.map(_._2).sum
+    val b = nt * 2500L
+    // JVM waterfill over the same (n_tokens, cap) inputs
+    val sorted = got.sortBy(r => (r._3, r._1))
+    var prevC = 0L; var k = -1; var theta = Long.MaxValue
+    for ((r, i) <- sorted.zipWithIndex if k < 0) {
+      val prevR = sorted.drop(i).map(_._2).sum
+      if (b - prevC <= r._3 * prevR) { k = i; theta = (b - prevC) / prevR }
+      prevC += r._3 * r._2
+    }
+    got.foreach { r =>
+      val (ea, et) = (math.min(r._3, theta), r._2 * math.min(r._3, theta) / 1000L)
+      assert(r._4 == ea && r._5 == et, s"${r._1}: got ${(r._4, r._5)} want ${(ea, et)}")
+      assert(r._4 <= r._3, "cap violated")
+    }
+    // conservation: allocation never exceeds the budget (+ per-source
+    // integer-floor slack); if any source is uncapped, the level fills
+    // the budget to within the theta-floor slack (< suffix/1000)
+    val allocTok = got.map(_._5).sum
+    assert(allocTok <= b / 1000L + got.length)
+    if (got.exists(r => r._4 < r._3))
+      assert(allocTok >= b / 1000L - got.length - nt / 1000L,
+        s"level should fill the budget: $allocTok vs ${b / 1000L}")
+    // the mixed regime must actually occur on the fixture
+    assert(got.exists(r => r._4 == r._3) && got.exists(r => r._4 < r._3),
+      "fixture must exercise both capped and level-bound sources")
+  }
+
   test("longCtxMix: upsampling raises the long share but preserves the source token budget") {
     val rows = TrainerOps.longCtxMix(docs).collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
