@@ -206,6 +206,39 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The shippable CCNet artifact (the nbModelNanos discipline): the
+    * unigram nll lattice as DECIMAL(24,9) fixed-point NANOS longs, plus
+    * per-language bucket boundary VALUES from the batch rank pass (worst
+    * head avg_nll, worst middle avg_nll). Both collects are bounded —
+    * vocab-sized and language-sized — the two structures a deployed
+    * perplexity gate legitimately ships to the stream.
+    */
+  def ccnetArtifactNanos(s: SparkSession, docs: DataFrame)
+      : (Map[String, Long], graft.streaming.StreamingCcnetFilter.Cutoffs) = {
+    val tokens = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val freq = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val nll = freq.crossJoin(broadcast(total))
+      .select(col("token"),
+        ((-log(col("cnt").cast(DoubleType) / col("total")))
+          .cast(DecimalType(24, 9)) * lit(1000000000L)).cast(LongType)
+          .as("nanos"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = ccnetBuckets(docs)
+    val cuts = b.groupBy(col("lang"))
+      .agg(max(when(col("bucket") === "head", col("avg_nll"))).as("q33"),
+        max(when(col("bucket") =!= "tail", col("avg_nll"))).as("q66"))
+      .collect().map { r =>
+        // a lang too small for a head (or middle) third has no boundary
+        // value: -inf buckets everything past it tail-ward
+        val q33 = if (r.isNullAt(1)) Double.NegativeInfinity else r.getDouble(1)
+        val q66 = if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)
+        r.getString(0) -> (q33, q66)
+      }.toMap
+    (nll, graft.streaming.StreamingCcnetFilter.Cutoffs(cuts))
+  }
+
   // oracle: the plain per-lang row_number is provably equal to the
   // engine's two-phase spine rank (order-preserving prefix grouping)
   private val ccnetBucketsOracle: String =
