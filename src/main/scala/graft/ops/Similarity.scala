@@ -1133,7 +1133,7 @@ object Similarity {
     * sorted fold), margin per scored pair, aggregate argmax both
     * directions, mutual join + threshold.
     */
-  private def mineFromScored(scored: DataFrame, k: Int,
+  private[graft] def mineFromScored(scored: DataFrame, k: Int,
       minMargin: Double): DataFrame = {
     def knnAvg(side: String, other: String): DataFrame = {
       val w = Window.partitionBy(col(side))
@@ -1293,6 +1293,17 @@ object Similarity {
     Q("q_bitext_mine_ivf",
       (s, dir) => bitextMineIvf(s, t(s, dir, "embeddings"), k = 4,
         minMargin = 1.05, nlist = 16, nprobe = 16),
+      Some(matCtes(sqlBitextMine(k = 4, minMargin = 1.05)))),
+
+    // The index-once-mine-many form: both pools read vectors/norms/cells
+    // from the persisted VectorIndexStore; exact regime shares the brute
+    // oracle verbatim (VectorIndexSpec pins equality + narrow probe).
+    Q("q_bitext_mine_stored",
+      (s, dir) => {
+        val idx = graft.sources.VectorIndexStore.ensure(s, dir)
+        graft.sources.VectorIndexStore.bitextMine(s, idx, k = 4,
+          minMargin = 1.05, nprobe = graft.sources.VectorIndexStore.NList)
+      },
       Some(matCtes(sqlBitextMine(k = 4, minMargin = 1.05)))),
 
     Q("q_embed_neardup",

@@ -280,6 +280,49 @@ object VectorIndexStore {
       .orderBy(col("vec_id"))
   }
 
+  /** Margin-based bitext mining over the STORED index — the
+    * index-once-mine-many form of [[graft.ops.Similarity.bitextMine]]:
+    * both pools read vectors, norms and cell assignments from the
+    * persisted lists (nothing recomputed); the src side probes its
+    * `nprobe` nearest cells, the tgt side is a literal-IN
+    * partition-pruned scan of its STORED cells, and the margin /
+    * mutual-argmax tail is shared verbatim
+    * ([[graft.ops.Similarity.mineFromScored]]). Declared at the exact
+    * regime (nprobe = NList — every pair scored once, coverage
+    * provably complete) so the row shares the brute oracle verbatim.
+    * The probe-side broadcast is SIZE-CONDITIONAL (the
+    * semanticDecontaminate seam): one bounded job returns both the
+    * probed-cell IN list and the exploded probe-row count that decides
+    * the join strategy.
+    */
+  def bitextMine(spark: SparkSession, indexDir: String, k: Int = 4,
+      minMargin: Double = 1.05, nprobe: Int = NList,
+      broadcastSrcRows: Long = 100000L): DataFrame = {
+    val cents = loadCentroids(spark, indexDir)
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("norm") > 0)
+    val src = lists.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm"),
+        explode(VectorFunctions.nearestCells(col("embedding"), cents, nprobe))
+          .as("cell"))
+    val cellCounts = src.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val probed = cellCounts.map(_._1).sorted
+    val srcRows = cellCounts.map(_._2).sum
+    val tgt = lists.filter(col("vec_id") % 2 =!= 0 &&
+        col("cell").isin(probed: _*))
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm"), col("cell"))
+    val srcSide = if (srcRows <= broadcastSrcRows) broadcast(src) else src
+    val scored = srcSide.join(tgt, Seq("cell"))
+      .withColumn("cosine",
+        VectorFunctions.floatDot(spark, col("a_emb"), col("b_emb"))
+          / (col("a_norm") * col("b_norm")))
+      .select(col("src_id"), col("tgt_id"), col("cosine"))
+    graft.ops.Similarity.mineFromScored(scored, k, minMargin)
+  }
+
   /** IVF-PQ top-k over the STORED index: candidates come from the
     * cell-pruned `codes` table (≈9 bytes/vector — the compressed shuffle
     * the in-query path documents), ADC-scored against a broadcast lookup

@@ -134,4 +134,18 @@ class VectorIndexSpec extends SparkSpec {
     finally in.close()
     assert(have != "stale", "fingerprint was not repaired by the rebuild")
   }
+
+  test("stored bitext mining equals the brute force row-for-row (exact regime); narrow probe stays a matching") {
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+    val idx = VectorIndexStore.ensure(spark, sf0001)
+    val brute = graft.ops.Similarity.bitextMine(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val stored = VectorIndexStore.bitextMine(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(stored.nonEmpty && stored == brute)
+    val narrow = VectorIndexStore.bitextMine(spark, idx, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(narrow.map(_._1).distinct.length == narrow.length)
+    assert(narrow.map(_._2).distinct.length == narrow.length)
+  }
 }
