@@ -55,7 +55,7 @@ object CorpusOps {
     val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
     s"${st.getLen}|${st.getModificationTime}"
   }
-  private def sharedTf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedTf(s: SparkSession, dir: String): DataFrame =
     tfCache.synchronized {
       val perSession = Option(tfCache.get(s)).getOrElse {
         val m = scala.collection.mutable.Map.empty[String, (String, DataFrame)]
@@ -282,11 +282,17 @@ object CorpusOps {
     * BM25 shape) — df/n_docs broadcast; the per-query top-k window
     * partitions by query (queries are the tiny side by construction).
     */
-  def retrievalMetrics(s: SparkSession, docs: DataFrame, k: Int = 10): DataFrame = {
+  def retrievalMetrics(s: SparkSession, docs: DataFrame, k: Int = 10,
+      toks0: Option[DataFrame] = None): DataFrame = {
     val isQ = col("doc_id") % 97 === 0
-    val toks = docs
+    // toks0: the (doc_id, term) distinct relation, injectable so the
+    // declared query rides the session-shared tf relation (sharedTf's
+    // rows ARE the distinct pairs) instead of paying three separate
+    // tokenize+distinct corpus passes (dfT, qT, cT below each replanned
+    // the pass when toks was a view).
+    val toks = toks0.getOrElse(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "").distinct()
+      .filter(col("term") =!= "").distinct())
     val nTot = docs.agg(count(lit(1)).as("n_docs"))
     // NOTE on the join fan-out: a production corpus applies a stopword /
     // df cut before the posting-list join (a term in >25% of docs
@@ -299,12 +305,20 @@ object CorpusOps {
     val qT = toks.filter(isQ).select(col("doc_id").as("q_id"), col("term"))
     val cT = toks.filter(!isQ)
     // df filter joins FIRST so stopword terms never reach the
-    // posting-list join (inner joins commute; the fan-out doesn't)
-    val scored = qT.join(broadcast(dfT), Seq("term"))
-      .join(cT, Seq("term"))
-      .crossJoin(broadcast(nTot))
+    // posting-list join (inner joins commute; the fan-out doesn't).
+    // The idf weight is computed ON THE VOCAB SIDE (one log + decimal
+    // round per TERM, before the fan-out) rather than per scored row:
+    // the value per term is bit-identical either way — log of the same
+    // two longs, same decimal rounding — but the posting-list join
+    // multiplies rows by posting-list length, so computing it after the
+    // join paid |q_terms × postings| transcendental+decimal casts for
+    // |vocab| distinct values.
+    val dfW = dfT.crossJoin(nTot)
       .withColumn("w",
         log(col("n_docs").cast(DoubleType) / col("df")).cast(DecimalType(24, 9)))
+      .select(col("term"), col("w"))
+    val scored = qT.join(broadcast(dfW), Seq("term"))
+      .join(cT, Seq("term"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("w")).cast(DoubleType).as("score"))
     val meta = docs.select(col("doc_id"), col("source"), col("lang"))
@@ -410,7 +424,8 @@ object CorpusOps {
 
   val queries: Seq[Q] = Seq(
     Q("q_retrieval_metrics",
-      (s, dir) => retrievalMetrics(s, t(s, dir, "documents")),
+      (s, dir) => retrievalMetrics(s, t(s, dir, "documents"),
+        toks0 = Some(sharedTf(s, dir).select(col("doc_id"), col("term")))),
       Some(matCtes(retrievalMetricsOracle(10)))),
     Q("q_source_uniqueness",
       (s, dir) => sourceUniqueness(t(s, dir, "documents")),

@@ -814,25 +814,35 @@ object TextDedup {
     */
   private def exactEvalHitParts(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, L: Int, cacheWindows: Boolean)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val content = docs.select(col("doc_id"), isEval.as("is_eval"),
       col("text").as("content"))
-    val wins0 = content.filter(length(col("content")) >= L)
-      .select(col("doc_id"), col("is_eval"), col("content"),
+    def winsOf(c: DataFrame): DataFrame = c
+      .filter(length(col("content")) >= L)
+      .select(col("doc_id"), col("content"),
         explode(expr(s"sequence(0, length(content) - $L)")).as("pos"))
-      .select(col("doc_id"), col("is_eval"),
-        col("pos").cast(LongType).as("pos"),
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         expr(s"xxhash64(substring(content, pos + 1, $L))").as("h"))
-    val wins = if (cacheWindows) wins0.persist() else wins0
-    val evalH = wins.filter(col("is_eval")).select(col("h")).distinct()
-    val hitPos = wins.filter(!col("is_eval"))
+    // EVAL-side windows materialize ONCE: the relation is O(eval chars)
+    // at 24 B/position — bounded by the EVAL SUITE, never the corpus
+    // (the train-side window relation is the one that must stay
+    // recompute-by-default, the `cacheWindows` knob below) — and it has
+    // three readers here (the hash set, the hit-bounded chunk owners)
+    // plus two more in the scorecard (exposure numerator/denominator).
+    // Left as a view, each reader replanned a full corpus SCAN +
+    // window pass with the eval filter applied after the scan.
+    val evalWins = winsOf(content.filter(col("is_eval"))).localCheckpoint()
+    val trainWins0 = winsOf(content.filter(!col("is_eval")))
+    val trainWins = if (cacheWindows) trainWins0.persist() else trainWins0
+    val evalH = evalWins.select(col("h")).distinct()
+    val hitPos = trainWins
       .join(evalH, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"), col("h"))
     val trainH = hitPos.select(col("h")).distinct()
     val textOf = content.select(col("doc_id"), col("content"))
     // eval chunk OWNERS, hit-bounded: (chunk, eval_id) distinct — the
     // attribution carrier (the decontaminateSpans word-form convention)
-    val evalChunks = wins.filter(col("is_eval"))
+    val evalChunks = evalWins
       .join(trainH, Seq("h"), "left_semi")
       .select(col("doc_id").as("eval_id"), col("pos"))
       .join(textOf.select(col("doc_id").as("eval_id"), col("content")),
@@ -848,14 +858,14 @@ object TextDedup {
     // triples are unique (cand unique per (doc,pos); owners distinct)
     val hits = cand.join(evalChunks, Seq("chunk"))
       .select(col("doc_id"), col("pos"), col("eval_id"), col("chunk"))
-    (wins, content, hits)
+    (trainWins, evalWins, content, hits)
   }
 
   def decontaminateSpansExact(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, minLen: Int = 50,
       cacheWindows: Boolean = false): DataFrame = {
     val L = minLen
-    val (wins, _, hits0) = exactEvalHitParts(docs, isEval, L, cacheWindows)
+    val (trainWins, _, _, hits0) = exactEvalHitParts(docs, isEval, L, cacheWindows)
     val hits = hits0.select(col("doc_id"), col("pos"), col("eval_id"))
     val w1 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = hits.select(col("doc_id"), col("pos")).distinct()
@@ -876,7 +886,7 @@ object TextDedup {
         (col("span_end") - col("span_start") + 1).as("span_chars"),
         col("n_eval_docs"), col("min_eval_id"))
       .localCheckpoint()
-    if (cacheWindows) wins.unpersist()
+    if (cacheWindows) trainWins.unpersist()
     out
   }
 
@@ -894,7 +904,7 @@ object TextDedup {
   def decontaminateScorecard(docs: DataFrame,
       isEval: org.apache.spark.sql.Column, minLen: Int = 50): DataFrame = {
     val L = minLen
-    val (wins, content, hits) = exactEvalHitParts(docs, isEval, L, false)
+    val (_, evalWins, content, hits) = exactEvalHitParts(docs, isEval, L, false)
     // hits is unique on (doc_id, pos, eval_id) — cand is unique per
     // (doc, pos) and owners are distinct — so within an eval group the
     // (doc, pos) pairs are distinct and a plain count IS the window count
@@ -903,14 +913,14 @@ object TextDedup {
         count(lit(1)).as("n_train_windows"),
         min(col("doc_id")).as("first_train_doc"))
     val tchunks = hits.select(col("chunk")).distinct()
-    val evalWinChunks = wins.filter(col("is_eval"))
+    val evalWinChunks = evalWins
       .join(content.select(col("doc_id"), col("content")), Seq("doc_id"))
       .select(col("doc_id").as("eval_id"), col("pos"),
         expr(s"substring(content, CAST(pos AS INT) + 1, $L)").as("chunk"))
     val covered = evalWinChunks.join(tchunks, Seq("chunk"), "left_semi")
       .groupBy(col("eval_id"))
       .agg(count(lit(1)).as("n_eval_windows_hit"))
-    val evTot = wins.filter(col("is_eval"))
+    val evTot = evalWins
       .groupBy(col("doc_id").as("eval_id"))
       .agg(count(lit(1)).as("n_eval_windows"))
     perEvalTrain.join(covered, Seq("eval_id")).join(evTot, Seq("eval_id"))

@@ -96,13 +96,16 @@ object TextIndexStore {
     * vocabulary-sized joins — paid once, amortized over every query.
     */
   def build(spark: SparkSession, sfDir: String, indexDir: String): Unit = {
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+    // The session-shared tf relation, NOT a private persist: this build's
+    // tf plan is plan-identical to CorpusOps.sharedTf, and unpersist()
+    // evicts cache entries by sameResult PLAN match — a private
+    // persist/unpersist here silently dropped the shared relation for
+    // every retrieval query planned after the first store build (cold-box
+    // runs re-tokenized the corpus per consumer from then on). Reusing
+    // the shared relation both removes that eviction and lets the build's
+    // four tf readers (dl, df, postings, docstats) hit the same cache the
+    // query suite uses — one tokenize pass per (session, corpus) total.
+    val tf = graft.ops.CorpusOps.sharedTf(spark, sfDir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -135,7 +138,7 @@ object TextIndexStore {
     postings.write.partitionBy("bucket").parquet(s"$tmp/postings")
     stats.write.parquet(s"$tmp/stats")
     docstats.write.parquet(s"$tmp/docstats")
-    tf.unpersist()
+    // no unpersist: tf is the session-shared relation (see above)
     // _FINGERPRINT is written LAST: a tree without it always reads stale
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
