@@ -1292,7 +1292,7 @@ object WarehouseOps {
         implicit val enc = Encoders.product[ClampedBalance]
         t(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_id"), delta.as("d"))
-          .repartition(col("user_id"))
+          .transform(graft.Par.byKey(col("user_id")))
           .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
           .select(col("user_id"), col("d"))
           .mapPartitions { rows =>

@@ -97,7 +97,7 @@ object ExactSpanStore {
   def build(spark: SparkSession, sfDir: String, indexDir: String,
       minLen: Int): Unit = {
     val wins = bucketedWindows(graft.Tables.load(spark, sfDir, "documents"), minLen)
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("h"), col("doc_id"), col("pos"))
     val f = fs(spark, indexDir)
     val root = new org.apache.hadoop.fs.Path(indexDir)

@@ -40,7 +40,7 @@ object IncrementalExactSpanStore {
       indexDir: String, minLen: Int, bytes: Boolean = false): Unit = {
     ExactSpanStore.bucketedWindows(batch, minLen, bytes)
       .withColumn("__batch_id", lit(batchId))
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("h"), col("doc_id"), col("pos"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -106,7 +106,7 @@ object IncrementalExactSpanStore {
         when(col("__batch_id") < maxBatch, lit(CompactedLayer))
           .otherwise(col("__batch_id")))
       .select("doc_id", "pos", "h", "bucket", "__batch_id")
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("h"), col("doc_id"), col("pos"))
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID().toString.take(8)
     folded.write.partitionBy("bucket", "__batch_id").parquet(s"$tmp/wins")

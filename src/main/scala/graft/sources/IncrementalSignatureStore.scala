@@ -37,7 +37,7 @@ object IncrementalSignatureStore {
     val buckets = banded(arrays, bands, rows)
       .withColumn("bucket", pmod(col("bh"), lit(Buckets.toLong)))
       .withColumn("__batch_id", lit(batchId))
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("band"), col("bh"))
     buckets.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -141,7 +141,7 @@ object IncrementalSignatureStore {
     val buckets = spark.read.parquet(s"$indexDir/buckets")
       .withColumn("__batch_id", fold(col("__batch_id")))
       .select("band", "bh", "doc_id", "bucket", "__batch_id")
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("band"), col("bh"))
     val arrays = allArrays
       .withColumn("__batch_id", fold(col("__batch_id")))

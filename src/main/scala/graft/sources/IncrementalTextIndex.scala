@@ -61,7 +61,7 @@ object IncrementalTextIndex {
     val postings = tf.join(dl, Seq("doc_id"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(Buckets.toLong)))
       .withColumn("__batch_id", lit(batchId))
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("term"), col("doc_id"))
     val termdelta = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(Buckets.toLong)))
@@ -149,7 +149,7 @@ object IncrementalTextIndex {
     val merged = postings.select(col("term"), col("doc_id"), col("tf"),
         col("dl"), col("bucket"))
       .join(dfAll, Seq("term"))
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("term"), col("doc_id"))
     // each doc lives in exactly one batch, so per-doc stats fold without
     // double-count: n_terms = its posting count, dl rides on every posting

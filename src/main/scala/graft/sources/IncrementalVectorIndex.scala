@@ -84,7 +84,7 @@ object IncrementalVectorIndex {
     assigned
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
         col("__batch_id"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -94,7 +94,7 @@ object IncrementalVectorIndex {
       .select(col("vec_id"),
         VectorFunctions.pqCodes(col("embedding"), cb).as("codes"), col("cell"),
         col("__batch_id"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -147,11 +147,11 @@ object IncrementalVectorIndex {
   def compactTo(spark: SparkSession, indexDir: String, storeDir: String): Unit = {
     val lists = spark.read.parquet(s"$indexDir/lists")
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
     val codes = spark.read.parquet(s"$indexDir/codes")
       .select(col("vec_id"), col("codes"), col("cell"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")

@@ -243,7 +243,7 @@ object PackedShards {
     assemble(
       contributions(offs, budget)
         .withColumn("shard", expr(s"seq div ${seqsPerShard}L"))
-        .repartition(col("shard"))
+        .transform(graft.Par.byKey(col("shard")))
         .groupBy(col("shard"), col("seq")))
       .select(col("shard"), col("seq"), col("tokens"), col("doc_spans"),
         col("n_tokens"), col("n_docs"))

@@ -110,7 +110,7 @@ object SignatureStore {
     if (rows > 0) {
       val buckets = banded(arrays, bands, rows)
         .withColumn("bucket", pmod(col("bh"), lit(Buckets.toLong)))
-        .repartition(col("bucket"))
+        .transform(graft.Par.byKey(col("bucket")))
         .sortWithinPartitions(col("band"), col("bh"))
       buckets.write.partitionBy("bucket").parquet(s"$tmp/buckets")
     }

@@ -117,7 +117,7 @@ object TextIndexStore {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(Buckets.toLong)))
       // sort within each bucket file by term so parquet row-group min/max
       // prunes inside the bucket as well
-      .repartition(col("bucket"))
+      .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("term"), col("doc_id"))
     // per-doc stats (v2): n_terms (distinct-term count — the Jaccard
     // retriever's denominator) + dl; doc_id-sorted so a candidate join

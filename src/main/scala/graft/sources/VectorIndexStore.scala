@@ -109,12 +109,12 @@ object VectorIndexStore {
       .persist()
     val lists = assigned
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
     val codes = assigned
       .select(col("vec_id"),
         VectorFunctions.pqCodes(col("embedding"), cb).as("codes"), col("cell"))
-      .repartition(col("cell"))
+      .transform(graft.Par.byKey(col("cell")))
       .sortWithinPartitions(col("vec_id"))
     val centDf = cents.map { case (c, v) => (c, v) }.toDF("cell", "centroid")
     val cbDf = cb.zipWithIndex.flatMap { case (sub, s) =>

@@ -49,7 +49,7 @@ object LakeMaintenance {
       partitionCol: String, targetRecordsPerFile: Long): CompactionReport = {
     val before = dataFileCount(srcDir)
     spark.read.parquet(srcDir)
-      .repartition(col(partitionCol))
+      .transform(graft.Par.byKey(col(partitionCol)))
       .write
       .partitionBy(partitionCol)
       .option("maxRecordsPerFile", targetRecordsPerFile)
