@@ -27,4 +27,36 @@ object Par {
   def byKey(keys: Column*)(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
       keys: _*)
+
+  /** Run independent Spark actions concurrently from a bounded pool
+    * (guide §2.6: actions are only sequential because driver code calls
+    * them sequentially — overlapping independent write jobs lets the
+    * next job's tasks back-fill executors freed by the current job's
+    * tail). Used by the store builders/maintainers whose batch commits
+    * are several writes to DISJOINT paths/partitions derived from one
+    * persisted relation: each write stages under its own Spark staging
+    * dir, so concurrency cannot interleave artifacts, and a failure in
+    * any task propagates after all settle (completed writes are
+    * idempotent per-batch partitions, the replay contract). FIFO
+    * scheduling keeps the back-fill behavior.
+    */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      val errs = futs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(e.getCause)
+          case e: Throwable => Some(e)
+        }
+      }
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+  }
 }

@@ -788,8 +788,14 @@ object TextOps {
       // paying per-range job overhead 90× (the first cut at 4
       // shards/range cost 34 s at sf0.1 — a production range is hours
       // of work, so the fixed cost amortizes there, not at toy SF)
+      // maxConcurrentRanges = 4: ranges are independent (disjoint shard
+      // partitions, per-job staging dirs, spec-pinned byte-identical to
+      // the serial loop) — the bounded pool the writeBatchResumable
+      // docstring prescribes at scale, where a strictly serial driver
+      // loop wastes the cluster between range jobs
       graft.sources.PackedShards.writeBatchResumable(s, docs, out,
-        shardsPerRange = 32L, fullCharset = fullCharset, idsExpr = idsExpr)
+        shardsPerRange = 32L, fullCharset = fullCharset, idsExpr = idsExpr,
+        maxConcurrentRanges = 4)
     else graft.sources.PackedShards.writeBatch(s, docs, out,
         fullCharset = fullCharset, idsExpr = idsExpr))
       .select(col("shard").cast(LongType).as("shard"), col("n_tokens"),

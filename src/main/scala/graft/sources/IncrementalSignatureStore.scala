@@ -39,16 +39,19 @@ object IncrementalSignatureStore {
       .withColumn("__batch_id", lit(batchId))
       .transform(graft.Par.byKey(col("bucket")))
       .sortWithinPartitions(col("band"), col("bh"))
-    buckets.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "__batch_id")
-      .parquet(s"$indexDir/buckets")
-    arrays.withColumn("__batch_id", lit(batchId))
-      .repartition(1).sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id")
-      .parquet(s"$indexDir/arrays")
+    // two independent writes over the one persisted batch relation, to
+    // disjoint paths — overlapped (Par.inParallel)
+    graft.Par.inParallel(
+      () => buckets.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "__batch_id")
+        .parquet(s"$indexDir/buckets"),
+      () => arrays.withColumn("__batch_id", lit(batchId))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(s"$indexDir/arrays"))
     arrays.unpersist()
     ()
   }

@@ -81,25 +81,28 @@ object IncrementalVectorIndex {
       .withColumn("cell", VectorFunctions.nearestCells(col("embedding"), cents, 1)(0))
       .withColumn("__batch_id", lit(batchId))
       .persist()
-    assigned
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
-        col("__batch_id"))
-      .transform(graft.Par.byKey(col("cell")))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "__batch_id")
-      .parquet(s"$indexDir/lists")
-    assigned
-      .select(col("vec_id"),
-        VectorFunctions.pqCodes(col("embedding"), cb).as("codes"), col("cell"),
-        col("__batch_id"))
-      .transform(graft.Par.byKey(col("cell")))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell", "__batch_id")
-      .parquet(s"$indexDir/codes")
+    // two independent writes over the one persisted batch relation, to
+    // disjoint paths — overlapped (Par.inParallel)
+    graft.Par.inParallel(
+      () => assigned
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+          col("__batch_id"))
+        .transform(graft.Par.byKey(col("cell")))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "__batch_id")
+        .parquet(s"$indexDir/lists"),
+      () => assigned
+        .select(col("vec_id"),
+          VectorFunctions.pqCodes(col("embedding"), cb).as("codes"), col("cell"),
+          col("__batch_id"))
+        .transform(graft.Par.byKey(col("cell")))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell", "__batch_id")
+        .parquet(s"$indexDir/codes"))
     assigned.unpersist()
     ()
   }

@@ -107,15 +107,19 @@ object SignatureStore {
     // rows == 0 (exact regime): the probe path never reads buckets —
     // every pair is a candidate — so writing the universal-bucket table
     // would be a pure wasted corpus shuffle + parquet write
-    if (rows > 0) {
-      val buckets = banded(arrays, bands, rows)
+    // the (optional) bucket table and the arrays table are independent
+    // writes over the one persisted relation — overlapped (Par.inParallel)
+    val writeBuckets: Option[() => Unit] =
+      if (rows > 0) Some(() => banded(arrays, bands, rows)
         .withColumn("bucket", pmod(col("bh"), lit(Buckets.toLong)))
         .transform(graft.Par.byKey(col("bucket")))
         .sortWithinPartitions(col("band"), col("bh"))
-      buckets.write.partitionBy("bucket").parquet(s"$tmp/buckets")
-    }
-    arrays.repartition(1).sortWithinPartitions(col("doc_id"))
-      .write.parquet(s"$tmp/arrays")
+        .write.partitionBy("bucket").parquet(s"$tmp/buckets"))
+      else None
+    val writeArrays: () => Unit =
+      () => arrays.repartition(1).sortWithinPartitions(col("doc_id"))
+        .write.parquet(s"$tmp/arrays")
+    graft.Par.inParallel(writeBuckets.toSeq :+ writeArrays: _*)
     arrays.unpersist()
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir, bands, rows).getBytes("UTF-8"))

@@ -135,9 +135,12 @@ object TextIndexStore {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val tmp = new org.apache.hadoop.fs.Path(
       indexDir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-    postings.write.partitionBy("bucket").parquet(s"$tmp/postings")
-    stats.write.parquet(s"$tmp/stats")
-    docstats.write.parquet(s"$tmp/docstats")
+    // three independent writes over the shared tf relation, to disjoint
+    // staging paths — overlapped (Par.inParallel)
+    graft.Par.inParallel(
+      () => postings.write.partitionBy("bucket").parquet(s"$tmp/postings"),
+      () => stats.write.parquet(s"$tmp/stats"),
+      () => docstats.write.parquet(s"$tmp/docstats"))
     // no unpersist: tf is the session-shared relation (see above)
     // _FINGERPRINT is written LAST: a tree without it always reads stale
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)

@@ -127,10 +127,13 @@ object VectorIndexStore {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val tmp = new org.apache.hadoop.fs.Path(
       indexDir + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-    lists.write.partitionBy("cell").parquet(s"$tmp/lists")
-    codes.write.partitionBy("cell").parquet(s"$tmp/codes")
-    centDf.coalesce(1).write.parquet(s"$tmp/centroids")
-    cbDf.coalesce(1).write.parquet(s"$tmp/codebook")
+    // four independent writes (one persisted relation, disjoint staging
+    // paths) — overlapped (Par.inParallel)
+    graft.Par.inParallel(
+      () => lists.write.partitionBy("cell").parquet(s"$tmp/lists"),
+      () => codes.write.partitionBy("cell").parquet(s"$tmp/codes"),
+      () => centDf.coalesce(1).write.parquet(s"$tmp/centroids"),
+      () => cbDf.coalesce(1).write.parquet(s"$tmp/codebook"))
     assigned.unpersist()
     val out = f.create(new org.apache.hadoop.fs.Path(s"$tmp/_FINGERPRINT"), true)
     try out.write(fingerprintOf(spark, sfDir).getBytes("UTF-8")) finally out.close()
